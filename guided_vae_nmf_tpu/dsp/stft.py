@@ -1,0 +1,222 @@
+"""STFT / inverse STFT.
+
+Capability parity with the reference wrappers (reference:
+python/processing/stft.py:16-102), which delegate to librosa. librosa is not a
+dependency of this framework: the transform is implemented from first
+principles twice —
+
+  * :func:`stft` / :func:`istft` — host-side numpy, float64 accumulation with
+    a complex64/float32 result, matching the reference's librosa output
+    bit-for-bit on the bundled golden pickles (verified in
+    tests/dsp/test_stft.py). Used for dataset synthesis and golden tests.
+  * :func:`stft_jax` / :func:`istft_jax` — pure `jnp`, float32, jittable and
+    vmappable. Used on-device by the enhancement engine. Framing is a gather,
+    the DFT is `jnp.fft.rfft`, overlap-add is a scatter-add; XLA fuses the
+    windowing into the FFT's input.
+
+Frozen conventions (the compatibility contract, reference stft.py:16-63):
+fs=16 kHz, 64 ms window => nfft=1024 => 513 bins, hop=25% => 256 samples,
+periodic hann, centered with reflect padding, end-padded with one extra hop of
+zeros when the signal length is not a multiple of the hop, complex64 output of
+shape (freq_bins, frames).
+"""
+
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from functools import partial
+
+
+def stft_params(fs=16000, wlen_sec=64e-3, hop_percent=0.25):
+    """Resolve (nfft, hop) from the reference's parameterization.
+
+    Raises ValueError when wlen_sec*fs is not an integer (reference
+    stft.py:37-38).
+    """
+    if wlen_sec * fs != int(wlen_sec * fs):
+        raise ValueError("wlen_sample of STFT is not an integer.")
+    nfft = int(wlen_sec * fs)
+    hopsamp = int(hop_percent * nfft)
+    return nfft, hopsamp
+
+
+def periodic_hann(n):
+    """Periodic (DFT-even) Hann window of length n, float64.
+
+    Equals scipy.signal.get_window('hann', n, fftbins=True), which is what
+    librosa uses internally.
+    """
+    return 0.5 - 0.5 * np.cos(2.0 * np.pi * np.arange(n) / n)
+
+
+def _maybe_end_pad(x, fs, wlen_sec, hop_percent, hopsamp):
+    """Reference end-padding rule (stft.py:48-53): append one hop of zeros
+    unless the utterance duration is an exact multiple of the hop. The
+    comparison is done in float seconds exactly as the reference does."""
+    utt_len = len(x) / fs
+    if math.ceil(utt_len / wlen_sec / hop_percent) != int(
+        utt_len / wlen_sec / hop_percent
+    ):
+        return np.pad(x, (0, hopsamp), mode="constant")
+    return x
+
+
+def stft(
+    x,
+    fs=16e3,
+    wlen_sec=64e-3,
+    win="hann",
+    hop_percent=0.25,
+    center=True,
+    pad_mode="reflect",
+    pad_at_end=True,
+    dtype="complex64",
+):
+    """Host-side STFT, shape (nfft//2+1, n_frames), complex64.
+
+    Matches librosa.core.stft semantics as used by the reference
+    (stft.py:55-62): centered reflect padding of nfft//2 samples, periodic
+    hann window, rfft of each windowed frame, computed in the input float
+    precision then cast to `dtype`.
+    """
+    if win != "hann":
+        raise ValueError("only hann windows are supported")
+    fs = int(fs)
+    nfft, hopsamp = stft_params(fs, wlen_sec, hop_percent)
+
+    x = np.asarray(x)
+    if pad_at_end:
+        x = _maybe_end_pad(x, fs, wlen_sec, hop_percent, hopsamp)
+
+    if center:
+        x = np.pad(x, nfft // 2, mode=pad_mode)
+
+    n_frames = 1 + (len(x) - nfft) // hopsamp
+    window = periodic_hann(nfft)
+    # Strided view of all frames: (n_frames, nfft), then window + rfft.
+    frames = np.lib.stride_tricks.as_strided(
+        x,
+        shape=(n_frames, nfft),
+        strides=(x.strides[0] * hopsamp, x.strides[0]),
+    )
+    Sxx = np.fft.rfft(frames * window, axis=-1).T
+    return Sxx.astype(dtype)
+
+
+def istft(
+    Sxx,
+    fs=16000,
+    wlen_sec=64e-3,
+    win="hann",
+    hop_percent=0.25,
+    center=True,
+    dtype="float32",
+    max_len=None,
+):
+    """Host-side inverse STFT with windowed overlap-add and squared-window
+    normalization (librosa.core.istft semantics, reference stft.py:92-101).
+
+    `max_len` truncates/zero-pads the output to that many samples — callers
+    pass the original sample count T_orig (e.g. reference
+    scripts/evaluate_M1.py:144-149).
+    """
+    if win != "hann":
+        raise ValueError("only hann windows are supported")
+    nfft, hopsamp = stft_params(fs, wlen_sec, hop_percent)
+    window = periodic_hann(nfft)
+
+    Sxx = np.asarray(Sxx)
+    n_frames = Sxx.shape[1]
+    expected_len = nfft + hopsamp * (n_frames - 1)
+
+    # Overlap-add of windowed inverse DFT frames.
+    frames = np.fft.irfft(Sxx.T, n=nfft, axis=-1) * window
+    y = np.zeros(expected_len, dtype=np.float64)
+    wss = np.zeros(expected_len, dtype=np.float64)
+    wsq = window**2
+    for i in range(n_frames):
+        start = i * hopsamp
+        y[start : start + nfft] += frames[i]
+        wss[start : start + nfft] += wsq
+    # Normalize by the summed squared window where it is numerically nonzero.
+    nz = wss > np.finfo(np.float64).tiny
+    y[nz] /= wss[nz]
+
+    if center:
+        y = y[nfft // 2 : expected_len - nfft // 2]
+
+    if max_len is not None:
+        out = np.zeros(int(max_len), dtype=np.float64)
+        n = min(len(y), int(max_len))
+        out[:n] = y[:n]
+        y = out
+    return y.astype(dtype)
+
+
+# --------------------------------------------------------------------------
+# On-device (jnp) implementations
+# --------------------------------------------------------------------------
+
+
+def frame_count(
+    n_samples, fs=16000, wlen_sec=64e-3, hop_percent=0.25, pad_at_end=True
+):
+    """Number of STFT frames produced for an n_samples-long signal, matching
+    :func:`stft` (centered + end-pad rule, including its float-seconds
+    divisibility test)."""
+    nfft, hopsamp = stft_params(fs, wlen_sec, hop_percent)
+    utt_len = n_samples / fs
+    if pad_at_end and math.ceil(utt_len / wlen_sec / hop_percent) != int(
+        utt_len / wlen_sec / hop_percent
+    ):
+        n_samples = n_samples + hopsamp
+    return 1 + n_samples // hopsamp
+
+
+@partial(jax.jit, static_argnames=("nfft", "hopsamp"))
+def stft_jax(x, nfft=1024, hopsamp=256):
+    """Jittable float32 STFT of a 1-D signal → (nfft//2+1, n_frames) complex64.
+
+    The end-pad decision is shape-dependent and therefore resolved at trace
+    time from the static length of `x`: callers must pre-pad with
+    :func:`pad_signal_jax` or pass lengths that are already hop-multiples.
+    This function applies only the centered reflect padding.
+    """
+    x = jnp.asarray(x, jnp.float32)
+    if x.shape[0] % hopsamp != 0:
+        x = jnp.pad(x, (0, hopsamp))  # end-pad rule fires for non-multiples
+    xp = jnp.pad(x, nfft // 2, mode="reflect")
+    n_frames = 1 + (xp.shape[0] - nfft) // hopsamp
+    idx = jnp.arange(n_frames)[:, None] * hopsamp + jnp.arange(nfft)[None, :]
+    window = jnp.asarray(periodic_hann(nfft), jnp.float32)
+    frames = xp[idx] * window
+    return jnp.fft.rfft(frames, axis=-1).T.astype(jnp.complex64)
+
+
+@partial(jax.jit, static_argnames=("nfft", "hopsamp", "max_len"))
+def istft_jax(Sxx, nfft=1024, hopsamp=256, max_len=None):
+    """Jittable inverse STFT (float32): windowed overlap-add via scatter-add
+    with squared-window normalization; optionally fixed to `max_len` samples
+    (static)."""
+    Sxx = jnp.asarray(Sxx)
+    n_frames = Sxx.shape[1]
+    expected_len = nfft + hopsamp * (n_frames - 1)
+    window = jnp.asarray(periodic_hann(nfft), jnp.float32)
+
+    frames = jnp.fft.irfft(Sxx.T, n=nfft, axis=-1).astype(jnp.float32) * window
+    idx = jnp.arange(n_frames)[:, None] * hopsamp + jnp.arange(nfft)[None, :]
+    y = jnp.zeros(expected_len, jnp.float32).at[idx.reshape(-1)].add(
+        frames.reshape(-1)
+    )
+    wss = jnp.zeros(expected_len, jnp.float32).at[idx.reshape(-1)].add(
+        jnp.broadcast_to(window**2, frames.shape).reshape(-1)
+    )
+    y = jnp.where(wss > jnp.finfo(jnp.float32).tiny, y / wss, y)
+
+    y = y[nfft // 2 : expected_len - nfft // 2]
+    if max_len is not None:
+        pad = max(0, int(max_len) - y.shape[0])
+        y = jnp.pad(y, (0, pad))[: int(max_len)]
+    return y
