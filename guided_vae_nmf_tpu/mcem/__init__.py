@@ -1,0 +1,19 @@
+from .engine import (
+    MCEMConfig,
+    mcem_run,
+    mcem_m1_batch,
+    mcem_m2_batch,
+    nmf_m_step,
+    mh_sample_posterior,
+    mh_wiener_filter,
+    pad_power,
+)
+from .spp import (
+    SPPNoiseEstimator,
+    timo_mask_estimation,
+    timo_vad_estimation,
+    timo_noise_estimation,
+    spp_track_jax,
+    timo_mask_estimation_jax,
+    timo_vad_estimation_jax,
+)

@@ -1,0 +1,353 @@
+"""Batched Monte-Carlo EM enhancement engine.
+
+Capability parity with reference python/models/mcem.py:8-760 (EM base,
+MCEM_M1, MCEM_M2 and the *_noNMF variants): alternate Metropolis-Hastings
+sampling of the VAE latent (speech model) with NMF multiplicative updates
+(noise model), finishing with a probabilistic Wiener filter. The update order
+and formulas follow mcem.py:90-178 exactly; randomness is explicit
+`jax.random` key threading (the reference relies on global torch seeding,
+mcem.py:1-5).
+
+TPU-first re-design (not a translation):
+
+* the MH chain is a `lax.scan`; the per-frame accept (mcem.py:271-280) is a
+  masked `where` on both Z *and* the already-computed proposal variance, so
+  each MH step needs ONE decoder evaluation where the reference runs two
+  (propose + re-decode after accept, mcem.py:261,283);
+* the guidance label y is constant during EM, so its share of the decoder's
+  first-layer matmul (y_dim=513 of 545 input columns for M2-IBM) is hoisted
+  out of the chain and computed once (`_precompute_label_proj`);
+* E-step posterior draws land in a fixed (R, F, N) buffer via
+  `dynamic_update_slice` (no (burnin+R) temporaries); the Wiener-filter pass
+  accumulates the WFs/WFn running means inside the scan carry and never
+  materializes its 25 draws;
+* utterances are batched by `vmap` with per-utterance frame-validity masks:
+  pad frames carry X=1 benign values, are excluded from the cross-frame NMF
+  reductions (W update, cost) by the mask, and are sliced away on exit;
+* everything is one `jit`-compiled program per (F, N_pad, R) shape bucket.
+"""
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..models.nets import linear_apply, encoder_apply
+
+
+@dataclass(frozen=True)
+class MCEMConfig:
+    """Algorithm hyper-parameters (defaults = reference
+    scripts/evaluate_M1.py:89-97 / evaluate_M2_ibm.py:72-80)."""
+
+    niter: int = 100
+    nsamples_E_step: int = 10
+    burnin_E_step: int = 30
+    nsamples_WF: int = 25
+    burnin_WF: int = 75
+    var_RW: float = 0.01
+    nmf_rank: int = 10
+    eps: float = 1e-8
+
+
+# ---------------------------------------------------------------------------
+# Conditioned decoder: hoist the constant label projection
+# ---------------------------------------------------------------------------
+
+
+def _precompute_label_proj(dec_params, y, L):
+    """First decoder layer input is cat[z, y]; split its weight so the fixed
+    y part is projected once: h1_pre = y^T @ W1[L:] + b1 of shape (N, h1).
+    With y=None (M1) this is just the broadcast bias."""
+    l0 = dec_params["hidden"][0]
+    if y is None:
+        return l0["b"][None, :]
+    return y.T @ l0["w"][L:] + l0["b"]
+
+
+def _decode_cond(dec_params, y_pre, Z):
+    """Decoder forward given Z (L, N) and precomputed label projection
+    (N, h1) -> speech variance Vs (F, N)."""
+    l0 = dec_params["hidden"][0]
+    L = Z.shape[0]
+    h = jnp.tanh(Z.T @ l0["w"][:L] + y_pre)
+    for layer in dec_params["hidden"][1:]:
+        h = jnp.tanh(linear_apply(layer, h))
+    return jnp.exp(linear_apply(dec_params["out"], h)).T
+
+
+# ---------------------------------------------------------------------------
+# Metropolis-Hastings latent sampling
+# ---------------------------------------------------------------------------
+
+
+def _mh_scan(dec_params, y_pre, X_abs2, Vb, g, Z0, Vs0, key, n_steps, var_RW,
+             step_extra):
+    """Run `n_steps` of the random-walk MH chain (reference mcem.py:218-294).
+
+    `step_extra(carry_extra, m, Z, Vs, Vx)` folds per-step products (sample
+    buffers or WF accumulators) without materializing the chain.
+    Returns (Z, Vs, key, carry_extra).
+    """
+    L, N = Z0.shape
+    gVb = Vb  # alias for clarity; Vb fixed during a chain
+    sqrt_var = jnp.sqrt(jnp.asarray(var_RW, X_abs2.dtype))
+
+    def step(carry, m):
+        Z, Vs, key, extra = carry
+        key, k_prop, k_acc = jax.random.split(key, 3)
+        Z_prime = Z + sqrt_var * jax.random.normal(k_prop, (L, N), Z.dtype)
+        Vs_prime = _decode_cond(dec_params, y_pre, Z_prime)
+        Vx = g * Vs + gVb
+        Vx_prime = g * Vs_prime + gVb
+        # log acceptance ratio (mcem.py:266-268)
+        acc_prob = jnp.sum(
+            jnp.log(Vx) - jnp.log(Vx_prime)
+            + (1.0 / Vx - 1.0 / Vx_prime) * X_abs2,
+            axis=0,
+        ) + 0.5 * jnp.sum(Z**2 - Z_prime**2, axis=0)
+        is_acc = jnp.log(jax.random.uniform(k_acc, (N,))) < acc_prob
+        Z = jnp.where(is_acc[None, :], Z_prime, Z)
+        # selective update == the reference's post-accept re-decode
+        Vs = jnp.where(is_acc[None, :], Vs_prime, Vs)
+        Vx = g * Vs + gVb
+        extra = step_extra(extra, m, Z, Vs, Vx)
+        return (Z, Vs, key, extra), None
+
+    init_extra = step_extra(None, None, None, None, None)  # sentinel init
+    (Z, Vs, key, extra), _ = lax.scan(
+        step, (Z0, Vs0, key, init_extra), jnp.arange(n_steps)
+    )
+    return Z, Vs, key, extra
+
+
+def mh_sample_posterior(dec_params, y_pre, X_abs2, Vb, g, Z0, Vs0, key,
+                        nsamples, burnin, var_RW):
+    """E-step chain: collect the `nsamples` post-burnin speech variances into
+    a (R, F, N) buffer (reference mcem.py:286-289 keeps Z draws then
+    re-decodes; keeping Vs directly is equivalent and halves decoder work)."""
+    F, N = X_abs2.shape
+
+    def step_extra(extra, m, Z, Vs, Vx):
+        if extra is None:
+            return jnp.zeros((nsamples, F, N), X_abs2.dtype)
+        idx = jnp.maximum(m - burnin, 0)
+        updated = lax.dynamic_update_slice(extra, Vs[None], (idx, 0, 0))
+        return jnp.where(m >= burnin, updated, extra)
+
+    Z, Vs, key, buf = _mh_scan(
+        dec_params, y_pre, X_abs2, Vb, g, Z0, Vs0, key,
+        nsamples + burnin, var_RW, step_extra,
+    )
+    return Z, Vs, key, buf
+
+
+def mh_wiener_filter(dec_params, y_pre, X_abs2, Vb, g, Z0, Vs0, key,
+                     nsamples, burnin, var_RW):
+    """Final Wiener-filter chain (reference mcem.py:327-345): accumulate the
+    posterior means of Vs_scaled/Vx and Vb/Vx in the scan carry."""
+    F, N = X_abs2.shape
+
+    def step_extra(extra, m, Z, Vs, Vx):
+        if extra is None:
+            return (
+                jnp.zeros((F, N), X_abs2.dtype),
+                jnp.zeros((F, N), X_abs2.dtype),
+            )
+        acc_s, acc_n = extra
+        take = (m >= burnin).astype(X_abs2.dtype)
+        acc_s = acc_s + take * (g * Vs) / Vx
+        acc_n = acc_n + take * Vb / Vx
+        return acc_s, acc_n
+
+    Z, Vs, key, (acc_s, acc_n) = _mh_scan(
+        dec_params, y_pre, X_abs2, Vb, g, Z0, Vs0, key,
+        nsamples + burnin, var_RW, step_extra,
+    )
+    return acc_s / nsamples, acc_n / nsamples, Z, Vs, key
+
+
+# ---------------------------------------------------------------------------
+# NMF M-step
+# ---------------------------------------------------------------------------
+
+
+def nmf_m_step(X_abs2, mask, W, H, g, Vs_samples, update_nmf=True,
+               Vb_fixed=None):
+    """Multiplicative W, H, g updates in the reference's exact order
+    (mcem.py:90-152): W; recompute Vb,Vx; H; recompute; L1-normalize W with
+    compensating H rescale; g. `mask` (N,) excludes pad frames from the
+    cross-frame reductions so the result equals the unpadded per-utterance
+    computation. With update_nmf=False the noise variance stays at Vb_fixed
+    and only g is updated (the *_noNMF variants, mcem.py:543-578)."""
+
+    def vx(Vb):
+        return g * Vs_samples + Vb  # (R, F, N)
+
+    Vb = (W @ H) if update_nmf else Vb_fixed
+    if update_nmf:
+        Vx = vx(Vb)
+        sum_inv2 = jnp.sum(Vx**-2, axis=0)
+        sum_inv1 = jnp.sum(Vx**-1, axis=0)
+        num = ((X_abs2 * sum_inv2) * mask) @ H.T
+        den = (sum_inv1 * mask) @ H.T
+        W = W * (num / den) ** 0.5
+
+        Vb = W @ H
+        Vx = vx(Vb)
+        sum_inv2 = jnp.sum(Vx**-2, axis=0)
+        sum_inv1 = jnp.sum(Vx**-1, axis=0)
+        num = W.T @ (X_abs2 * sum_inv2)
+        den = W.T @ sum_inv1
+        H = H * (num / den) ** 0.5
+
+        Vb = W @ H
+        norm_col_W = jnp.sum(jnp.abs(W), axis=0)
+        W = W / norm_col_W[None, :]
+        H = H * norm_col_W[:, None]
+
+    Vx = vx(Vb)
+    num = jnp.sum(X_abs2 * jnp.sum(Vs_samples * Vx**-2, axis=0), axis=0)
+    den = jnp.sum(jnp.sum(Vs_samples * Vx**-1, axis=0), axis=0)
+    g = g * (num / den) ** 0.5
+    return W, H, g
+
+
+# ---------------------------------------------------------------------------
+# Full EM loop (single utterance; vmap over a batch)
+# ---------------------------------------------------------------------------
+
+
+def _masked_cost(X_abs2, mask, Vb, g, Vs_samples):
+    """Expected negative log-likelihood over valid frames (reference
+    mcem.py:68-70 computes a plain mean; the mask restricts it to real
+    frames so padding cannot shift the trajectory)."""
+    Vx = g * Vs_samples + Vb
+    per_bin = jnp.log(Vx) + X_abs2 / Vx
+    total = jnp.sum(per_bin * mask)
+    count = Vs_samples.shape[0] * X_abs2.shape[0] * jnp.sum(mask)
+    return total / count
+
+
+def mcem_run(vae_params, X_abs2, mask, y, key, cfg: MCEMConfig,
+             update_nmf=True, Vb_fixed=None):
+    """Run the full MCEM loop on one utterance.
+
+    Args:
+      vae_params: M1 vae tree (y=None) or M2 dgm tree (y given).
+      X_abs2: (F, N) power spectrogram; pad frames must hold benign
+        positive values (use `pad_power`).
+      mask: (N,) float 0/1 frame-validity mask.
+      y: (y_dim, N) fixed guidance labels, or None for M1.
+      key: PRNG key.
+      update_nmf: False for the *_noNMF variants (requires Vb_fixed).
+      Vb_fixed: (F, N) fixed noise variance when update_nmf=False.
+
+    Returns dict with WFs, WFn (F, N), cost (niter,), W, H, g, Z.
+    """
+    F, N = X_abs2.shape
+    enc_params = vae_params["encoder"]
+    dec_params = vae_params["decoder"]
+    L = dec_params["hidden"][0]["w"].shape[0] - (0 if y is None else y.shape[0])
+
+    key, k_w, k_h = jax.random.split(key, 3)
+    if update_nmf:
+        W = jnp.maximum(jax.random.uniform(k_w, (F, cfg.nmf_rank)), cfg.eps)
+        H = jnp.maximum(jax.random.uniform(k_h, (cfg.nmf_rank, N)), cfg.eps)
+    else:
+        # Fixed external noise model: spread Vb over rank-1 factors so the
+        # same code path computes Vb = W @ H = Vb_fixed.
+        W = jnp.ones((F, 1), X_abs2.dtype)
+        H = jnp.zeros((1, N), X_abs2.dtype)
+    g = jnp.ones((N,), X_abs2.dtype)
+
+    # Z0 = encoder posterior mean of the (label-conditioned) power frames
+    # (reference mcem.py:214-215,367-368)
+    enc_in = X_abs2.T if y is None else jnp.concatenate([X_abs2, y], 0).T
+    _, mu, _ = encoder_apply(enc_params, enc_in)
+    Z = mu.T  # (L, N)
+
+    y_pre = _precompute_label_proj(dec_params, y, L)
+    Vs = _decode_cond(dec_params, y_pre, Z)
+
+    def em_iter(carry, _):
+        W, H, g, Z, Vs, key = carry
+        Vb = (W @ H) if update_nmf else Vb_fixed
+        Z, Vs, key, Vs_samples = mh_sample_posterior(
+            dec_params, y_pre, X_abs2, Vb, g, Z, Vs, key,
+            cfg.nsamples_E_step, cfg.burnin_E_step, cfg.var_RW,
+        )
+        W2, H2, g2 = nmf_m_step(
+            X_abs2, mask, W, H, g, Vs_samples, update_nmf=update_nmf,
+            Vb_fixed=Vb_fixed,
+        )
+        Vb2 = (W2 @ H2) if update_nmf else Vb_fixed
+        cost = _masked_cost(X_abs2, mask, Vb2, g2, Vs_samples)
+        return (W2, H2, g2, Z, Vs, key), cost
+
+    (W, H, g, Z, Vs, key), cost = lax.scan(
+        em_iter, (W, H, g, Z, Vs, key), None, length=cfg.niter
+    )
+
+    Vb = (W @ H) if update_nmf else Vb_fixed
+    WFs, WFn, Z, Vs, key = mh_wiener_filter(
+        dec_params, y_pre, X_abs2, Vb, g, Z, Vs, key,
+        cfg.nsamples_WF, cfg.burnin_WF, cfg.var_RW,
+    )
+    return {
+        "WFs": WFs, "WFn": WFn, "cost": cost,
+        "W": W, "H": H, "g": g, "Z": Z,
+    }
+
+
+def pad_power(X_abs2, N_pad, pad_value=1.0):
+    """Pad a (F, N) power spectrogram to (F, N_pad) with benign positive
+    values and return (padded, mask)."""
+    F, N = X_abs2.shape
+    out = jnp.full((F, N_pad), pad_value, X_abs2.dtype)
+    out = out.at[:, :N].set(X_abs2)
+    mask = jnp.zeros((N_pad,), X_abs2.dtype).at[:N].set(1.0)
+    return out, mask
+
+
+# ---------------------------------------------------------------------------
+# Batched entry points
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("cfg", "update_nmf"))
+def mcem_m1_batch(vae_params, X_abs2, mask, keys, cfg: MCEMConfig,
+                  update_nmf=True, Vb_fixed=None):
+    """vmap of :func:`mcem_run` for M1 over a padded utterance batch:
+    X_abs2 (B, F, N), mask (B, N), keys (B, 2). Replaces the reference's
+    one-process-per-GPU sweep (evaluate_M1.py:186-222) with one compiled
+    program."""
+    def run_one(X, m, k, Vb):
+        return mcem_run(vae_params, X, m, None, k, cfg,
+                        update_nmf=update_nmf, Vb_fixed=Vb)
+
+    if Vb_fixed is None:
+        return jax.vmap(lambda X, m, k: run_one(X, m, k, None))(
+            X_abs2, mask, keys
+        )
+    return jax.vmap(run_one)(X_abs2, mask, keys, Vb_fixed)
+
+
+@partial(jax.jit, static_argnames=("cfg", "update_nmf"))
+def mcem_m2_batch(dgm_params, X_abs2, mask, y, keys, cfg: MCEMConfig,
+                  update_nmf=True, Vb_fixed=None):
+    """vmap of :func:`mcem_run` for M2: y (B, y_dim, N) fixed hard labels
+    (reference mcem.py:207-216)."""
+    params = {k: v for k, v in dgm_params.items() if k != "y_dim"}
+
+    def run_one(X, m, yy, k, Vb):
+        return mcem_run(params, X, m, yy, k, cfg,
+                        update_nmf=update_nmf, Vb_fixed=Vb)
+
+    if Vb_fixed is None:
+        return jax.vmap(lambda X, m, yy, k: run_one(X, m, yy, k, None))(
+            X_abs2, mask, y, keys
+        )
+    return jax.vmap(run_one)(X_abs2, mask, y, keys, Vb_fixed)

@@ -1,0 +1,165 @@
+"""MCEM engine tests: smoke/finiteness, masked-padding equivalence of the
+NMF M-step, and deterministic M-step parity against the reference torch
+implementation (read-only import)."""
+
+import sys
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from numpy.testing import assert_allclose
+
+from guided_vae_nmf_tpu.models import vae_init, dgm_init
+from guided_vae_nmf_tpu.mcem import (
+    MCEMConfig,
+    mcem_run,
+    mcem_m1_batch,
+    mcem_m2_batch,
+    nmf_m_step,
+    pad_power,
+)
+
+KEY = jax.random.PRNGKey(42)
+F, N, L, K, R = 33, 24, 4, 3, 5
+
+SMALL_CFG = MCEMConfig(
+    niter=3, nsamples_E_step=4, burnin_E_step=3, nsamples_WF=4, burnin_WF=3,
+    var_RW=0.01, nmf_rank=K, eps=1e-8,
+)
+
+
+def _power(key, f=F, n=N):
+    return jax.random.uniform(key, (f, n)) * 2.0 + 0.05
+
+
+def test_mcem_m1_smoke():
+    vae = vae_init(KEY, [F, L, [16]])
+    X = _power(KEY)
+    mask = jnp.ones((N,))
+    out = mcem_run(vae, X, mask, None, jax.random.PRNGKey(1), SMALL_CFG)
+    for name in ("WFs", "WFn"):
+        v = np.asarray(out[name])
+        assert v.shape == (F, N)
+        assert np.all(np.isfinite(v))
+        assert np.all(v >= 0) and np.all(v <= 1.0 + 1e-5)
+    assert np.all(np.isfinite(np.asarray(out["cost"])))
+    # the EM cost should decrease overall on this toy problem
+    cost = np.asarray(out["cost"])
+    assert cost[-1] <= cost[0] + 1e-3
+
+
+def test_mcem_m2_batch_shapes():
+    y_dim = 7
+    dgm = dgm_init(KEY, [F, y_dim, L, [16]])
+    B = 3
+    X = jax.random.uniform(KEY, (B, F, N)) + 0.05
+    y = (jax.random.uniform(jax.random.PRNGKey(2), (B, y_dim, N)) > 0.5)
+    y = y.astype(jnp.float32)
+    mask = jnp.ones((B, N))
+    keys = jax.random.split(jax.random.PRNGKey(3), B)
+    out = mcem_m2_batch(dgm, X, mask, y, keys, SMALL_CFG)
+    assert out["WFs"].shape == (B, F, N)
+    assert np.all(np.isfinite(np.asarray(out["WFs"])))
+    assert out["cost"].shape == (B, SMALL_CFG.niter)
+
+
+def test_wiener_filters_partition():
+    """WFs + WFn = (Vs_scaled + Vb)/Vx averaged = 1 exactly, per sample —
+    so the averaged filters must sum to 1."""
+    vae = vae_init(KEY, [F, L, [16]])
+    X = _power(KEY)
+    out = mcem_run(vae, X, jnp.ones((N,)), None, jax.random.PRNGKey(7),
+                   SMALL_CFG)
+    s = np.asarray(out["WFs"]) + np.asarray(out["WFn"])
+    assert_allclose(s, 1.0, atol=1e-5)
+
+
+def test_m_step_padding_equivalence():
+    """Masked M-step on a padded problem == unmasked M-step on the valid
+    slice: W identical, H/g identical on valid frames."""
+    rng = np.random.RandomState(0)
+    X = rng.rand(F, N).astype(np.float32) + 0.05
+    W = rng.rand(F, K).astype(np.float32) + 0.1
+    H = rng.rand(K, N).astype(np.float32) + 0.1
+    g = rng.rand(N).astype(np.float32) + 0.5
+    Vs = rng.rand(R, F, N).astype(np.float32) + 0.05
+
+    W1, H1, g1 = nmf_m_step(jnp.asarray(X), jnp.ones((N,)), jnp.asarray(W),
+                            jnp.asarray(H), jnp.asarray(g), jnp.asarray(Vs))
+
+    pad = 9
+    Xp = np.concatenate([X, np.ones((F, pad), np.float32)], axis=1)
+    Hp = np.concatenate([H, rng.rand(K, pad).astype(np.float32) + 0.1], 1)
+    gp = np.concatenate([g, np.ones(pad, np.float32)])
+    Vsp = np.concatenate([Vs, rng.rand(R, F, pad).astype(np.float32) + 0.05],
+                         axis=2)
+    mask = np.concatenate([np.ones(N), np.zeros(pad)]).astype(np.float32)
+
+    W2, H2, g2 = nmf_m_step(jnp.asarray(Xp), jnp.asarray(mask),
+                            jnp.asarray(W), jnp.asarray(Hp), jnp.asarray(gp),
+                            jnp.asarray(Vsp))
+    assert_allclose(np.asarray(W2), np.asarray(W1), rtol=2e-5)
+    assert_allclose(np.asarray(H2)[:, :N], np.asarray(H1), rtol=2e-4)
+    assert_allclose(np.asarray(g2)[:N], np.asarray(g1), rtol=2e-4)
+    assert np.all(np.isfinite(np.asarray(H2)))
+    assert np.all(np.isfinite(np.asarray(g2)))
+
+
+def test_pad_power():
+    X = np.asarray(_power(KEY))
+    Xp, mask = pad_power(jnp.asarray(X), N + 8)
+    assert Xp.shape == (F, N + 8)
+    assert_allclose(np.asarray(Xp[:, :N]), X)
+    assert np.all(np.asarray(Xp[:, N:]) == 1.0)
+    assert np.asarray(mask).sum() == N
+
+
+def _reference_available():
+    import os
+
+    try:
+        import torch  # noqa: F401
+    except ImportError:
+        return False
+    return os.path.isdir("/root/reference/python")
+
+
+@pytest.mark.skipif(
+    not _reference_available(), reason="reference/torch unavailable"
+)
+def test_m_step_parity_with_reference():
+    """Deterministic parity: given identical (X, W, H, g, Vs samples), our
+    nmf_m_step must reproduce the reference EM.M_step (mcem.py:90-152) to
+    float32 tolerance."""
+    sys.path.insert(0, "/root/reference")
+    try:
+        import torch
+        from python.models.mcem import EM
+    finally:
+        sys.path.pop(0)
+
+    rng = np.random.RandomState(3)
+    X = rng.rand(F, N).astype(np.float32) + 0.05
+    W = rng.rand(F, K).astype(np.float32) + 0.1
+    H = rng.rand(K, N).astype(np.float32) + 0.1
+    g = rng.rand(N).astype(np.float32) + 0.5
+    Vs = rng.rand(R, F, N).astype(np.float32) + 0.05
+
+    em = EM(niter=1)
+    em.device = "cpu"
+    em.X_abs_2 = torch.from_numpy(X.copy())
+    em.W = torch.from_numpy(W.copy())
+    em.H = torch.from_numpy(H.copy())
+    em.g = torch.from_numpy(g.copy())
+    em.Vs = torch.from_numpy(Vs.copy())
+    em.compute_Vb()
+    em.compute_Vs_scaled()
+    em.compute_Vx()
+    em.M_step()
+
+    W2, H2, g2 = nmf_m_step(jnp.asarray(X), jnp.ones((N,)), jnp.asarray(W),
+                            jnp.asarray(H), jnp.asarray(g), jnp.asarray(Vs))
+    assert_allclose(np.asarray(W2), em.W.numpy(), rtol=2e-5)
+    assert_allclose(np.asarray(H2), em.H.numpy(), rtol=2e-5)
+    assert_allclose(np.asarray(g2), em.g.numpy(), rtol=2e-5)
