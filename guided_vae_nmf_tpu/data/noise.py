@@ -1,0 +1,136 @@
+"""Noise databases (QUT test noise, DEMAND train/validation noise) and
+SNR mixing.
+
+Capability parity with reference python/dataset/qut_database.py:20-127 and
+demand_database.py:21-129: fixed noise-type -> recording mappings,
+preprocessing (first channel, resample to 16 kHz, trim the QUT car
+recording), random segment extraction matched to the speech length, and the
+reference's SNR gain convention k = P_s * 10^(-SNR/10) / P_n with
+mixture = s + sqrt(k) * n (reference scripts/create_noisy_train_set.py:237-244).
+
+Resampling uses polyphase filtering (scipy) instead of librosa.
+"""
+
+import os
+
+import numpy as np
+from scipy.signal import resample_poly
+
+from .wav import read_wav, write_wav
+
+FS = 16000
+
+# QUT test-noise recordings (reference qut_database.py:46-51)
+QUT_RECORDINGS = {
+    "cafe": "CAFE-CAFE-1",
+    "car": "CAR-WINDOWNB-1",
+    "home": "HOME-KITCHEN-1",
+    "street": "STREET-CITY-1",
+}
+
+# DEMAND noise types per split (reference demand_database.py:39-54)
+DEMAND_RECORDINGS = {
+    "train": {
+        "domestic": "DWASHING",
+        "nature": "NRIVER",
+        "office": "OOFFICE",
+        "transportation": "TMETRO",
+    },
+    "validation": {
+        "nature": "NFIELD",
+        "office": "OHALLWAY",
+        "public": "PSTATION",
+        "transportation": "TBUS",
+    },
+}
+
+# QUT car recording: keep 1.5 min .. 43 min (reference qut_database.py:73-82)
+QUT_CAR_TRIM_SEC = (90.0, 2580.0)
+
+
+def qut_noise_list(input_noise_dir):
+    """{noise_type: wav path} for the QUT test noises (reference
+    qut_database.py:20-61)."""
+    return {
+        t: os.path.join(input_noise_dir, "QUT-NOISE", "QUT-NOISE",
+                        rec + ".wav")
+        for t, rec in QUT_RECORDINGS.items()
+    }
+
+
+def demand_noise_list(input_noise_dir, dataset_type="train"):
+    """{noise_type: [channel wav paths]} for DEMAND (reference
+    demand_database.py:21-70). Each recording is a directory of 16 channel
+    wavs; only ch01 is used."""
+    recs = DEMAND_RECORDINGS[dataset_type]
+    return {
+        t: [os.path.join(input_noise_dir, rec, "ch01.wav")]
+        for t, rec in recs.items()
+    }
+
+
+def preprocess_noise(noise_audio, fs_noise, noise_type=None, fs=FS):
+    """First channel, resample to `fs`, trim the QUT car recording to its
+    usable span (reference qut_database.py:63-82)."""
+    x = np.asarray(noise_audio)
+    if x.ndim > 1:
+        x = x[:, 0]
+    if fs_noise != fs:
+        g = np.gcd(int(fs), int(fs_noise))
+        x = resample_poly(x, int(fs) // g, int(fs_noise) // g)
+    if noise_type == "car":
+        lo, hi = QUT_CAR_TRIM_SEC
+        x = x[int(lo * fs): int(hi * fs)]
+    return x
+
+
+def noise_segment(noise_audios, noise_type, speech):
+    """Random window of the preprocessed noise matching the speech length
+    (reference qut_database.py:115-127). Uses the global numpy RNG to honor
+    the reference's seeded-synthesis convention (SURVEY §2.8)."""
+    noise = noise_audios[noise_type]
+    if len(noise) < len(speech):
+        raise ValueError(f"noise recording shorter than speech: {noise_type}")
+    start = np.random.randint(len(noise) - len(speech) + 1)
+    return noise[start: start + len(speech)]
+
+
+def noise_list_preprocessed(output_noise_dir, dataset_type=None,
+                            noise_types=None):
+    """Load previously preprocessed (concatenated/resampled) per-type noise
+    wavs (reference demand_database.py:117-129, qut_database.py:85-113)."""
+    split_dir = {"train": "si_tr_s", "validation": "si_dt_05",
+                 "test": "si_et_05"}.get(dataset_type, "")
+    out = {}
+    for t in noise_types:
+        path = os.path.join(output_noise_dir, split_dir, t + ".wav")
+        x, fs = read_wav(path)
+        if fs != FS:
+            raise ValueError("preprocessed noise must be 16 kHz")
+        out[t] = x
+    return out
+
+
+def write_preprocessed_noise(output_noise_dir, dataset_type, noise_type,
+                             audio):
+    split_dir = {"train": "si_tr_s", "validation": "si_dt_05",
+                 "test": "si_et_05"}[dataset_type]
+    path = os.path.join(output_noise_dir, split_dir, noise_type + ".wav")
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    write_wav(path, audio, FS)
+    return path
+
+
+def snr_gain(speech, noise, snr_db):
+    """k such that mixing s + sqrt(k)*n realizes `snr_db` (reference
+    create_noisy_train_set.py:237-242)."""
+    speech_power = np.sum(speech**2)
+    noise_power = np.sum(noise**2)
+    return speech_power * 10 ** (-snr_db / 10.0) / noise_power
+
+
+def mix_at_snr(speech, noise, snr_db):
+    """Return (mixture, scaled_noise) at the requested SNR."""
+    k = snr_gain(speech, noise, snr_db)
+    scaled = np.sqrt(k) * noise
+    return speech + scaled, scaled

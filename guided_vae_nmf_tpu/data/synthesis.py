@@ -1,0 +1,196 @@
+"""Dataset synthesis: clean/noisy training frame stores and test mixtures.
+
+Capability parity with the reference's creation scripts:
+  * :func:`create_clean_frames` — scripts/create_train_set.py:92-156
+  * :func:`create_noisy_frames` — scripts/create_noisy_train_set.py:155-331
+  * :func:`create_test_mixtures` — scripts/create_test_set.py:60-178
+
+All conventions are preserved: 0.1 s burst cut, peak normalization, seeded
+noise-type/SNR draws (np.random.seed(0)), the k = P_s*10^(-SNR/10)/P_n gain,
+the test set's joint max-normalization of (s, n, x), the `<utt>_{s,n,x}.wav`
+naming, the pickled `snr_db` list, and the H5 schema with train mean/std.
+Work is IO-bound host code; the mixing loop fans out over a thread pool like
+the reference (create_test_set.py:165-166).
+"""
+
+import os
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+
+from .wav import read_wav, write_wav
+from .file_lists import speech_list, write_dataset
+from .h5io import H5FrameWriter
+from .noise import noise_segment
+from ..dsp import (
+    stft,
+    clean_speech_IBM,
+    clean_speech_VAD,
+    ideal_wiener_mask,
+)
+
+FS = 16000
+
+
+def _load_speech(path, fs=FS, cut_burst=True):
+    x, fs_x = read_wav(path)
+    if fs_x != fs:
+        raise ValueError("Unexpected sampling rate")
+    if cut_burst:
+        x = x[int(0.1 * fs):]
+    return x / np.max(np.abs(x))
+
+
+def create_clean_frames(input_speech_dir, output_file, dataset_types=("train",
+                        "validation"), labels="labels",
+                        quantile_fraction=0.999, quantile_weight=0.999,
+                        wlen_sec=64e-3, hop_percent=0.25, fs=FS):
+    """Clean-speech frame store: per utterance STFT power + IBM or VAD label
+    appended to X_/Y_<split> (reference create_train_set.py:92-156)."""
+    y_bins = 1 if labels == "vad_labels" else 513
+    attrs = {
+        "fs": fs, "wlen_sec": wlen_sec, "hop_percent": hop_percent,
+        "quantile_fraction": quantile_fraction,
+        "quantile_weight": quantile_weight,
+    }
+    for dataset_type in dataset_types:
+        files = speech_list(input_speech_dir, dataset_type)
+        with H5FrameWriter(output_file, dataset_type, 513, y_bins,
+                           attrs=attrs, track_stats=False) as w:
+            for path in files:
+                x = _load_speech(os.path.join(input_speech_dir, path), fs)
+                x_tf = stft(x, fs=fs, wlen_sec=wlen_sec,
+                            hop_percent=hop_percent)
+                power = np.abs(x_tf) ** 2
+                if labels == "vad_labels":
+                    label = clean_speech_VAD(x_tf, quantile_fraction,
+                                             quantile_weight)
+                else:
+                    label = clean_speech_IBM(x_tf, quantile_fraction,
+                                             quantile_weight)
+                w.append(power, label)
+    return output_file
+
+
+def create_noisy_frames(input_speech_dir, output_file, noise_audios_by_type,
+                        dataset_types=("train", "validation"),
+                        labels="noisy_labels", quantile_fraction=0.999,
+                        quantile_weight=0.999, snrs=(-5, -2.5, 0, 2.5, 5.0),
+                        eps=1e-8, wlen_sec=64e-3, hop_percent=0.25, fs=FS,
+                        output_wav_dir=None, seed=0):
+    """Noisy frame store: seeded noise-type/SNR draws per utterance, SNR
+    mixing, IBM/VAD/ideal-Wiener labels from the clean (and noise) STFTs,
+    train mean/std accumulation (reference
+    create_noisy_train_set.py:155-331).
+
+    `noise_audios_by_type` maps split -> {noise_type: 16 kHz mono array}.
+    """
+    y_bins = 1 if labels == "noisy_vad_labels" else 513
+    attrs = {
+        "fs": fs, "wlen_sec": wlen_sec, "hop_percent": hop_percent,
+        "quantile_fraction": quantile_fraction,
+        "quantile_weight": quantile_weight,
+    }
+    all_snr = {}
+    for dataset_type in dataset_types:
+        files = speech_list(input_speech_dir, dataset_type)
+        noise_audios = noise_audios_by_type[dataset_type]
+        noise_types = list(noise_audios.keys())
+
+        np.random.seed(seed)
+        noise_index = np.random.randint(len(noise_types), size=len(files))
+        snrs_index = np.random.randint(len(snrs), size=len(files))
+
+        track = dataset_type == "train"
+        snr_list = []
+        with H5FrameWriter(output_file, dataset_type, 513, y_bins,
+                           attrs=attrs, track_stats=track) as w:
+            for i, path in enumerate(files):
+                speech = _load_speech(os.path.join(input_speech_dir, path),
+                                      fs)
+                noise = noise_segment(noise_audios,
+                                      noise_types[noise_index[i]], speech)
+                snr_dB = snrs[snrs_index[i]]
+                snr_list.append(snr_dB)
+
+                k = np.sum(speech**2) * 10 ** (-snr_dB / 10) / np.sum(
+                    noise**2
+                )
+                noise = noise * np.sqrt(k)
+                mixture = speech + noise
+
+                if output_wav_dir is not None:
+                    base = os.path.splitext(
+                        os.path.join(output_wav_dir, path)
+                    )[0]
+                    os.makedirs(os.path.dirname(base), exist_ok=True)
+                    write_wav(base + "_s.wav", speech, fs)
+                    write_wav(base + "_n.wav", noise, fs)
+                    write_wav(base + "_x.wav", mixture, fs)
+
+                mixture_tf = stft(mixture, fs=fs, wlen_sec=wlen_sec,
+                                  hop_percent=hop_percent)
+                speech_tf = stft(speech, fs=fs, wlen_sec=wlen_sec,
+                                 hop_percent=hop_percent)
+                power = np.abs(mixture_tf) ** 2
+
+                if labels == "noisy_wiener_labels":
+                    noise_tf = stft(noise, fs=fs, wlen_sec=wlen_sec,
+                                    hop_percent=hop_percent)
+                    label = ideal_wiener_mask(speech_tf, noise_tf, eps)
+                elif labels == "noisy_vad_labels":
+                    label = clean_speech_VAD(speech_tf, quantile_fraction,
+                                             quantile_weight)
+                else:
+                    label = clean_speech_IBM(speech_tf, quantile_fraction,
+                                             quantile_weight)
+                w.append(power, label)
+        all_snr[dataset_type] = snr_list
+    return all_snr
+
+
+def _make_test_utt(args):
+    (input_speech_dir, output_wav_dir, path, noise_audios, noise_type,
+     snr_dB, fs) = args
+    speech = _load_speech(os.path.join(input_speech_dir, path), fs)
+    noise = noise_segment(noise_audios, noise_type, speech)
+    k = np.sum(speech**2) * 10 ** (-snr_dB / 10) / np.sum(noise**2)
+    noise = noise * np.sqrt(k)
+    # Joint max-normalization of s, n, x (create_test_set.py:99-103)
+    norm = np.max(np.abs(np.concatenate([speech, noise, speech + noise])))
+    mixture = (speech + noise) / norm
+    speech = speech / norm
+    noise = noise / norm
+    base = os.path.splitext(os.path.join(output_wav_dir, path))[0]
+    os.makedirs(os.path.dirname(base), exist_ok=True)
+    write_wav(base + "_s.wav", speech, fs)
+    write_wav(base + "_n.wav", noise, fs)
+    write_wav(base + "_x.wav", mixture, fs)
+
+
+def create_test_mixtures(input_speech_dir, output_wav_dir, noise_audios,
+                         dataset_type="test", snrs=(-5.0, 0.0, 5.0),
+                         noise_types=("cafe", "home", "street", "car"),
+                         fs=FS, seed=0, max_workers=8):
+    """Test mixtures as jointly normalized wav triplets + pickled snr_db
+    list (reference create_test_set.py:60-178). The per-utterance random
+    noise window is drawn inside the worker like the reference, but the
+    noise-type and SNR assignment is fixed up front under seed 0."""
+    files = speech_list(input_speech_dir, dataset_type)
+    np.random.seed(seed)
+    noise_types = list(noise_types)
+    noise_index = np.random.randint(len(noise_types), size=len(files))
+    snrs = list(snrs)
+    snrs_index = np.random.randint(len(snrs), size=len(files))
+
+    all_snr_dB = [snrs[snrs_index[i]] for i in range(len(files))]
+    write_dataset(all_snr_dB, output_wav_dir, dataset_type, "snr_db")
+
+    args = [
+        (input_speech_dir, output_wav_dir, path, noise_audios,
+         noise_types[noise_index[i]], all_snr_dB[i], fs)
+        for i, path in enumerate(files)
+    ]
+    with ThreadPoolExecutor(max_workers=max_workers) as ex:
+        list(ex.map(_make_test_utt, args))
+    return all_snr_dB
