@@ -1,0 +1,145 @@
+"""Checkpointing with the reference's externally-visible naming scheme plus
+actual resume (a capability the reference lacks: it saves state_dicts every
+epoch but never reloads them, SURVEY §5).
+
+Files: `<model_dir>/<name>_epoch_{e:03d}_vloss_{v:.2f}.ckpt.npz` mirroring
+the reference's `..._vloss_{v:.2f}.pt` convention
+(scripts/training_M1.py:143-145); the flat npz maps dotted tree paths to
+arrays. `save_resume_state` additionally persists the optimizer state and
+epoch for restarts. Reference torch .pt checkpoints load through
+models.torch_import.
+"""
+
+import os
+import re
+from glob import glob
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def _flatten(tree, prefix=""):
+    out = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(_flatten(v, f"{prefix}{k}."))
+    elif isinstance(tree, (list, tuple)):
+        for i, v in enumerate(tree):
+            out.update(_flatten(v, f"{prefix}{i}."))
+    else:
+        out[prefix[:-1]] = np.asarray(tree)
+    return out
+
+
+def _unflatten(flat):
+    tree = {}
+    for key, val in flat.items():
+        parts = key.split(".")
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = val
+
+    def fix(node):
+        if isinstance(node, dict):
+            keys = list(node.keys())
+            if keys and all(re.fullmatch(r"\d+", k) for k in keys):
+                return [fix(node[str(i)]) for i in range(len(keys))]
+            return {k: fix(v) for k, v in node.items()}
+        return jnp.asarray(node)
+
+    return fix(tree)
+
+
+def checkpoint_name(name, epoch, vloss):
+    """The reference's per-epoch naming (training_M1.py:143-145)."""
+    return f"{name}_epoch_{epoch:03d}_vloss_{vloss:.2f}"
+
+
+def save_params(model_dir, name, epoch, vloss, params):
+    os.makedirs(model_dir, exist_ok=True)
+    path = os.path.join(
+        model_dir, checkpoint_name(name, epoch, vloss) + ".ckpt.npz"
+    )
+    flat = _flatten(_strip_static(params))
+    np.savez(path, **flat)
+    return path
+
+
+def load_params(path, static=None):
+    """Load a params pytree; `static` re-attaches non-array leaves (e.g.
+    {'batch_norm': False, 'y_dim': 513})."""
+    with np.load(path) as data:
+        flat = {k: data[k] for k in data.files}
+    tree = _unflatten(flat)
+    if static:
+        tree.update(static)
+    return tree
+
+
+def _strip_static(params):
+    if isinstance(params, dict):
+        return {
+            k: _strip_static(v)
+            for k, v in params.items()
+            if not isinstance(v, (bool, int, str, float)) or hasattr(v, "shape")
+        }
+    if isinstance(params, (list, tuple)):
+        return [_strip_static(v) for v in params]
+    return params
+
+
+def best_checkpoint(model_dir, name=None):
+    """Path of the lowest-vloss checkpoint in a model dir (the reference
+    selects 'best' by hand-editing script constants; here it is automatic)."""
+    pattern = os.path.join(model_dir, "*_vloss_*.ckpt.npz")
+    best, best_v = None, float("inf")
+    for path in glob(pattern):
+        m = re.search(r"_epoch_(\d+)_vloss_([-\d.]+)\.ckpt\.npz$", path)
+        if not m:
+            continue
+        if name is not None and not os.path.basename(path).startswith(name):
+            continue
+        v = float(m.group(2))
+        if v < best_v:
+            best, best_v = path, v
+    return best
+
+
+def save_resume_state(model_dir, epoch, params, opt_state, extra=None):
+    """Persist full training state for resume (new capability)."""
+    os.makedirs(model_dir, exist_ok=True)
+    path = os.path.join(model_dir, "resume_state.npz")
+    flat = {"__epoch": np.asarray(epoch)}
+    flat.update({f"p.{k}": v for k, v in _flatten(_strip_static(params)).items()})
+    leaves, treedef = jax.tree_util.tree_flatten(opt_state)
+    for i, leaf in enumerate(leaves):
+        flat[f"o.{i}"] = np.asarray(leaf)
+    if extra:
+        for k, v in extra.items():
+            flat[f"x.{k}"] = np.asarray(v)
+    np.savez(path, **flat)
+    return path
+
+
+def load_resume_state(model_dir, opt_state_template, static=None):
+    """Restore (epoch, params, opt_state) from resume_state.npz; returns
+    None when absent."""
+    path = os.path.join(model_dir, "resume_state.npz")
+    if not os.path.exists(path):
+        return None
+    with np.load(path) as data:
+        flat = {k: data[k] for k in data.files}
+    epoch = int(flat.pop("__epoch"))
+    params = _unflatten(
+        {k[2:]: v for k, v in flat.items() if k.startswith("p.")}
+    )
+    if static:
+        params.update(static)
+    leaves, treedef = jax.tree_util.tree_flatten(opt_state_template)
+    new_leaves = [
+        jnp.asarray(flat[f"o.{i}"]) for i in range(len(leaves))
+    ]
+    opt_state = jax.tree_util.tree_unflatten(treedef, new_leaves)
+    return epoch, params, opt_state

@@ -1,0 +1,330 @@
+"""Training loops for the four model families.
+
+Capability parity with reference scripts/training_M1.py, training_M2.py,
+training_classifier.py, training_wiener_filter.py: Adam(lr 1e-3, betas
+(0.9, 0.999)), batch 128, IS-divergence ELBO for M1/M2, BCE (+running F1)
+for the classifier, mask-MSE for the Wiener DNN, per-epoch validation,
+output_batch.log / output_epoch.log appends, per-epoch checkpoints named
+`{name}_epoch_{e:03d}_vloss_{v:.2f}` — plus resume, which the reference
+lacks (SURVEY §5).
+
+TPU-first: one jitted train step per model family; with a Mesh the step is
+data-parallel — parameters replicated, the frame batch sharded over the
+`data` axis, gradient psums inserted by XLA from the sharding annotations
+(replacing the reference's single-GPU training + DataLoader workers, P2 in
+SURVEY §2.7).
+"""
+
+import os
+import time
+from dataclasses import dataclass
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models import (
+    vae_init,
+    vae_apply,
+    dgm_init,
+    dgm_apply,
+    classifier_init,
+    classifier_apply,
+    elbo,
+    binary_cross_entropy,
+    mean_square_error_mask,
+)
+from ..data.h5io import frame_batches
+from ..parallel.mesh import batch_sharding, replicated, make_mesh
+from .checkpoints import save_params, save_resume_state, load_resume_state
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """Optimizer/loop settings (reference training_M1.py:26-41)."""
+
+    batch_size: int = 128
+    learning_rate: float = 1e-3
+    beta1: float = 0.9
+    beta2: float = 0.999
+    eps: float = 1e-8
+    start_epoch: int = 1
+    end_epoch: int = 200
+    seed: int = 0
+
+
+def make_optimizer(cfg: TrainConfig):
+    return optax.adam(cfg.learning_rate, b1=cfg.beta1, b2=cfg.beta2)
+
+
+# ---------------------------------------------------------------------------
+# Per-family losses: (params, batch, key, eps) -> (loss, aux)
+# ---------------------------------------------------------------------------
+
+
+def m1_loss(params, batch, key, eps):
+    x, _ = batch
+    r, mu, logvar = vae_apply(params, x, key)
+    loss, recon, KL = elbo(x, r, mu, logvar, eps)
+    return loss, {"recon": recon, "KL": KL}
+
+
+def m2_loss(params, batch, key, eps):
+    x, y = batch
+    r, mu, logvar = dgm_apply(params, x, y, key)
+    loss, recon, KL = elbo(x, r, mu, logvar, eps)
+    return loss, {"recon": recon, "KL": KL}
+
+
+def classifier_loss(params, batch, key, eps):
+    x, y = batch
+    y_hat = classifier_apply(params, x)
+    loss = binary_cross_entropy(y_hat, y, eps)
+    y_hard = (y_hat > 0.5).astype(jnp.float32)
+    aux = {
+        "tp": jnp.sum(y * y_hard),
+        "tn": jnp.sum((1 - y) * (1 - y_hard)),
+        "fp": jnp.sum((1 - y) * y_hard),
+        "fn": jnp.sum(y * (1 - y_hard)),
+    }
+    return loss, aux
+
+
+def wiener_loss(params, batch, key, eps):
+    x, y = batch
+    y_hat = classifier_apply(params, x)
+    return mean_square_error_mask(y, y_hat), {}
+
+
+LOSSES = {
+    "m1": m1_loss,
+    "m2": m2_loss,
+    "classifier": classifier_loss,
+    "wiener": wiener_loss,
+}
+
+
+# ---------------------------------------------------------------------------
+# Jitted steps
+# ---------------------------------------------------------------------------
+
+
+def make_train_step(loss_fn, optimizer, eps, mesh=None):
+    def step(params, opt_state, batch, key):
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, batch, key, eps
+        )
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss, aux
+
+    if mesh is None:
+        return jax.jit(step)
+    rep = replicated(mesh)
+    data = batch_sharding(mesh)
+    return jax.jit(
+        step,
+        in_shardings=(rep, rep, (data, data), rep),
+        out_shardings=(rep, rep, rep, rep),
+    )
+
+
+def make_eval_step(loss_fn, eps, mesh=None):
+    def step(params, batch, key):
+        return loss_fn(params, batch, key, eps)
+
+    if mesh is None:
+        return jax.jit(step)
+    rep = replicated(mesh)
+    data = batch_sharding(mesh)
+    return jax.jit(step, in_shardings=(rep, (data, data), rep),
+                   out_shardings=(rep, rep))
+
+
+# ---------------------------------------------------------------------------
+# Generic fit loop
+# ---------------------------------------------------------------------------
+
+
+def _log(path, msg):
+    with open(path, "a") as f:
+        print(msg, file=f)
+
+
+def fit(params, family, train_data, valid_data, cfg: TrainConfig, model_dir,
+        name, mesh=None, resume=False, verbose=False):
+    """Train `params` of a model `family` on in-memory (frames, bins) arrays.
+
+    train_data/valid_data: (X, Y) with X (n_frames, x_dim) float32 and Y
+    (n_frames, y_dim) or None (M1). Returns (params, history).
+    """
+    os.makedirs(model_dir, exist_ok=True)
+    loss_fn = LOSSES[family]
+    optimizer = make_optimizer(cfg)
+    opt_state = optimizer.init(_trainable(params))
+    train_step = make_train_step(
+        lambda p, b, k, e: loss_fn(_merge(params, p), b, k, e),
+        optimizer, cfg.eps, mesh,
+    )
+    eval_step = make_eval_step(
+        lambda p, b, k, e: loss_fn(_merge(params, p), b, k, e), cfg.eps, mesh
+    )
+
+    start_epoch = cfg.start_epoch
+    tparams = _trainable(params)
+    if resume:
+        restored = load_resume_state(model_dir, opt_state)
+        if restored is not None:
+            start_epoch, tparams, opt_state = restored
+            start_epoch += 1
+
+    batch_log = os.path.join(model_dir, "output_batch.log")
+    epoch_log = os.path.join(model_dir, "output_epoch.log")
+    rng = np.random.RandomState(cfg.seed)
+    key = jax.random.PRNGKey(cfg.seed)
+
+    Xtr, Ytr = train_data
+    Xva, Yva = valid_data
+    history = []
+    for epoch in range(start_epoch, cfg.end_epoch + 1):
+        t0 = time.time()
+        tr_loss, n_batches = 0.0, 0
+        for xb, yb in frame_batches(Xtr, Ytr, cfg.batch_size, key=rng):
+            key, sub = jax.random.split(key)
+            batch = (jnp.asarray(xb), None if yb is None else jnp.asarray(yb))
+            tparams, opt_state, loss, aux = train_step(
+                tparams, opt_state, batch, sub
+            )
+            tr_loss += float(loss)
+            n_batches += 1
+        tr_loss /= max(n_batches, 1)
+        _log(batch_log,
+             f"Epoch: {epoch} Train loss: {tr_loss:.6f} "
+             f"time: {time.time() - t0:.2f}s")
+
+        va_loss, n_batches = 0.0, 0
+        agg = {}
+        for xb, yb in frame_batches(Xva, Yva, cfg.batch_size):
+            key, sub = jax.random.split(key)
+            batch = (jnp.asarray(xb), None if yb is None else jnp.asarray(yb))
+            loss, aux = eval_step(tparams, batch, sub)
+            va_loss += float(loss)
+            for k, v in aux.items():
+                agg[k] = agg.get(k, 0.0) + float(v)
+            n_batches += 1
+        va_loss /= max(n_batches, 1)
+
+        extra = ""
+        if family == "classifier" and agg:
+            tp, tn = agg.get("tp", 0), agg.get("tn", 0)
+            fp, fn = agg.get("fp", 0), agg.get("fn", 0)
+            f1 = 2 * tp / max(2 * tp + fp + fn, 1e-8)
+            extra = f" F1: {f1:.4f}"
+        _log(epoch_log,
+             f"Epoch: {epoch} Train loss: {tr_loss:.6f} "
+             f"Valid loss: {va_loss:.6f}{extra}")
+        if verbose:
+            print(f"[{name}] epoch {epoch}: train {tr_loss:.4f} "
+                  f"valid {va_loss:.4f}{extra}")
+
+        full = _merge(params, tparams)
+        save_params(model_dir, name, epoch, va_loss, full)
+        save_resume_state(model_dir, epoch, tparams, opt_state)
+        history.append({"epoch": epoch, "train": tr_loss, "valid": va_loss})
+
+    return _merge(params, tparams), history
+
+
+def _trainable(params):
+    """Drop static leaves (y_dim, batch_norm flags) for optax."""
+    if isinstance(params, dict):
+        return {
+            k: _trainable(v)
+            for k, v in params.items()
+            if not isinstance(v, (bool, int, str, float))
+        }
+    if isinstance(params, (list, tuple)):
+        return [_trainable(v) for v in params]
+    return params
+
+
+def _merge(full, trained):
+    """Re-attach static leaves onto a trained subtree."""
+    if isinstance(full, dict):
+        out = {}
+        for k, v in full.items():
+            if isinstance(v, (bool, int, str, float)) and not hasattr(
+                v, "shape"
+            ):
+                out[k] = v
+            else:
+                out[k] = _merge(v, trained[k])
+        return out
+    if isinstance(full, (list, tuple)):
+        return [_merge(v, t) for v, t in zip(full, trained)]
+    return trained
+
+
+# ---------------------------------------------------------------------------
+# Family-specific front doors (mirror the reference scripts)
+# ---------------------------------------------------------------------------
+
+
+def train_m1(train_frames, valid_frames, dims=(513, 32, (128, 128)),
+             cfg=TrainConfig(), model_dir="models/M1", name="M1", mesh=None,
+             resume=False, verbose=False):
+    """M1 VAE on clean-speech frames (reference training_M1.py)."""
+    x_dim, z_dim, h_dim = dims
+    params = vae_init(jax.random.PRNGKey(cfg.seed), [x_dim, z_dim,
+                                                     list(h_dim)])
+    return fit(params, "m1", (train_frames, None), (valid_frames, None),
+               cfg, model_dir, name, mesh, resume, verbose)
+
+
+def train_m2(train_data, valid_data, dims=(513, 513, 32, (128, 128)),
+             cfg=TrainConfig(), model_dir="models/M2", name="M2", mesh=None,
+             resume=False, verbose=False):
+    """Guided M2 on (noisy frames, oracle labels) (reference
+    training_M2.py)."""
+    x_dim, y_dim, z_dim, h_dim = dims
+    params = dgm_init(jax.random.PRNGKey(cfg.seed),
+                      [x_dim, y_dim, z_dim, list(h_dim)])
+    return fit(params, "m2", train_data, valid_data, cfg, model_dir, name,
+               mesh, resume, verbose)
+
+
+def train_classifier(train_data, valid_data, dims=(513, (128, 128), 513),
+                     cfg=TrainConfig(), model_dir="models/classifier",
+                     name="Classifier", mean=None, std=None, mesh=None,
+                     resume=False, verbose=False):
+    """Supervised IBM/VAD classifier on standardized noisy frames (reference
+    training_classifier.py; the H5 train mean/std are saved as
+    trainset_mean.npy / trainset_std.npy side-cars, :97-108)."""
+    x_dim, h_dim, y_dim = dims
+    params = classifier_init(jax.random.PRNGKey(cfg.seed),
+                             [x_dim, list(h_dim), y_dim])
+    if mean is not None:
+        os.makedirs(model_dir, exist_ok=True)
+        np.save(os.path.join(model_dir, "trainset_mean.npy"), mean)
+        np.save(os.path.join(model_dir, "trainset_std.npy"), std)
+    return fit(params, "classifier", train_data, valid_data, cfg, model_dir,
+               name, mesh, resume, verbose)
+
+
+def train_wiener(train_data, valid_data, dims=(513, (128,) * 5, 513),
+                 cfg=TrainConfig(), model_dir="models/wiener", name="Wiener",
+                 mean=None, std=None, mesh=None, resume=False,
+                 verbose=False):
+    """Wiener-mask DNN baseline (reference training_wiener_filter.py:45:
+    5x128 hidden, mask-MSE loss)."""
+    x_dim, h_dim, y_dim = dims
+    params = classifier_init(jax.random.PRNGKey(cfg.seed),
+                             [x_dim, list(h_dim), y_dim])
+    if mean is not None:
+        os.makedirs(model_dir, exist_ok=True)
+        np.save(os.path.join(model_dir, "trainset_mean.npy"), mean)
+        np.save(os.path.join(model_dir, "trainset_std.npy"), std)
+    return fit(params, "wiener", train_data, valid_data, cfg, model_dir,
+               name, mesh, resume, verbose)
