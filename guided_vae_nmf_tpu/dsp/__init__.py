@@ -6,7 +6,7 @@ from .stft import (
     periodic_hann,
     stft_params,
 )
-from .stft import frame_count
+from .stft import frame_count, istft_masked_jax
 from .targets import (
     clean_speech_IBM_jax,
     clean_speech_VAD_jax,

@@ -195,6 +195,33 @@ def stft_jax(x, nfft=1024, hopsamp=256):
     return jnp.fft.rfft(frames, axis=-1).T.astype(jnp.complex64)
 
 
+@partial(jax.jit, static_argnames=("nfft", "hopsamp"))
+def istft_masked_jax(Sxx, frame_mask, nfft=1024, hopsamp=256):
+    """Inverse STFT of a frame-padded spectrogram: only frames with
+    frame_mask==1 contribute to the overlap-add numerator AND the
+    squared-window normalization, so the valid samples are bit-identical to
+    an unpadded ISTFT (naively padding with zero frames would over-normalize
+    the last window of real audio). Returns the full padded-length signal;
+    callers trim to T_orig."""
+    Sxx = jnp.asarray(Sxx)
+    n_frames = Sxx.shape[1]
+    expected_len = nfft + hopsamp * (n_frames - 1)
+    window = jnp.asarray(periodic_hann(nfft), jnp.float32)
+
+    frames = jnp.fft.irfft(Sxx.T, n=nfft, axis=-1).astype(jnp.float32)
+    frames = frames * window * frame_mask[:, None]
+    idx = jnp.arange(n_frames)[:, None] * hopsamp + jnp.arange(nfft)[None, :]
+    y = jnp.zeros(expected_len, jnp.float32).at[idx.reshape(-1)].add(
+        frames.reshape(-1)
+    )
+    wsq = (window**2)[None, :] * frame_mask[:, None]
+    wss = jnp.zeros(expected_len, jnp.float32).at[idx.reshape(-1)].add(
+        wsq.reshape(-1)
+    )
+    y = jnp.where(wss > jnp.finfo(jnp.float32).tiny, y / wss, y)
+    return y[nfft // 2 : expected_len - nfft // 2]
+
+
 @partial(jax.jit, static_argnames=("nfft", "hopsamp", "max_len"))
 def istft_jax(Sxx, nfft=1024, hopsamp=256, max_len=None):
     """Jittable inverse STFT (float32): windowed overlap-add via scatter-add

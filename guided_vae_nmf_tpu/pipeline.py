@@ -1,0 +1,273 @@
+"""End-to-end enhancement pipeline: wav -> STFT -> guidance labels ->
+batched MCEM -> Wiener filtering -> ISTFT -> wav.
+
+Capability parity with reference scripts/evaluate_M1.py,
+evaluate_M2_ibm.py, evaluate_M2_vad.py and evaluate_wiener_filter.py
+(process_utt + the multi-GPU process-pool harness, evaluate_M1.py:99-222).
+The reference enhances one utterance per process; here utterances are
+length-bucketed, padded, stacked and enhanced as whole batches by one
+jit-compiled program per bucket shape — `vmap` inside the engine, and
+optionally `shard_map`-style sharding of the utterance batch over a device
+mesh (parallel.sweep).
+
+Guidance label sources (reference evaluate_M2_ibm.py:121-141):
+  'dnn'    — supervised classifier on standardized power frames, > 0.5 hard
+  'oracle' — Lorenz-quantile IBM/VAD of the clean speech
+  'timo'   — SPP-based unsupervised soft mask, > 0.5 hard
+  'ones' / 'zeros' — ablations (commented variants, evaluate_M2_vad.py:133-137)
+"""
+
+import os
+import time
+from collections import defaultdict
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .dsp import (
+    stft,
+    istft_masked_jax,
+    frame_count,
+    clean_speech_IBM,
+    clean_speech_VAD,
+)
+from .data import read_wav, write_wav
+from .models import classifier_apply
+from .mcem import (
+    MCEMConfig,
+    mcem_m1_batch,
+    mcem_m2_batch,
+    timo_mask_estimation,
+    timo_vad_estimation,
+)
+
+FS = 16000
+NFFT = 1024
+HOP = 256
+BINS = 513
+
+
+def bucket_frames(n_frames, bucket_multiple=128):
+    """Static padded frame count for an utterance (limits recompilation to
+    one program per bucket)."""
+    return ((n_frames + bucket_multiple - 1) // bucket_multiple) * \
+        bucket_multiple
+
+
+def load_mixture(path_base):
+    """Read `<base>_x.wav` -> (x_t, T_orig, X_tf (F, N) complex64)."""
+    x_t, fs = read_wav(path_base + "_x.wav")
+    assert fs == FS
+    X_tf = stft(x_t, fs=FS, wlen_sec=NFFT / FS, hop_percent=HOP / NFFT)
+    return x_t, len(x_t), X_tf
+
+
+def make_labels(classif_type, X_power, s_path=None, classifier_params=None,
+                mean=None, std=None, target="ibm", quantile_fraction=0.98,
+                quantile_weight=0.999, eps=1e-8):
+    """Per-utterance guidance labels.
+
+    X_power: (F, N) mixture power spectrogram. Returns (y_soft, y_hard) with
+    shape (y_dim, N); y_dim = 513 for IBM/Wiener targets, 1 for VAD.
+    """
+    if classif_type == "dnn":
+        x = X_power.T  # (N, F)
+        if mean is not None:
+            x = (x - mean.reshape(1, -1)) / (std.reshape(1, -1) + eps)
+        y_soft = np.asarray(classifier_apply(classifier_params,
+                                             jnp.asarray(x))).T
+        y_hard = (y_soft > 0.5).astype(np.float32)
+    elif classif_type == "oracle":
+        s_t, _ = read_wav(s_path)
+        s_tf = stft(s_t, fs=FS, wlen_sec=NFFT / FS, hop_percent=HOP / NFFT)
+        fn = clean_speech_VAD if target == "vad" else clean_speech_IBM
+        y_soft = fn(s_tf, quantile_fraction=quantile_fraction,
+                    quantile_weight=quantile_weight)
+        if target == "vad":
+            y_soft = y_soft.reshape(1, -1)
+        y_hard = y_soft.astype(np.float32)
+    elif classif_type == "timo":
+        if target == "vad":
+            y_soft = timo_vad_estimation(X_power)[None]
+        else:
+            y_soft = timo_mask_estimation(X_power)
+        y_hard = (y_soft > 0.5).astype(np.float32)
+    elif classif_type == "ones":
+        y_dim = 1 if target == "vad" else X_power.shape[0]
+        y_soft = np.ones((y_dim, X_power.shape[1]), np.float32)
+        y_hard = y_soft
+    elif classif_type == "zeros":
+        y_dim = 1 if target == "vad" else X_power.shape[0]
+        y_soft = np.zeros((y_dim, X_power.shape[1]), np.float32)
+        y_hard = y_soft
+    else:
+        raise ValueError(f"unknown classif_type: {classif_type}")
+    return y_soft, y_hard
+
+
+def _pad_batch(X_tfs, ys, n_pad):
+    """Stack per-utterance (F, N_i) complex spectrograms (and optional
+    labels) into padded (B, F, n_pad) arrays + masks. Pad power frames carry
+    the benign value 1.0 (engine contract, mcem.engine.pad_power)."""
+    B = len(X_tfs)
+    F = X_tfs[0].shape[0]
+    X_c = np.zeros((B, F, n_pad), np.complex64)
+    X_p = np.ones((B, F, n_pad), np.float32)
+    mask = np.zeros((B, n_pad), np.float32)
+    y_b = None
+    if ys is not None:
+        y_dim = ys[0].shape[0]
+        y_b = np.zeros((B, y_dim, n_pad), np.float32)
+    for i, X in enumerate(X_tfs):
+        n = X.shape[1]
+        X_c[i, :, :n] = X
+        X_p[i, :, :n] = np.abs(X) ** 2
+        mask[i, :n] = 1.0
+        if ys is not None:
+            y_b[i, :, : ys[i].shape[1]] = ys[i]
+    return X_c, X_p, mask, y_b
+
+
+def _istft_batch(S_hat, masks, t_origs):
+    """Masked batched ISTFT then per-utterance trim to T_orig."""
+    ys = jax.vmap(lambda S, m: istft_masked_jax(S, m))(S_hat, masks)
+    ys = np.asarray(ys)
+    return [y[:t] for y, t in zip(ys, t_origs)]
+
+
+def enhance_batch(vae_params, X_tfs, ys=None, keys=None,
+                  cfg: MCEMConfig = MCEMConfig(), bucket_multiple=128,
+                  return_masks=False):
+    """Enhance a list of per-utterance (F, N_i) complex spectrograms (all in
+    one padded batch). Returns lists of (F, N_i) S_hat / N_hat complex
+    arrays (+ the WF masks when requested)."""
+    n_pad = bucket_frames(max(X.shape[1] for X in X_tfs), bucket_multiple)
+    X_c, X_p, mask, y_b = _pad_batch(X_tfs, ys, n_pad)
+    B = len(X_tfs)
+    if keys is None:
+        keys = jax.random.split(jax.random.PRNGKey(0), B)
+
+    if ys is None:
+        out = mcem_m1_batch(vae_params, jnp.asarray(X_p), jnp.asarray(mask),
+                            keys, cfg)
+    else:
+        out = mcem_m2_batch(vae_params, jnp.asarray(X_p), jnp.asarray(mask),
+                            jnp.asarray(y_b), keys, cfg)
+    WFs = np.asarray(out["WFs"])
+    WFn = np.asarray(out["WFn"])
+    S_hat = [WFs[i, :, : X.shape[1]] * X for i, X in enumerate(X_tfs)]
+    N_hat = [WFn[i, :, : X.shape[1]] * X for i, X in enumerate(X_tfs)]
+    if return_masks:
+        return S_hat, N_hat, out
+    return S_hat, N_hat
+
+
+def enhance_files(file_paths, processed_dir, output_dir, vae_params,
+                  model_type="m2", classif_type="dnn", target="ibm",
+                  classifier_params=None, mean=None, std=None,
+                  cfg: MCEMConfig = MCEMConfig(), batch_size=16,
+                  bucket_multiple=128, quantile_fraction=0.98,
+                  quantile_weight=0.999, seed=0, verbose=False):
+    """Full sweep over a test file list (reference evaluate_*.py main +
+    process_utt): reads `<utt>_x.wav` (+ `_s.wav` for oracle labels), writes
+    `<utt>_s_est.wav`, `<utt>_n_est.wav` and the soft/hard label arrays
+    (`_ibm_soft_est.npy` / `_ibm_hard_est.npy` — npy instead of torch .pt).
+
+    Utterances are grouped into (bucketed-length, batch_size) groups; each
+    group is enhanced as one device batch. Returns wall-clock seconds.
+    """
+    t_start = time.perf_counter()
+    # Load + label everything (host, IO-bound)
+    utts = []
+    for path in file_paths:
+        base_in = os.path.join(processed_dir, os.path.splitext(path)[0])
+        x_t, T_orig, X_tf = load_mixture(base_in)
+        y_soft, y_hard = None, None
+        if model_type == "m2":
+            y_soft, y_hard = make_labels(
+                classif_type, np.abs(X_tf) ** 2,
+                s_path=base_in + "_s.wav",
+                classifier_params=classifier_params, mean=mean, std=std,
+                target=target, quantile_fraction=quantile_fraction,
+                quantile_weight=quantile_weight,
+            )
+        utts.append({
+            "path": path, "T_orig": T_orig, "X_tf": X_tf,
+            "y_soft": y_soft, "y_hard": y_hard,
+        })
+
+    # Bucket by padded length
+    groups = defaultdict(list)
+    for i, u in enumerate(utts):
+        groups[bucket_frames(u["X_tf"].shape[1], bucket_multiple)].append(i)
+
+    key = jax.random.PRNGKey(seed)
+    for n_pad, idxs in sorted(groups.items()):
+        for lo in range(0, len(idxs), batch_size):
+            sel = idxs[lo: lo + batch_size]
+            batch = [utts[i] for i in sel]
+            key, sub = jax.random.split(key)
+            keys = jax.random.split(sub, len(batch))
+            X_tfs = [u["X_tf"] for u in batch]
+            ys = ([u["y_hard"] for u in batch]
+                  if model_type == "m2" else None)
+            S_hat, N_hat = enhance_batch(
+                vae_params, X_tfs, ys, keys, cfg, bucket_multiple
+            )
+            # ISTFT + write
+            n_max = max(X.shape[1] for X in X_tfs)
+            n_b = bucket_frames(n_max, bucket_multiple)
+            Sb = np.zeros((len(batch), BINS, n_b), np.complex64)
+            mb = np.zeros((len(batch), n_b), np.float32)
+            for j, S in enumerate(S_hat):
+                Sb[j, :, : S.shape[1]] = S
+                mb[j, : S.shape[1]] = 1.0
+            s_est = _istft_batch(jnp.asarray(Sb), jnp.asarray(mb),
+                                 [u["T_orig"] for u in batch])
+            for j, S in enumerate(N_hat):
+                Sb[j, :, : S.shape[1]] = S
+            n_est = _istft_batch(jnp.asarray(Sb), jnp.asarray(mb),
+                                 [u["T_orig"] for u in batch])
+
+            for j, u in enumerate(batch):
+                base_out = os.path.join(
+                    output_dir, os.path.splitext(u["path"])[0]
+                )
+                os.makedirs(os.path.dirname(base_out), exist_ok=True)
+                write_wav(base_out + "_s_est.wav", s_est[j], FS)
+                write_wav(base_out + "_n_est.wav", n_est[j], FS)
+                if u["y_soft"] is not None:
+                    np.save(base_out + "_ibm_soft_est.npy", u["y_soft"])
+                    np.save(base_out + "_ibm_hard_est.npy", u["y_hard"])
+            if verbose:
+                print(f"bucket {n_pad}: enhanced {len(batch)} utterances")
+    return time.perf_counter() - t_start
+
+
+def enhance_files_wiener(file_paths, processed_dir, output_dir,
+                         wiener_params, mean=None, std=None, eps=1e-8,
+                         verbose=False):
+    """DNN Wiener-mask baseline sweep (reference
+    evaluate_wiener_filter.py:88-101): mask = model(x_norm);
+    S_hat = mask * X; single ISTFT; writes `<utt>_s_est.wav`."""
+    t_start = time.perf_counter()
+    for path in file_paths:
+        base_in = os.path.join(processed_dir, os.path.splitext(path)[0])
+        x_t, T_orig, X_tf = load_mixture(base_in)
+        x = (np.abs(X_tf) ** 2).T
+        if mean is not None:
+            x = (x - mean.reshape(1, -1)) / (std.reshape(1, -1) + eps)
+        mask = np.asarray(classifier_apply(wiener_params, jnp.asarray(
+            x.astype(np.float32)))).T
+        S_hat = mask * X_tf
+        n = X_tf.shape[1]
+        s_hat = np.asarray(istft_masked_jax(
+            jnp.asarray(S_hat), jnp.ones((n,), jnp.float32)))[:T_orig]
+        base_out = os.path.join(output_dir, os.path.splitext(path)[0])
+        os.makedirs(os.path.dirname(base_out), exist_ok=True)
+        write_wav(base_out + "_s_est.wav", s_hat, FS)
+        np.save(base_out + "_wiener_mask.npy", mask)
+        if verbose:
+            print(f"wiener: {path}")
+    return time.perf_counter() - t_start

@@ -1,0 +1,136 @@
+"""End-to-end enhancement pipeline tests on the bundled subset mixtures:
+file-sweep outputs, the S_hat + N_hat = X reconstruction invariant (the
+Wiener filters partition unity), label sources, and the Wiener-DNN baseline
+path."""
+
+import os
+from glob import glob
+
+import numpy as np
+import jax
+import pytest
+from numpy.testing import assert_allclose
+
+from conftest import REFERENCE_DATA, has_reference_data
+from guided_vae_nmf_tpu.data import read_wav, speech_list
+from guided_vae_nmf_tpu.dsp import stft
+from guided_vae_nmf_tpu.models import vae_init, dgm_init, classifier_init
+from guided_vae_nmf_tpu.mcem import MCEMConfig
+from guided_vae_nmf_tpu.pipeline import (
+    enhance_batch,
+    enhance_files,
+    enhance_files_wiener,
+    make_labels,
+    load_mixture,
+    bucket_frames,
+)
+
+PROCESSED = f"{REFERENCE_DATA}/processed/"
+KEY = jax.random.PRNGKey(0)
+FAST_CFG = MCEMConfig(niter=4, nsamples_E_step=3, burnin_E_step=3,
+                      nsamples_WF=4, burnin_WF=4, nmf_rank=4)
+
+pytestmark = pytest.mark.skipif(
+    not has_reference_data(), reason="reference subset absent"
+)
+
+
+def _test_files():
+    return speech_list(f"{REFERENCE_DATA}/raw/", "test")
+
+
+def test_bucket_frames():
+    assert bucket_frames(1) == 128
+    assert bucket_frames(128) == 128
+    assert bucket_frames(129) == 256
+
+
+def test_enhance_batch_reconstruction_invariant():
+    """WFs + WFn = 1 => s_est + n_est must reconstruct the mixture STFT."""
+    files = _test_files()[:2]
+    X_tfs = [load_mixture(
+        os.path.join(PROCESSED, os.path.splitext(p)[0]))[2] for p in files]
+    vae = vae_init(KEY, [513, 8, [32]])
+    S_hat, N_hat = enhance_batch(vae, X_tfs, cfg=FAST_CFG)
+    for S, N, X in zip(S_hat, N_hat, X_tfs):
+        assert S.shape == X.shape
+        assert_allclose(S + N, X, atol=2e-4 * np.abs(X).max())
+
+
+def test_make_labels_all_sources():
+    files = _test_files()
+    base = os.path.join(PROCESSED, os.path.splitext(files[0])[0])
+    _, _, X_tf = load_mixture(base)
+    power = np.abs(X_tf) ** 2
+    N = X_tf.shape[1]
+
+    cls = classifier_init(KEY, [513, [32], 513])
+    soft, hard = make_labels("dnn", power, classifier_params=cls)
+    assert soft.shape == (513, N) and set(np.unique(hard)) <= {0.0, 1.0}
+
+    soft, hard = make_labels("oracle", power, s_path=base + "_s.wav")
+    assert hard.shape == (513, N)
+
+    soft, hard = make_labels("oracle", power, s_path=base + "_s.wav",
+                             target="vad")
+    assert hard.shape == (1, N)
+
+    soft, hard = make_labels("timo", power)
+    assert hard.shape == (513, N)
+
+    soft, hard = make_labels("timo", power, target="vad")
+    assert hard.shape == (1, N)
+
+    for ab in ("ones", "zeros"):
+        soft, hard = make_labels(ab, power, target="vad")
+        assert hard.shape == (1, N)
+        assert np.all(hard == (1.0 if ab == "ones" else 0.0))
+
+
+def test_enhance_files_m2_sweep(tmp_path):
+    files = _test_files()
+    dgm = dgm_init(KEY, [513, 513, 8, [32]])
+    cls = classifier_init(KEY, [513, [32], 513])
+    dt = enhance_files(
+        files, PROCESSED, str(tmp_path), dgm, model_type="m2",
+        classif_type="dnn", classifier_params=cls, cfg=FAST_CFG,
+        batch_size=4,
+    )
+    assert dt > 0
+    for p in files:
+        base = str(tmp_path / os.path.splitext(p)[0])
+        s_est, fs = read_wav(base + "_s_est.wav")
+        x, _ = read_wav(os.path.join(PROCESSED,
+                                     os.path.splitext(p)[0]) + "_x.wav")
+        assert fs == 16000
+        assert len(s_est) == len(x)  # trimmed to T_orig
+        assert np.all(np.isfinite(s_est))
+        assert os.path.exists(base + "_n_est.wav")
+        assert os.path.exists(base + "_ibm_soft_est.npy")
+        assert os.path.exists(base + "_ibm_hard_est.npy")
+        # mixture decomposition survives the ISTFT round trip
+        n_est, _ = read_wav(base + "_n_est.wav")
+        assert_allclose(s_est + n_est, x, atol=5e-3)
+
+
+def test_enhance_files_m1_vad_free(tmp_path):
+    files = _test_files()[:2]
+    vae = vae_init(KEY, [513, 8, [32]])
+    enhance_files(files, PROCESSED, str(tmp_path), vae, model_type="m1",
+                  cfg=FAST_CFG)
+    base = str(tmp_path / os.path.splitext(files[0])[0])
+    assert os.path.exists(base + "_s_est.wav")
+    assert not glob(str(tmp_path / "**/*_ibm_*"), recursive=True)
+
+
+def test_enhance_files_wiener(tmp_path):
+    files = _test_files()
+    w = classifier_init(KEY, [513, [16] * 5, 513])
+    enhance_files_wiener(files, PROCESSED, str(tmp_path), w)
+    for p in files:
+        base = str(tmp_path / os.path.splitext(p)[0])
+        s_est, _ = read_wav(base + "_s_est.wav")
+        x, _ = read_wav(os.path.join(PROCESSED,
+                                     os.path.splitext(p)[0]) + "_x.wav")
+        assert len(s_est) == len(x)
+        assert np.all(np.isfinite(s_est))
