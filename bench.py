@@ -1,0 +1,98 @@
+"""Headline benchmark: real-time factor of the flagship enhancement path.
+
+Runs the full M2-IBM MCEM enhancement (reference iteration counts: 100 EM
+iterations, 10+30 MH steps per E-step, 25+75 for the Wiener filter, NMF rank
+10 — scripts/evaluate_M2_ibm.py:72-80) on a padded batch of test utterances
+from the bundled subset on one chip, and reports enhanced audio-seconds per
+wall-clock second (x realtime).
+
+vs_baseline is measured against the BASELINE.md north-star of 200x realtime
+(the reference's own serial per-utterance MCEM is ~8000 sequential decoder
+microbatches per utterance; SURVEY §6).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    from guided_vae_nmf_tpu.data import read_wav, speech_list
+    from guided_vae_nmf_tpu.dsp import stft, clean_speech_IBM
+    from guided_vae_nmf_tpu.models import dgm_init
+    from guided_vae_nmf_tpu.mcem import MCEMConfig, mcem_m2_batch
+    from guided_vae_nmf_tpu.pipeline import bucket_frames
+
+    on_tpu = jax.default_backend() not in ("cpu",)
+    B = 32 if on_tpu else 2
+    cfg = (
+        MCEMConfig()  # full reference iteration counts
+        if on_tpu
+        else MCEMConfig(niter=2, nsamples_E_step=2, burnin_E_step=2,
+                        nsamples_WF=2, burnin_WF=2)
+    )
+
+    # Load the bundled test mixtures + oracle IBM labels
+    subset = "/root/reference/data/subset"
+    raw = f"{subset}/raw/"
+    processed = f"{subset}/processed/"
+    files = speech_list(raw, "test")
+    utts = []
+    for path in files:
+        base = os.path.join(processed, os.path.splitext(path)[0])
+        x_t, _ = read_wav(base + "_x.wav")
+        s_t, _ = read_wav(base + "_s.wav")
+        X_tf = stft(x_t)
+        y = clean_speech_IBM(stft(s_t), 0.98, 0.999)
+        utts.append((len(x_t), X_tf, y))
+
+    n_pad = bucket_frames(max(u[1].shape[1] for u in utts))
+    F, y_dim, z_dim, h_dim = 513, 513, 32, [128, 128]
+
+    X_p = np.ones((B, F, n_pad), np.float32)
+    y_b = np.zeros((B, y_dim, n_pad), np.float32)
+    mask = np.zeros((B, n_pad), np.float32)
+    audio_sec = 0.0
+    for i in range(B):
+        T, X_tf, y = utts[i % len(utts)]
+        n = X_tf.shape[1]
+        X_p[i, :, :n] = np.abs(X_tf) ** 2
+        y_b[i, :, :n] = y
+        mask[i, :n] = 1.0
+        audio_sec += T / 16000.0
+
+    params = dgm_init(jax.random.PRNGKey(0), [F, y_dim, z_dim, h_dim])
+    keys = jax.random.split(jax.random.PRNGKey(1), B)
+    X_p, y_b, mask = map(jnp.asarray, (X_p, y_b, mask))
+
+    def run():
+        out = mcem_m2_batch(params, X_p, mask, y_b, keys, cfg)
+        # Fetch a scalar checksum: forces full execution even where the
+        # transport's block_until_ready is over-eager, without a bulk D2H.
+        return float(jnp.sum(out["WFs"]) + jnp.sum(out["cost"]))
+
+    run()  # compile + warm up
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        run()
+        times.append(time.perf_counter() - t0)
+    dt = sorted(times)[len(times) // 2]
+
+    rtf = audio_sec / dt
+    print(json.dumps({
+        "metric": "m2_ibm_mcem100_rtf",
+        "value": round(rtf, 2),
+        "unit": "x_realtime_per_chip",
+        "vs_baseline": round(rtf / 200.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

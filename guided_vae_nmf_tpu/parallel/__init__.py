@@ -1,3 +1,8 @@
+from .sweep import (
+    shard_file_list,
+    sharded_mcem_m1,
+    sharded_mcem_m2,
+)
 from .mesh import (
     make_mesh,
     batch_sharding,

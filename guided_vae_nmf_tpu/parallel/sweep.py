@@ -1,0 +1,85 @@
+"""Sharded enhancement sweeps over the device mesh.
+
+Replaces the reference's inference "cluster" — `np.array_split` of the test
+file list over torch.multiprocessing spawned processes, one full model
+replica per GPU, zero communication (reference evaluate_M1.py:186-222) —
+with (a) DCN-level sharding of the file list across hosts via
+`jax.process_index`, and (b) ICI-level sharding of each padded utterance
+batch over the mesh's data axis: parameters replicated, the batch split,
+one jit-compiled program, XLA collectives only where shardings require them.
+"""
+
+import numpy as np
+import jax
+
+from .mesh import batch_sharding, replicated, pad_to_multiple
+from ..mcem.engine import mcem_m1_batch, mcem_m2_batch, MCEMConfig
+
+
+def shard_file_list(file_paths, process_index=None, process_count=None):
+    """This host's contiguous shard of the utterance list (multi-host DCN
+    split; the reference's np.array_split over GPU processes,
+    evaluate_M1.py:203)."""
+    if process_index is None:
+        process_index = jax.process_index()
+    if process_count is None:
+        process_count = jax.process_count()
+    return list(np.array_split(np.asarray(file_paths),
+                               process_count)[process_index])
+
+
+def _pad_batch_to_mesh(arrays, n_dev):
+    """Pad the leading batch dim of every array to a multiple of the mesh's
+    data-axis size (pad entries replicate row 0 and are dropped by the
+    caller)."""
+    B = arrays[0].shape[0]
+    Bp = pad_to_multiple(B, n_dev)
+    out = []
+    for a in arrays:
+        if Bp != B:
+            pad = np.broadcast_to(np.asarray(a)[:1],
+                                  (Bp - B,) + a.shape[1:])
+            a = np.concatenate([np.asarray(a), pad], axis=0)
+        out.append(a)
+    return out, B
+
+
+def sharded_mcem_m1(mesh, vae_params, X_abs2, mask, keys,
+                    cfg: MCEMConfig = MCEMConfig()):
+    """M1 MCEM with the utterance batch sharded over the mesh data axis."""
+    n_dev = mesh.devices.size
+    (X_abs2, mask, keys), B = _pad_batch_to_mesh([X_abs2, mask, keys], n_dev)
+    data3 = batch_sharding(mesh, ndim=3)
+    data2 = batch_sharding(mesh, ndim=2)
+    rep = replicated(mesh)
+    params = jax.device_put(vae_params, rep)
+    out = mcem_m1_batch(
+        params,
+        jax.device_put(X_abs2, data3),
+        jax.device_put(mask, data2),
+        jax.device_put(keys, data2),
+        cfg,
+    )
+    return jax.tree_util.tree_map(lambda x: np.asarray(x)[:B], out)
+
+
+def sharded_mcem_m2(mesh, dgm_params, X_abs2, mask, y, keys,
+                    cfg: MCEMConfig = MCEMConfig()):
+    """M2 MCEM with the utterance batch sharded over the mesh data axis."""
+    n_dev = mesh.devices.size
+    (X_abs2, mask, y, keys), B = _pad_batch_to_mesh(
+        [X_abs2, mask, y, keys], n_dev
+    )
+    data3 = batch_sharding(mesh, ndim=3)
+    data2 = batch_sharding(mesh, ndim=2)
+    rep = replicated(mesh)
+    params = jax.device_put(dgm_params, rep)
+    out = mcem_m2_batch(
+        params,
+        jax.device_put(X_abs2, data3),
+        jax.device_put(mask, data2),
+        jax.device_put(y, data3),
+        jax.device_put(keys, data2),
+        cfg,
+    )
+    return jax.tree_util.tree_map(lambda x: np.asarray(x)[:B], out)
