@@ -32,3 +32,13 @@ parameters, explicit PRNG keys, `lax.scan` loops, `vmap` over utterances and
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+if _os.environ.get("GVNMF_PLATFORM"):
+    # Deployment images may pin jax to a platform plugin via site hooks
+    # before user code runs; this honors an explicit platform request
+    # (e.g. GVNMF_PLATFORM=cpu for host-side tooling and CI).
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _os.environ["GVNMF_PLATFORM"])

@@ -13,3 +13,9 @@ try:  # optional: ITU-T P.862 PESQ via the external C extension if present
 except ImportError:  # pragma: no cover
     pesq = None
     HAS_PESQ = False
+
+from .runner import (  # noqa: E402  (needs HAS_PESQ defined above)
+    run_metrics,
+    compute_metrics_utt,
+    compute_metrics_mixture_utt,
+)

@@ -1,0 +1,133 @@
+"""Per-utterance metric sweeps.
+
+Capability parity with reference scripts/run_metrics_M1.py:60-176,
+run_metrics_M2.py:102-244, run_metrics_wiener.py and
+run_metrics_mixture.py:50-120: for each test utterance read the
+(s, n, x, s_est) wavs, compute SI-SDR/SI-SIR/SI-SAR, ESTOI (and PESQ when
+the optional C extension is importable), plus mask F1 against the oracle
+label for the guided variants; aggregate with 95% CIs overall and per input
+SNR. Fan-out over a process pool like the reference (P4 in SURVEY §2.7).
+"""
+
+import os
+from concurrent.futures import ProcessPoolExecutor
+
+import numpy as np
+
+from ..data import read_wav, read_dataset, speech_list
+from ..dsp import stft, clean_speech_IBM, clean_speech_VAD
+from ..models.losses import f1_loss
+from .si_sdr import energy_ratios
+from .stoi import stoi
+from .stats import compute_stats
+from . import HAS_PESQ
+
+if HAS_PESQ:  # pragma: no cover
+    from pesq import pesq as _pesq
+
+FS = 16000
+
+METRIC_KEYS_BASE = ["SI-SDR", "SI-SIR", "SI-SAR", "ESTOI"]
+METRIC_KEYS_F1 = ["ACC", "PRECISION", "RECALL", "F1"]
+
+
+def _maybe_pesq(s, s_hat):
+    if HAS_PESQ:  # pragma: no cover
+        return _pesq(FS, s, s_hat, "wb")
+    return None
+
+
+def compute_metrics_utt(args):
+    """One utterance: returns a metric tuple (reference
+    run_metrics_M2.py:102-163)."""
+    (processed_dir, est_dir, path, with_f1, target, quantile_fraction,
+     quantile_weight) = args
+    base_p = os.path.join(processed_dir, os.path.splitext(path)[0])
+    base_e = os.path.join(est_dir, os.path.splitext(path)[0])
+
+    s, _ = read_wav(base_p + "_s.wav")
+    n, _ = read_wav(base_p + "_n.wav")
+    s_hat, _ = read_wav(base_e + "_s_est.wav")
+    ln = min(len(s), len(s_hat))
+    s, n, s_hat = s[:ln], n[:ln], s_hat[:ln]
+
+    si_sdr, si_sir, si_sar = energy_ratios(s_hat, s, n)
+    estoi_v = stoi(s, s_hat, FS, extended=True)
+    row = [si_sdr, si_sir, si_sar, estoi_v]
+    p = _maybe_pesq(s, s_hat)
+    if p is not None:  # pragma: no cover
+        row.append(p)
+
+    if with_f1:
+        y_hard = np.load(base_e + "_ibm_hard_est.npy")
+        s_tf = stft(s)
+        fn = clean_speech_VAD if target == "vad" else clean_speech_IBM
+        y_oracle = fn(s_tf, quantile_fraction=quantile_fraction,
+                      quantile_weight=quantile_weight)
+        if target == "vad":
+            y_oracle = y_oracle.reshape(1, -1)
+        ncols = min(y_hard.shape[1], y_oracle.shape[1])
+        acc, prec, rec, f1 = (
+            float(v) for v in f1_loss(
+                np.asarray(y_hard[:, :ncols]).reshape(-1),
+                y_oracle[:, :ncols].reshape(-1),
+            )
+        )
+        row.extend([acc, prec, rec, f1])
+    return tuple(row)
+
+
+def compute_metrics_mixture_utt(args):
+    """No-processing floor: metrics of the raw mixture vs clean (reference
+    run_metrics_mixture.py:50-120)."""
+    processed_dir, path = args
+    base = os.path.join(processed_dir, os.path.splitext(path)[0])
+    s, _ = read_wav(base + "_s.wav")
+    n, _ = read_wav(base + "_n.wav")
+    x, _ = read_wav(base + "_x.wav")
+    si_sdr, si_sir, si_sar = energy_ratios(x, s, n)
+    estoi_v = stoi(s, x, FS, extended=True)
+    row = [si_sdr, si_sir, si_sar, estoi_v]
+    p = _maybe_pesq(s, x)
+    if p is not None:  # pragma: no cover
+        row.append(p)
+    return tuple(row)
+
+
+def run_metrics(input_speech_dir, processed_dir, est_dir=None,
+                dataset_type="test", with_f1=False, target="ibm",
+                quantile_fraction=0.98, quantile_weight=0.999,
+                max_workers=8, confidence=0.95, save_json=False,
+                mixture_floor=False, serial=False):
+    """Sweep the test list, aggregate, print tables; returns
+    (metric_keys, rows, snr_list, stats)."""
+    files = speech_list(input_speech_dir, dataset_type)
+    snr_list = read_dataset(processed_dir, dataset_type, "snr_db")
+
+    keys = list(METRIC_KEYS_BASE)
+    if HAS_PESQ:  # pragma: no cover
+        keys.append("PESQ")
+    if with_f1 and not mixture_floor:
+        keys.extend(METRIC_KEYS_F1)
+
+    if mixture_floor:
+        args = [(processed_dir, p) for p in files]
+        fn = compute_metrics_mixture_utt
+    else:
+        args = [
+            (processed_dir, est_dir, p, with_f1, target, quantile_fraction,
+             quantile_weight)
+            for p in files
+        ]
+        fn = compute_metrics_utt
+
+    if serial:
+        rows = [fn(a) for a in args]
+    else:
+        with ProcessPoolExecutor(max_workers=max_workers) as ex:
+            rows = list(ex.map(fn, args))
+
+    stats = compute_stats(keys, rows, np.asarray(snr_list),
+                          model_data_dir=est_dir, confidence=confidence,
+                          save_json=save_json)
+    return keys, rows, snr_list, stats

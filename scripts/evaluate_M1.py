@@ -1,0 +1,40 @@
+"""M1 + MCEM enhancement sweep over the test set (reference
+scripts/evaluate_M1.py). One batched device program replaces the reference's
+one-process-per-GPU pool (evaluate_M1.py:186-222).
+
+Usage: python scripts/evaluate_M1.py --model <ckpt-or-dir>
+       [--dataset_size subset] [--niter 100] [--batch_size 16]
+       [--output <dir>]
+"""
+
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from guided_vae_nmf_tpu.config import PathsConfig, MCEMConfig, apply_overrides
+from guided_vae_nmf_tpu.data import speech_list
+from guided_vae_nmf_tpu.pipeline import enhance_files
+from _common import load_model, flag
+
+
+def main(argv=None):
+    argv = argv or sys.argv[1:]
+    paths, rest = apply_overrides(PathsConfig(), argv)
+    cfg, rest = apply_overrides(MCEMConfig(), rest)
+    model_path = flag(rest, "model", paths.models_dir)
+    output = flag(rest, "output", paths.models_dir + "M1_enhanced/")
+    batch_size = flag(rest, "batch_size", 16, int)
+
+    vae = load_model(model_path, kind="vae")
+    files = speech_list(paths.input_speech_dir, "test")
+    t0 = time.perf_counter()
+    enhance_files(files, paths.processed_wav_dir, output, vae,
+                  model_type="m1", cfg=cfg, batch_size=batch_size,
+                  verbose=True)
+    print(f"Finished in {time.perf_counter() - t0:.1f} seconds "
+          f"({len(files)} utterances)")
+
+
+if __name__ == "__main__":
+    main()

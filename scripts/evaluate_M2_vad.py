@@ -1,0 +1,54 @@
+"""M2 + VAD-guided enhancement sweep (reference scripts/evaluate_M2_vad.py):
+frame-level VAD labels (y_dim=1) condition the MCEM; supports the dnn /
+oracle / timo label sources and the ones/zeros ablations
+(evaluate_M2_vad.py:133-137).
+
+Usage: python scripts/evaluate_M2_vad.py --model <ckpt-or-dir>
+       [--classifier <ckpt-or-dir>] [--classif_type dnn|oracle|timo|ones|zeros]
+       [--dataset_size subset] [--niter 100] [--batch_size 16]
+       [--output <dir>]
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from guided_vae_nmf_tpu.config import PathsConfig, MCEMConfig, apply_overrides
+from guided_vae_nmf_tpu.data import speech_list
+from guided_vae_nmf_tpu.pipeline import enhance_files
+from _common import load_model, load_norm_stats, flag
+
+
+def main(argv=None):
+    argv = argv or sys.argv[1:]
+    paths, rest = apply_overrides(PathsConfig(), argv)
+    cfg, rest = apply_overrides(MCEMConfig(), rest)
+    model_path = flag(rest, "model", paths.models_dir)
+    classifier_path = flag(rest, "classifier")
+    classif_type = flag(rest, "classif_type", "dnn")
+    output = flag(rest, "output",
+                  paths.models_dir + f"M2_vad_{classif_type}_enhanced/")
+    batch_size = flag(rest, "batch_size", 16, int)
+
+    dgm = load_model(model_path, kind="dgm", y_dim=1)
+    classifier, mean, std = None, None, None
+    if classif_type == "dnn":
+        classifier = load_model(classifier_path, kind="classifier")
+        cdir = (classifier_path if os.path.isdir(classifier_path)
+                else os.path.dirname(classifier_path))
+        mean, std = load_norm_stats(cdir)
+
+    files = speech_list(paths.input_speech_dir, "test")
+    t0 = time.perf_counter()
+    enhance_files(files, paths.processed_wav_dir, output, dgm,
+                  model_type="m2", classif_type=classif_type, target="vad",
+                  classifier_params=classifier, mean=mean, std=std, cfg=cfg,
+                  batch_size=batch_size, verbose=True)
+    print(f"Finished in {time.perf_counter() - t0:.1f} seconds "
+          f"({len(files)} utterances)")
+
+
+if __name__ == "__main__":
+    main()
