@@ -6,7 +6,7 @@ from .stft import (
     periodic_hann,
     stft_params,
 )
-from .stft import frame_count, istft_masked_jax
+from .stft import frame_count, istft_masked_jax, istft_masked_ri_jax
 from .targets import (
     clean_speech_IBM_jax,
     clean_speech_VAD_jax,

@@ -196,6 +196,18 @@ def stft_jax(x, nfft=1024, hopsamp=256):
 
 
 @partial(jax.jit, static_argnames=("nfft", "hopsamp"))
+def istft_masked_ri_jax(S_re, S_im, frame_mask, nfft=1024, hopsamp=256):
+    """Real/imag-input variant of :func:`istft_masked_jax`.
+
+    Some device transports cannot ship complex64 host<->device buffers (the
+    axon TPU tunnel among them); this entry point takes float32 real and
+    imaginary parts and forms the complex spectrogram on device.
+    """
+    return istft_masked_jax(S_re + 1j * S_im, frame_mask, nfft=nfft,
+                            hopsamp=hopsamp)
+
+
+@partial(jax.jit, static_argnames=("nfft", "hopsamp"))
 def istft_masked_jax(Sxx, frame_mask, nfft=1024, hopsamp=256):
     """Inverse STFT of a frame-padded spectrogram: only frames with
     frame_mask==1 contribute to the overlap-add numerator AND the

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 
 from .dsp import (
     stft,
-    istft_masked_jax,
+    istft_masked_ri_jax,
     frame_count,
     clean_speech_IBM,
     clean_speech_VAD,
@@ -130,8 +130,15 @@ def _pad_batch(X_tfs, ys, n_pad):
 
 
 def _istft_batch(S_hat, masks, t_origs):
-    """Masked batched ISTFT then per-utterance trim to T_orig."""
-    ys = jax.vmap(lambda S, m: istft_masked_jax(S, m))(S_hat, masks)
+    """Masked batched ISTFT then per-utterance trim to T_orig. Real/imag are
+    shipped as separate f32 buffers (complex64 transfers are unsupported on
+    some transports, e.g. the axon TPU tunnel)."""
+    S_hat = np.asarray(S_hat)
+    ys = jax.vmap(lambda re, im, m: istft_masked_ri_jax(re, im, m))(
+        jnp.asarray(np.real(S_hat).astype(np.float32)),
+        jnp.asarray(np.imag(S_hat).astype(np.float32)),
+        jnp.asarray(masks),
+    )
     ys = np.asarray(ys)
     return [y[:t] for y, t in zip(ys, t_origs)]
 
@@ -223,12 +230,10 @@ def enhance_files(file_paths, processed_dir, output_dir, vae_params,
             for j, S in enumerate(S_hat):
                 Sb[j, :, : S.shape[1]] = S
                 mb[j, : S.shape[1]] = 1.0
-            s_est = _istft_batch(jnp.asarray(Sb), jnp.asarray(mb),
-                                 [u["T_orig"] for u in batch])
+            s_est = _istft_batch(Sb, mb, [u["T_orig"] for u in batch])
             for j, S in enumerate(N_hat):
                 Sb[j, :, : S.shape[1]] = S
-            n_est = _istft_batch(jnp.asarray(Sb), jnp.asarray(mb),
-                                 [u["T_orig"] for u in batch])
+            n_est = _istft_batch(Sb, mb, [u["T_orig"] for u in batch])
 
             for j, u in enumerate(batch):
                 base_out = os.path.join(
@@ -262,8 +267,10 @@ def enhance_files_wiener(file_paths, processed_dir, output_dir,
             x.astype(np.float32)))).T
         S_hat = mask * X_tf
         n = X_tf.shape[1]
-        s_hat = np.asarray(istft_masked_jax(
-            jnp.asarray(S_hat), jnp.ones((n,), jnp.float32)))[:T_orig]
+        s_hat = np.asarray(istft_masked_ri_jax(
+            jnp.asarray(np.real(S_hat).astype(np.float32)),
+            jnp.asarray(np.imag(S_hat).astype(np.float32)),
+            jnp.ones((n,), jnp.float32)))[:T_orig]
         base_out = os.path.join(output_dir, os.path.splitext(path)[0])
         os.makedirs(os.path.dirname(base_out), exist_ok=True)
         write_wav(base_out + "_s_est.wav", s_hat, FS)

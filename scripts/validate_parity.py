@@ -1,0 +1,139 @@
+"""Behavioral parity harness: train a subset M2, enhance the subset test
+mixtures with BOTH this framework's batched MCEM and the reference's torch
+MCEM (loaded with identical weights), and print side-by-side SI-SDR/ESTOI.
+
+See VALIDATION.md for recorded results. Requires /root/reference (read-only)
+for the reference engine half; ours runs regardless.
+
+Usage: python scripts/validate_parity.py [--work /tmp/quality]
+       [--epochs 150] [--niter 50]
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import numpy as np
+
+from guided_vae_nmf_tpu.data import (
+    create_noisy_frames,
+    create_test_mixtures,
+    read_wav,
+    speech_list,
+)
+from guided_vae_nmf_tpu.data.h5io import H5FrameReader
+from guided_vae_nmf_tpu.dsp import stft, istft, clean_speech_IBM
+from guided_vae_nmf_tpu.train import TrainConfig, train_m2
+from guided_vae_nmf_tpu.train.checkpoints import best_checkpoint, load_params
+from guided_vae_nmf_tpu.mcem import MCEMConfig
+from guided_vae_nmf_tpu.pipeline import enhance_files
+from guided_vae_nmf_tpu.metrics import energy_ratios, stoi
+from guided_vae_nmf_tpu.models import export_vae
+from _common import flag
+
+SUB = "/root/reference/data/subset"
+FS = 16000
+
+
+def make_noise(seed, kind):
+    r = np.random.RandomState(seed)
+    n = r.randn(FS * 60)
+    if kind == "lowpass":
+        from scipy.signal import lfilter
+
+        n = lfilter([1], [1, -0.9], n)
+    return n / np.abs(n).max()
+
+
+def metrics_line(tag, name, bp, s_hat):
+    s, _ = read_wav(bp + "_s.wav")
+    n, _ = read_wav(bp + "_n.wav")
+    x, _ = read_wav(bp + "_x.wav")
+    L = min(len(s), len(s_hat))
+    s, n, x, sh = s[:L], n[:L], x[:L], s_hat[:L]
+    print(f"{name} {tag}: SI-SDR {energy_ratios(x, s, n)[0]:.1f} -> "
+          f"{energy_ratios(sh, s, n)[0]:.1f} dB | "
+          f"ESTOI {stoi(s, x, FS, True):.3f} -> {stoi(s, sh, FS, True):.3f}")
+
+
+def main(argv=None):
+    argv = argv or sys.argv[1:]
+    work = flag(argv, "work", "/tmp/quality")
+    epochs = flag(argv, "epochs", 150, int)
+    niter = flag(argv, "niter", 50, int)
+    os.makedirs(work, exist_ok=True)
+
+    noise = {"white": make_noise(1, "white"), "low": make_noise(2, "lowpass")}
+    h5 = f"{work}/noisy.h5"
+    if not os.path.exists(h5):
+        create_noisy_frames(f"{SUB}/raw/", h5,
+                            {"train": noise, "validation": noise},
+                            dataset_types=("train", "validation"),
+                            labels="noisy_labels", quantile_fraction=0.999,
+                            snrs=(-5, 0, 5))
+        create_test_mixtures(f"{SUB}/raw/", f"{work}/proc/", noise,
+                             dataset_type="test", snrs=(0.0,),
+                             noise_types=("white", "low"))
+
+    ckpt = best_checkpoint(f"{work}/M2")
+    if ckpt is None:
+        r = H5FrameReader(h5, "train"); Xtr, Ytr = r.load_all(); r.close()
+        r = H5FrameReader(h5, "validation"); Xva, Yva = r.load_all(); r.close()
+        cfg = TrainConfig(end_epoch=epochs, batch_size=256)
+        m2, hist = train_m2((Xtr, Ytr), (Xva, Yva),
+                            dims=(513, 513, 32, (128, 128)), cfg=cfg,
+                            model_dir=f"{work}/M2", name="M2")
+        print(f"M2 best valid {min(h['valid'] for h in hist):.1f}")
+    m2 = load_params(best_checkpoint(f"{work}/M2"), static={"y_dim": 513})
+
+    files = speech_list(f"{SUB}/raw/", "test")
+    mc = MCEMConfig(niter=niter)
+
+    t0 = time.time()
+    enhance_files(files, f"{work}/proc/", f"{work}/est/", m2,
+                  model_type="m2", classif_type="oracle", cfg=mc,
+                  batch_size=4)
+    print(f"[ours] batched enhancement: {time.time() - t0:.1f}s total")
+    for name in files:
+        bp = os.path.join(f"{work}/proc/", os.path.splitext(name)[0])
+        be = os.path.join(f"{work}/est/", os.path.splitext(name)[0])
+        sh, _ = read_wav(be + "_s_est.wav")
+        metrics_line("OURS", os.path.basename(name), bp, sh)
+
+    if not os.path.isdir("/root/reference/python"):
+        print("reference tree absent; skipping torch half")
+        return
+    import torch
+
+    sys.path.insert(0, "/root/reference")
+    from python.models.mcem import MCEM_M2
+    from python.models.models import DeepGenerativeModel
+
+    tm = DeepGenerativeModel([513, 513, 32, [128, 128]], None)
+    sd = {k: torch.from_numpy(np.asarray(v).copy())
+          for k, v in export_vae(m2).items()}
+    tm.load_state_dict(sd)
+    tm.eval()
+    for p in tm.parameters():
+        p.requires_grad = False
+
+    for name in files:
+        bp = os.path.join(f"{work}/proc/", os.path.splitext(name)[0])
+        x_t, _ = read_wav(bp + "_x.wav")
+        s_t, _ = read_wav(bp + "_s.wav")
+        X = stft(x_t).T
+        y = clean_speech_IBM(stft(s_t), 0.98, 0.999)
+        mcem = MCEM_M2(niter=niter)
+        mcem.init_parameters(X=X, y=torch.from_numpy(y.T.copy()), vae=tm,
+                             nmf_rank=10, eps=1e-8, device="cpu")
+        t0 = time.time()
+        mcem.run()
+        sh = istft(mcem.S_hat, max_len=len(x_t))
+        metrics_line(f"REF ({time.time() - t0:.0f}s)",
+                     os.path.basename(name), bp, sh)
+
+
+if __name__ == "__main__":
+    main()
