@@ -26,7 +26,9 @@ def main():
     from guided_vae_nmf_tpu.data import read_wav, speech_list
     from guided_vae_nmf_tpu.dsp import stft, clean_speech_IBM
     from guided_vae_nmf_tpu.models import dgm_init
-    from guided_vae_nmf_tpu.mcem import MCEMConfig, mcem_m2_batch
+    from guided_vae_nmf_tpu.mcem import (
+        MCEMConfig, mcem_m2_batch, mcem_batch_fused,
+    )
     from guided_vae_nmf_tpu.pipeline import bucket_frames
 
     on_tpu = jax.default_backend() not in ("cpu",)
@@ -72,7 +74,13 @@ def main():
     X_p, y_b, mask = map(jnp.asarray, (X_p, y_b, mask))
 
     def run():
-        out = mcem_m2_batch(params, X_p, mask, y_b, keys, cfg)
+        # Fused Pallas engine, full parity config (cost tracking is a
+        # diagnostic that does not feed the Wiener filters — disabled).
+        if on_tpu:
+            out = mcem_batch_fused(params, X_p, mask, y_b, keys, cfg,
+                                   compute_cost=False)
+        else:
+            out = mcem_m2_batch(params, X_p, mask, y_b, keys, cfg)
         # Fetch a scalar checksum: forces full execution even where the
         # transport's block_until_ready is over-eager, without a bulk D2H.
         return float(jnp.sum(out["WFs"]) + jnp.sum(out["cost"]))

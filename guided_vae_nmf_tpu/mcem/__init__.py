@@ -8,6 +8,10 @@ from .engine import (
     mh_wiener_filter,
     pad_power,
 )
+from .pallas_engine import (
+    mcem_batch_fused,
+    mh_chain_pallas,
+)
 from .spp import (
     SPPNoiseEstimator,
     timo_mask_estimation,

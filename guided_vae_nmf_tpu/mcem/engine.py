@@ -37,6 +37,12 @@ from jax import lax
 from ..models.nets import linear_apply, encoder_apply
 
 
+# Numerical floor for the mixture variance Vx = g*Vs + Vb: late-EM underflow
+# on near-silent bins would otherwise turn 1/Vx into inf (the float32
+# reference has the same failure mode). Far below any real power magnitude.
+VX_FLOOR = 1e-10
+
+
 @dataclass(frozen=True)
 class MCEMConfig:
     """Algorithm hyper-parameters (defaults = reference
@@ -100,8 +106,8 @@ def _mh_scan(dec_params, y_pre, X_abs2, Vb, g, Z0, Vs0, key, n_steps, var_RW,
         key, k_prop, k_acc = jax.random.split(key, 3)
         Z_prime = Z + sqrt_var * jax.random.normal(k_prop, (L, N), Z.dtype)
         Vs_prime = _decode_cond(dec_params, y_pre, Z_prime)
-        Vx = g * Vs + gVb
-        Vx_prime = g * Vs_prime + gVb
+        Vx = jnp.maximum(g * Vs + gVb, VX_FLOOR)
+        Vx_prime = jnp.maximum(g * Vs_prime + gVb, VX_FLOOR)
         # log acceptance ratio (mcem.py:266-268)
         acc_prob = jnp.sum(
             jnp.log(Vx) - jnp.log(Vx_prime)
@@ -112,7 +118,7 @@ def _mh_scan(dec_params, y_pre, X_abs2, Vb, g, Z0, Vs0, key, n_steps, var_RW,
         Z = jnp.where(is_acc[None, :], Z_prime, Z)
         # selective update == the reference's post-accept re-decode
         Vs = jnp.where(is_acc[None, :], Vs_prime, Vs)
-        Vx = g * Vs + gVb
+        Vx = jnp.maximum(g * Vs + gVb, VX_FLOOR)
         extra = step_extra(extra, m, Z, Vs, Vx)
         return (Z, Vs, key, extra), None
 
@@ -184,7 +190,7 @@ def nmf_m_step(X_abs2, mask, W, H, g, Vs_samples, update_nmf=True,
     and only g is updated (the *_noNMF variants, mcem.py:543-578)."""
 
     def vx(Vb):
-        return g * Vs_samples + Vb  # (R, F, N)
+        return jnp.maximum(g * Vs_samples + Vb, VX_FLOOR)  # (R, F, N)
 
     Vb = (W @ H) if update_nmf else Vb_fixed
     if update_nmf:

@@ -1,0 +1,452 @@
+"""Fused Metropolis-Hastings chain kernel (Pallas/TPU) + batched MCEM engine.
+
+The MH chain is the entire runtime cost of enhancement (SURVEY §3.2: ~4100
+decoder microbatches per utterance). The XLA scan implementation streams the
+(B, F, N) state arrays through HBM on EVERY chain step, which makes the loop
+HBM-bandwidth-bound (~0.33 ms/step measured on v5e). This kernel keeps the
+whole chain state resident in VMEM for all steps of a chain:
+
+  * grid (B, N/T): each program owns a T-frame tile of one utterance —
+    the MH accept is per-frame independent (reference mcem.py:271-280), so
+    tiles never communicate;
+  * frames-major (T, F) tiles: frames ride the sublane axis, frequency the
+    lanes (a transposed (F, T) variant measured ~45% slower — the accept's
+    per-frame reduction wants to run along lanes);
+  * VMEM-resident per tile: decoder weights (~0.35 MB), the tile's power
+    spectrogram, noise variance, gain, label projection, latent state,
+    current speech variance and its carried log/reciprocal; HBM is touched
+    once per chain for loads plus the (R, T, F) sample dump (E-mode) or two
+    (T, F) accumulators (WF-mode);
+  * the decoder forward runs on the MXU inside the kernel
+    ((T,L)@(L,128) -> (T,128)@(128,128) -> (T,128)@(128,513), f32
+    accumulate, optionally bf16 inputs);
+  * log(Vx) and 1/Vx ride the loop carry so only the proposal's
+    transcendentals are paid each step (the reference recomputes both
+    sides, mcem.py:266-268);
+  * E-mode also accumulates the W-update sufficient statistics
+    s1 = Σ_r Vx^-1 and s2 = Σ_r Vx^-2 in VMEM, skipping one full pass over
+    the HBM sample buffer in the M-step;
+  * proposals use the on-core PRNG (`pltpu.prng_random_bits`) with
+    Box-Muller — a different (but equally valid) random stream than
+    jax.random; the MCEM output distribution is unchanged.
+
+Math parity: identical update equations and ordering as engine._mh_scan
+(reference mcem.py:218-294); deterministic var_RW=0 sub-checks and
+XLA-engine cross-checks in tests/mcem/test_pallas.py.
+"""
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .engine import MCEMConfig, VX_FLOOR
+
+_TWO_PI = 6.283185307179586
+
+
+def _uniform01(shape):
+    """Random bits -> float32 uniform in (0, 1).
+
+    prng_random_bits returns signed int32 on TPU; mask to the low 23 bits
+    (always non-negative under int32 arithmetic) before scaling.
+    """
+    bits = pltpu.prng_random_bits(shape)
+    return (bits & 0x7FFFFF).astype(jnp.float32) * (1.0 / (1 << 23)) + (
+        0.5 / (1 << 23)
+    )
+
+
+def _normal(shape):
+    """Box-Muller standard normals from the on-core PRNG."""
+    u1 = _uniform01(shape)
+    u2 = _uniform01(shape)
+    return jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(_TWO_PI * u2)
+
+
+def _make_chain_kernel(mode, n_steps, burnin, var_RW, T, L, F,
+                       samples_dtype=jnp.float32,
+                       matmul_dtype=jnp.float32):
+    sqrt_var = float(np.sqrt(var_RW))
+
+    def mm(a, b):
+        return jnp.dot(a.astype(matmul_dtype), b.astype(matmul_dtype),
+                       preferred_element_type=jnp.float32)
+
+    def kernel(seed_ref, x2_ref, vb_ref, g_ref, ypre_ref, z_ref, vs_ref,
+               w1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
+               z_out_ref, vs_out_ref, *extra_refs):
+        pltpu.prng_seed(seed_ref[pl.program_id(0), pl.program_id(1)])
+        X2 = x2_ref[0]          # (T, F)
+        Vb = vb_ref[0]          # (T, F)
+        G = g_ref[0]            # (T, 1) — column vector, broadcasts over F
+        ypre = ypre_ref[0]      # (T, H1)
+
+        if mode == "wf":
+            acc_s_ref, acc_n_ref = extra_refs
+            acc_s_ref[0] = jnp.zeros((T, F), jnp.float32)
+            acc_n_ref[0] = jnp.zeros((T, F), jnp.float32)
+        else:
+            samp_ref, s1_ref, s2_ref = extra_refs
+            s1_ref[0] = jnp.zeros((T, F), jnp.float32)
+            s2_ref[0] = jnp.zeros((T, F), jnp.float32)
+
+        def body(m, carry):
+            # log(Vx) and 1/Vx ride the carry: only the PROPOSAL's
+            # transcendentals are paid each step.
+            Z, Vs, logVx, invVx = carry   # (T,L), (T,F), (T,F), (T,F)
+            Zp = Z + sqrt_var * _normal((T, L))
+            h = jnp.tanh(mm(Zp, w1_ref[:]) + ypre)           # (T, H1)
+            h = jnp.tanh(mm(h, w2_ref[:]) + b2_ref[:])       # (T, H2)
+            Vsp = jnp.exp(mm(h, w3_ref[:]) + b3_ref[:])      # (T, F)
+            Vxp = jnp.maximum(G * Vsp + Vb, VX_FLOOR)
+            invVxp = 1.0 / Vxp
+            logVxp = jnp.log(Vxp)
+            acc = jnp.sum(
+                logVx - logVxp + (invVx - invVxp) * X2, axis=1
+            ) + 0.5 * jnp.sum(Z * Z - Zp * Zp, axis=1)       # (T,)
+            u = _uniform01((T, 1))[:, 0]
+            accept = (jnp.log(u) < acc)[:, None]
+            Z = jnp.where(accept, Zp, Z)
+            Vs = jnp.where(accept, Vsp, Vs)
+            logVx = jnp.where(accept, logVxp, logVx)
+            invVx = jnp.where(accept, invVxp, invVx)
+
+            if mode == "wf":
+                @pl.when(m >= burnin)
+                def _():
+                    t = Vb * invVx
+                    acc_n_ref[0] += t
+                    acc_s_ref[0] += 1.0 - t
+            else:
+                @pl.when(m >= burnin)
+                def _():
+                    samp_ref[0, pl.ds(m - burnin, 1)] = Vs[None].astype(
+                        samples_dtype
+                    )
+                    # W-update sufficient statistics at chain-time Vb
+                    # (engine.nmf_m_step's first sums): free here.
+                    s1_ref[0] += invVx
+                    s2_ref[0] += invVx * invVx
+
+            return (Z, Vs, logVx, invVx)
+
+        Vs0 = vs_ref[0]
+        Vx0 = jnp.maximum(G * Vs0 + Vb, VX_FLOOR)
+        Z, Vs, _, _ = lax.fori_loop(
+            0, n_steps, body,
+            (z_ref[0], Vs0, jnp.log(Vx0), 1.0 / Vx0),
+        )
+        z_out_ref[0] = Z
+        vs_out_ref[0] = Vs
+
+    return kernel
+
+
+def _default_interpret():
+    """Pallas TPU kernels run interpreted on the CPU backend (tests /
+    debugging); note the interpreter's PRNG is a stub, so only var_RW=0
+    paths are meaningful there."""
+    return jax.default_backend() == "cpu"
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mode", "nsamples", "burnin", "var_RW", "tile",
+                     "samples_dtype", "matmul_dtype", "interpret"),
+)
+def mh_chain_pallas(dec_w, X2, Vb, g, ypre, Z, Vs, seeds, mode="e",
+                    nsamples=10, burnin=30, var_RW=0.01, tile=128,
+                    samples_dtype=jnp.float32, matmul_dtype=jnp.float32,
+                    interpret=None):
+    """Run the fused MH chain over a frames-major batch.
+
+    Args (frames-major layout):
+      dec_w: dict with w1 (L, H1) — the z-rows of the decoder's first
+        layer — w2 (H1, H2), b2 (H2,), w3 (H2, F), b3 (F,).
+      X2, Vb, Vs: (B, N, F); g: (B, N); ypre: (B, N, H1); Z: (B, N, L);
+      seeds: (B, N//tile) int32.
+
+    Returns (Z, Vs, extra): extra = (samples (B, nsamples, N, F), s1, s2)
+    in 'e' mode, or (WFs_sum, WFn_sum) of (B, N, F) in 'wf' mode (divide by
+    nsamples for the means).
+    """
+    B, N, F = X2.shape
+    L = Z.shape[-1]
+    H1 = ypre.shape[-1]
+    H2 = dec_w["w2"].shape[-1]
+    assert N % tile == 0, (N, tile)
+    n_tiles = N // tile
+    n_steps = nsamples + burnin
+
+    kernel = _make_chain_kernel(mode, n_steps, burnin, var_RW, tile, L, F,
+                                samples_dtype=samples_dtype,
+                                matmul_dtype=matmul_dtype)
+
+    def tiled(shape_tail):
+        return pl.BlockSpec(
+            (1,) + shape_tail,
+            lambda b, t, *_: (b, t) + (0,) * (len(shape_tail) - 1),
+            memory_space=pltpu.VMEM,
+        )
+
+    def full(shape):
+        nd = len(shape)
+        return pl.BlockSpec(
+            shape, lambda b, t, *_: (0,) * nd, memory_space=pltpu.VMEM
+        )
+
+    in_specs = [
+        tiled((tile, F)),                                # X2
+        tiled((tile, F)),                                # Vb
+        tiled((tile, 1)),                                # g (column)
+        tiled((tile, H1)),                               # ypre
+        tiled((tile, L)),                                # Z
+        tiled((tile, F)),                                # Vs
+        full((L, H1)),                                   # w1
+        full((H1, H2)),                                  # w2
+        full((H2,)),                                     # b2
+        full((H2, F)),                                   # w3
+        full((F,)),                                      # b3
+    ]
+    out_shapes = [
+        jax.ShapeDtypeStruct((B, N, L), jnp.float32),    # Z out
+        jax.ShapeDtypeStruct((B, N, F), jnp.float32),    # Vs out
+    ]
+    out_specs = [tiled((tile, L)), tiled((tile, F))]
+    if mode == "wf":
+        out_shapes += [
+            jax.ShapeDtypeStruct((B, N, F), jnp.float32),
+            jax.ShapeDtypeStruct((B, N, F), jnp.float32),
+        ]
+        out_specs += [tiled((tile, F)), tiled((tile, F))]
+    else:
+        out_shapes += [
+            jax.ShapeDtypeStruct((B, nsamples, N, F), samples_dtype),
+            jax.ShapeDtypeStruct((B, N, F), jnp.float32),   # s1
+            jax.ShapeDtypeStruct((B, N, F), jnp.float32),   # s2
+        ]
+        out_specs += [
+            pl.BlockSpec(
+                (1, nsamples, tile, F),
+                lambda b, t, *_: (b, 0, t, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            tiled((tile, F)),
+            tiled((tile, F)),
+        ]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, n_tiles),
+        in_specs=in_specs,
+        out_specs=out_specs,
+    )
+    if interpret is None:
+        interpret = _default_interpret()
+    args = (seeds, X2, Vb, g[..., None], ypre, Z, Vs,
+            dec_w["w1"], dec_w["w2"], dec_w["b2"], dec_w["w3"], dec_w["b3"])
+
+    def build_and_call():
+        return pl.pallas_call(
+            kernel, grid_spec=grid_spec, out_shape=out_shapes
+        )(*args)
+
+    if interpret:
+        # The TPU-semantics interpreter (plain interpret=True lacks the TPU
+        # PRNG primitives on the CPU lowering path).
+        with pltpu.force_tpu_interpret_mode():
+            outs = build_and_call()
+    else:
+        outs = build_and_call()
+
+    Z_out, Vs_out = outs[0], outs[1]
+    if mode == "wf":
+        return Z_out, Vs_out, (outs[2], outs[3])
+    return Z_out, Vs_out, (outs[2], outs[3], outs[4])  # samples, s1, s2
+
+
+# ---------------------------------------------------------------------------
+# Batched frames-major MCEM driver around the fused kernel
+# ---------------------------------------------------------------------------
+
+
+def _dec_parts(dec_params, L):
+    """Decoder weight bundle for the kernel (z-rows of layer 1 split out)."""
+    l0 = dec_params["hidden"][0]
+    return {
+        "w1": l0["w"][:L],
+        "w2": dec_params["hidden"][1]["w"],
+        "b2": dec_params["hidden"][1]["b"],
+        "w3": dec_params["out"]["w"],
+        "b3": dec_params["out"]["b"],
+    }
+
+
+def _nmf_m_step_batched(X2, mask, W, H, g, Vs, s1=None, s2=None,
+                        update_nmf=True, Vb_fixed=None):
+    """Batched NMF M-step in frames-major layout (X2/Vs (B,[R,]N,F),
+    W (B,F,K), H (B,K,N), g (B,N)); same equations and ordering as
+    engine.nmf_m_step (reference mcem.py:90-152). When the chain kernel
+    already accumulated the W-update sums (s1 = Σ_r Vx^-1, s2 = Σ_r Vx^-2
+    at chain-time Vb), the first pass over the samples is skipped."""
+    m3 = mask[..., None]                      # (B,N,1)
+    Vs = Vs.astype(jnp.float32)               # fused convert for bf16 dumps
+
+    def vb():
+        return jnp.einsum("bfk,bkn->bnf", W, H) if update_nmf else Vb_fixed
+
+    def sums(Vb):
+        Vx = jnp.maximum(g[:, None, :, None] * Vs + Vb[:, None], VX_FLOOR)
+        return jnp.sum(Vx**-2, axis=1), jnp.sum(Vx**-1, axis=1), Vx
+
+    Vb = vb()
+    if update_nmf:
+        if s1 is None:
+            s2, s1, _ = sums(Vb)
+        num = jnp.einsum("bnf,bkn->bfk", X2 * s2 * m3, H)
+        den = jnp.einsum("bnf,bkn->bfk", s1 * m3, H)
+        W = W * (num / den) ** 0.5
+
+        Vb = vb()
+        s2, s1, _ = sums(Vb)
+        num = jnp.einsum("bnf,bfk->bkn", X2 * s2, W)
+        den = jnp.einsum("bnf,bfk->bkn", s1, W)
+        H = H * (num / den) ** 0.5
+
+        norm_col = jnp.sum(jnp.abs(W), axis=1)          # (B,K)
+        W = W / norm_col[:, None, :]
+        H = H * norm_col[:, :, None]
+        Vb = vb()
+
+    _, _, Vx = sums(Vb)
+    num = jnp.sum(X2 * jnp.sum(Vs * Vx**-2, axis=1), axis=-1)   # (B,N)
+    den = jnp.sum(jnp.sum(Vs * Vx**-1, axis=1), axis=-1)
+    g = g * (num / den) ** 0.5
+    return W, H, g
+
+
+def _masked_cost_batched(X2, mask, Vb, g, Vs):
+    """(B,) masked expected neg-log-likelihood; Vs (B,R,N,F)."""
+    Vx = jnp.maximum(
+        g[:, None, :, None] * Vs.astype(jnp.float32) + Vb[:, None], VX_FLOOR
+    )
+    per = jnp.log(Vx) + X2[:, None] / Vx
+    total = jnp.sum(per * mask[:, None, :, None], axis=(1, 2, 3))
+    count = Vs.shape[1] * X2.shape[-1] * jnp.sum(mask, axis=1)
+    return total / count
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "update_nmf", "tile", "compute_cost",
+                     "samples_dtype", "matmul_dtype"),
+)
+def mcem_batch_fused(vae_params, X_abs2, mask, y, keys,
+                     cfg: MCEMConfig = MCEMConfig(), update_nmf=True,
+                     Vb_fixed=None, tile=128, compute_cost=True,
+                     samples_dtype=jnp.float32,
+                     matmul_dtype=jnp.float32):
+    """Full batched MCEM with the fused Pallas chains.
+
+    Same contract as engine.mcem_m1_batch / mcem_m2_batch: X_abs2 (B, F, N)
+    with benign pad frames, mask (B, N), y (B, y_dim, N) or None,
+    keys (B, 2) — only keys[0] seeds the chain (kernel PRNG streams are
+    derived per (EM-iter, tile)). Returns the same result dict (reference
+    (F, N) orientation). Requires the reference's 2-hidden-layer decoder
+    and N % tile == 0.
+    """
+    params = {k: v for k, v in vae_params.items() if k != "y_dim"}
+    enc = params["encoder"]
+    dec = params["decoder"]
+    assert len(dec["hidden"]) == 2, "fused path expects 2 hidden layers"
+    B, F, N = X_abs2.shape
+    y_dim = 0 if y is None else y.shape[1]
+    L = dec["hidden"][0]["w"].shape[0] - y_dim
+    n_tiles = N // tile
+
+    from ..models.nets import encoder_apply
+
+    X2 = jnp.swapaxes(X_abs2, 1, 2)                      # (B, N, F)
+    l0 = dec["hidden"][0]
+    if y is None:
+        enc_in = X2
+        ypre = jnp.broadcast_to(
+            l0["b"], (B, N, l0["b"].shape[0])
+        )
+    else:
+        yT = jnp.swapaxes(y, 1, 2)                       # (B, N, y_dim)
+        enc_in = jnp.concatenate([X2, yT], axis=-1)
+        ypre = jnp.einsum("bny,yh->bnh", yT, l0["w"][L:]) + l0["b"]
+
+    _, mu, _ = encoder_apply(enc, enc_in.reshape(B * N, -1))
+    Z = mu.reshape(B, N, L)
+    dec_w = _dec_parts(dec, L)
+
+    # initial Vs via the decoder (frames-major)
+    h = jnp.tanh(jnp.einsum("bnl,lh->bnh", Z, dec_w["w1"]) + ypre)
+    h = jnp.tanh(jnp.einsum("bnh,hk->bnk", h, dec_w["w2"]) + dec_w["b2"])
+    Vs = jnp.exp(jnp.einsum("bnk,kf->bnf", h, dec_w["w3"]) + dec_w["b3"])
+
+    key0 = keys[0]
+    k_init, key0 = jax.random.split(key0)
+    if update_nmf:
+        k_w, k_h = jax.random.split(k_init)
+        W = jnp.maximum(jax.random.uniform(k_w, (B, F, cfg.nmf_rank)),
+                        cfg.eps)
+        H = jnp.maximum(jax.random.uniform(k_h, (B, cfg.nmf_rank, N)),
+                        cfg.eps)
+        Vbf = None
+    else:
+        W = jnp.ones((B, F, 1), X2.dtype)
+        H = jnp.zeros((B, 1, N), X2.dtype)
+        Vbf = jnp.swapaxes(Vb_fixed, 1, 2)
+    g = jnp.ones((B, N), X2.dtype)
+
+    def em_iter(carry, _):
+        W, H, g, Z, Vs, key = carry
+        key, sub = jax.random.split(key)
+        seeds = jax.random.randint(sub, (B, n_tiles), 0, 2**31 - 1,
+                                   dtype=jnp.int32)
+        Vb = (jnp.einsum("bfk,bkn->bnf", W, H) if update_nmf else Vbf)
+        Z, Vs, (samples, s1, s2) = mh_chain_pallas(
+            dec_w, X2, Vb, g, ypre, Z, Vs, seeds, mode="e",
+            nsamples=cfg.nsamples_E_step, burnin=cfg.burnin_E_step,
+            var_RW=cfg.var_RW, tile=tile, samples_dtype=samples_dtype,
+            matmul_dtype=matmul_dtype,
+        )
+        W2, H2, g2 = _nmf_m_step_batched(
+            X2, mask, W, H, g, samples, s1=s1, s2=s2,
+            update_nmf=update_nmf, Vb_fixed=Vbf,
+        )
+        if compute_cost:
+            Vb2 = (jnp.einsum("bfk,bkn->bnf", W2, H2) if update_nmf
+                   else Vbf)
+            cost = _masked_cost_batched(X2, mask, Vb2, g2, samples)
+        else:
+            cost = jnp.zeros((B,), X2.dtype)
+        return (W2, H2, g2, Z, Vs, key), cost
+
+    (W, H, g, Z, Vs, key0), cost = lax.scan(
+        em_iter, (W, H, g, Z, Vs, key0), None, length=cfg.niter
+    )
+
+    key0, sub = jax.random.split(key0)
+    seeds = jax.random.randint(sub, (B, n_tiles), 0, 2**31 - 1,
+                               dtype=jnp.int32)
+    Vb = (jnp.einsum("bfk,bkn->bnf", W, H) if update_nmf else Vbf)
+    Z, Vs, (ws, wn) = mh_chain_pallas(
+        dec_w, X2, Vb, g, ypre, Z, Vs, seeds, mode="wf",
+        nsamples=cfg.nsamples_WF, burnin=cfg.burnin_WF, var_RW=cfg.var_RW,
+        tile=tile, matmul_dtype=matmul_dtype,
+    )
+    WFs = jnp.swapaxes(ws / cfg.nsamples_WF, 1, 2)       # back to (F,N)
+    WFn = jnp.swapaxes(wn / cfg.nsamples_WF, 1, 2)
+    return {
+        "WFs": WFs, "WFn": WFn, "cost": jnp.swapaxes(cost, 0, 1),
+        "W": W, "H": H, "g": g, "Z": jnp.swapaxes(Z, 1, 2),
+    }

@@ -38,6 +38,7 @@ from .mcem import (
     MCEMConfig,
     mcem_m1_batch,
     mcem_m2_batch,
+    mcem_batch_fused,
     timo_mask_estimation,
     timo_vad_estimation,
 )
@@ -143,9 +144,25 @@ def _istft_batch(S_hat, masks, t_origs):
     return [y[:t] for y, t in zip(ys, t_origs)]
 
 
+def _use_fused(engine, vae_params, n_pad):
+    """Engine selection: the fused Pallas engine is the default on real
+    accelerators; the XLA scan engine is the portable fallback (and the CPU
+    default — the Pallas interpreter's PRNG is a stub)."""
+    if engine == "xla":
+        return False
+    if engine == "fused":
+        return True
+    dec = vae_params["decoder"]
+    return (
+        jax.default_backend() != "cpu"
+        and len(dec["hidden"]) == 2
+        and n_pad % 128 == 0
+    )
+
+
 def enhance_batch(vae_params, X_tfs, ys=None, keys=None,
                   cfg: MCEMConfig = MCEMConfig(), bucket_multiple=128,
-                  return_masks=False):
+                  return_masks=False, engine="auto"):
     """Enhance a list of per-utterance (F, N_i) complex spectrograms (all in
     one padded batch). Returns lists of (F, N_i) S_hat / N_hat complex
     arrays (+ the WF masks when requested)."""
@@ -155,7 +172,11 @@ def enhance_batch(vae_params, X_tfs, ys=None, keys=None,
     if keys is None:
         keys = jax.random.split(jax.random.PRNGKey(0), B)
 
-    if ys is None:
+    if _use_fused(engine, vae_params, n_pad):
+        y_arg = None if ys is None else jnp.asarray(y_b)
+        out = mcem_batch_fused(vae_params, jnp.asarray(X_p),
+                               jnp.asarray(mask), y_arg, keys, cfg)
+    elif ys is None:
         out = mcem_m1_batch(vae_params, jnp.asarray(X_p), jnp.asarray(mask),
                             keys, cfg)
     else:
@@ -175,7 +196,8 @@ def enhance_files(file_paths, processed_dir, output_dir, vae_params,
                   classifier_params=None, mean=None, std=None,
                   cfg: MCEMConfig = MCEMConfig(), batch_size=16,
                   bucket_multiple=128, quantile_fraction=0.98,
-                  quantile_weight=0.999, seed=0, verbose=False):
+                  quantile_weight=0.999, seed=0, verbose=False,
+                  engine="auto"):
     """Full sweep over a test file list (reference evaluate_*.py main +
     process_utt): reads `<utt>_x.wav` (+ `_s.wav` for oracle labels), writes
     `<utt>_s_est.wav`, `<utt>_n_est.wav` and the soft/hard label arrays
@@ -220,7 +242,8 @@ def enhance_files(file_paths, processed_dir, output_dir, vae_params,
             ys = ([u["y_hard"] for u in batch]
                   if model_type == "m2" else None)
             S_hat, N_hat = enhance_batch(
-                vae_params, X_tfs, ys, keys, cfg, bucket_multiple
+                vae_params, X_tfs, ys, keys, cfg, bucket_multiple,
+                engine=engine,
             )
             # ISTFT + write
             n_max = max(X.shape[1] for X in X_tfs)

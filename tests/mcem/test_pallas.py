@@ -1,0 +1,125 @@
+"""Fused Pallas MH-chain kernel tests.
+
+On the CPU backend the kernel runs through the Pallas interpreter whose
+PRNG is a stub, so these tests exercise the deterministic var_RW=0 paths
+(proposal == current => every update equation must reproduce the direct
+decoder computation bit-for-bit) and the driver plumbing. The stochastic
+behavior is validated on TPU (VALIDATION.md + bench.py).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from numpy.testing import assert_allclose
+
+from guided_vae_nmf_tpu.models import dgm_init, vae_init
+from guided_vae_nmf_tpu.models.nets import decoder_apply
+from guided_vae_nmf_tpu.mcem import MCEMConfig, mcem_batch_fused
+from guided_vae_nmf_tpu.mcem.pallas_engine import mh_chain_pallas, _dec_parts
+
+B, F, N, L, H = 2, 65, 128, 8, 16
+KEY = jax.random.PRNGKey(0)
+
+
+def _setup(y_dim=10):
+    dgm = dgm_init(KEY, [F, y_dim, L, [H, H]])
+    dec = dgm["decoder"]
+    l0 = dec["hidden"][0]
+    y = (jax.random.uniform(jax.random.PRNGKey(4), (B, N, y_dim)) > 0.5)
+    y = y.astype(jnp.float32)
+    ypre = jnp.einsum("bny,yh->bnh", y, l0["w"][L:]) + l0["b"]
+    dec_w = _dec_parts(dec, L)
+    X2 = jax.random.uniform(jax.random.PRNGKey(1), (B, N, F)) + 0.05
+    Vb = jax.random.uniform(jax.random.PRNGKey(2), (B, N, F)) * 0.1 + 0.01
+    g = jnp.ones((B, N))
+    Z = jax.random.normal(jax.random.PRNGKey(3), (B, N, L))
+    zin = jnp.concatenate([Z, y], axis=-1)
+    Vs0 = decoder_apply(dec, zin.reshape(B * N, -1)).reshape(B, N, F)
+    seeds = jnp.arange(B * (N // 128), dtype=jnp.int32).reshape(B, -1)
+    return dgm, dec_w, X2, Vb, g, ypre, Z, Vs0, seeds
+
+
+def test_var0_e_mode_deterministic():
+    _, dec_w, X2, Vb, g, ypre, Z, Vs0, seeds = _setup()
+    Zo, Vso, (samp, s1, s2) = mh_chain_pallas(
+        dec_w, X2, Vb, g, ypre, Z, Vs0, seeds, mode="e",
+        nsamples=3, burnin=2, var_RW=0.0,
+    )
+    Vx0 = g[..., None] * Vs0 + Vb
+    assert_allclose(np.asarray(Zo), np.asarray(Z), atol=1e-6)
+    assert_allclose(np.asarray(Vso), np.asarray(Vs0), atol=1e-4)
+    # every post-burnin sample is the (unchanged) current Vs
+    assert_allclose(
+        np.asarray(samp),
+        np.broadcast_to(np.asarray(Vs0)[:, None], samp.shape),
+        atol=1e-4,
+    )
+    # W-update statistics = nsamples * {1/Vx, 1/Vx^2}
+    assert_allclose(np.asarray(s1), np.asarray(3.0 / Vx0), rtol=1e-3)
+    assert_allclose(np.asarray(s2), np.asarray(3.0 / Vx0**2), rtol=1e-3)
+
+
+def test_var0_wf_mode_deterministic():
+    _, dec_w, X2, Vb, g, ypre, Z, Vs0, seeds = _setup()
+    Zo, Vso, (ws, wn) = mh_chain_pallas(
+        dec_w, X2, Vb, g, ypre, Z, Vs0, seeds, mode="wf",
+        nsamples=4, burnin=3, var_RW=0.0,
+    )
+    Vx0 = g[..., None] * Vs0 + Vb
+    assert_allclose(np.asarray(ws / 4),
+                    np.asarray((g[..., None] * Vs0) / Vx0), atol=1e-4)
+    assert_allclose(np.asarray(wn / 4), np.asarray(Vb / Vx0), atol=1e-4)
+    # Wiener filters partition unity
+    assert_allclose(np.asarray((ws + wn) / 4), 1.0, atol=1e-4)
+
+
+def test_m1_path_no_labels():
+    vae = vae_init(KEY, [F, L, [H, H]])
+    dec = vae["decoder"]
+    dec_w = _dec_parts(dec, L)
+    X2 = jax.random.uniform(jax.random.PRNGKey(1), (B, N, F)) + 0.05
+    Vb = X2 * 0.1
+    g = jnp.ones((B, N))
+    Z = jax.random.normal(jax.random.PRNGKey(3), (B, N, L))
+    ypre = jnp.broadcast_to(dec["hidden"][0]["b"], (B, N, H))
+    Vs0 = decoder_apply(dec, Z.reshape(B * N, L)).reshape(B, N, F)
+    seeds = jnp.zeros((B, N // 128), jnp.int32)
+    Zo, Vso, _ = mh_chain_pallas(dec_w, X2, Vb, g, ypre, Z, Vs0, seeds,
+                                 mode="e", nsamples=2, burnin=1, var_RW=0.0)
+    assert_allclose(np.asarray(Vso), np.asarray(Vs0), atol=1e-4)
+
+
+def test_mcem_batch_fused_end_to_end_shapes():
+    dgm, *_ = _setup()
+    X = jax.random.uniform(jax.random.PRNGKey(7), (B, F, N)) + 0.05
+    y = (jax.random.uniform(jax.random.PRNGKey(8), (B, 10, N)) > 0.5)
+    y = y.astype(jnp.float32)
+    mask = jnp.ones((B, N))
+    keys = jax.random.split(jax.random.PRNGKey(9), B)
+    cfg = MCEMConfig(niter=2, nsamples_E_step=2, burnin_E_step=1,
+                     nsamples_WF=2, burnin_WF=1, nmf_rank=3)
+    out = mcem_batch_fused(dgm, X, mask, y, keys, cfg)
+    assert out["WFs"].shape == (B, F, N)
+    assert np.all(np.isfinite(np.asarray(out["WFs"])))
+    assert_allclose(np.asarray(out["WFs"] + out["WFn"]), 1.0, atol=1e-4)
+    assert out["cost"].shape == (B, 2)
+    # M1 (label-free) path
+    vae = vae_init(KEY, [F, L, [H, H]])
+    out = mcem_batch_fused(vae, X, mask, None, keys, cfg)
+    assert out["WFs"].shape == (B, F, N)
+    assert np.all(np.isfinite(np.asarray(out["WFs"])))
+
+
+def test_bf16_sample_mode_runs():
+    dgm, *_ = _setup()
+    X = jax.random.uniform(jax.random.PRNGKey(7), (B, F, N)) + 0.05
+    y = (jax.random.uniform(jax.random.PRNGKey(8), (B, 10, N)) > 0.5)
+    y = y.astype(jnp.float32)
+    mask = jnp.ones((B, N))
+    keys = jax.random.split(jax.random.PRNGKey(9), B)
+    cfg = MCEMConfig(niter=2, nsamples_E_step=2, burnin_E_step=1,
+                     nsamples_WF=2, burnin_WF=1, nmf_rank=3)
+    out = mcem_batch_fused(dgm, X, mask, y, keys, cfg, compute_cost=False,
+                           samples_dtype=jnp.bfloat16)
+    assert np.all(np.isfinite(np.asarray(out["WFs"])))
