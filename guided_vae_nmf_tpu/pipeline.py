@@ -162,26 +162,43 @@ def _use_fused(engine, vae_params, n_pad):
 
 def enhance_batch(vae_params, X_tfs, ys=None, keys=None,
                   cfg: MCEMConfig = MCEMConfig(), bucket_multiple=128,
-                  return_masks=False, engine="auto"):
+                  return_masks=False, engine="auto", noise_model="nmf"):
     """Enhance a list of per-utterance (F, N_i) complex spectrograms (all in
     one padded batch). Returns lists of (F, N_i) S_hat / N_hat complex
-    arrays (+ the WF masks when requested)."""
+    arrays (+ the WF masks when requested).
+
+    noise_model: 'nmf' (the reference default) or 'spp' — a fixed noise
+    variance from the SPP tracker instead of NMF; the M-step then updates
+    only the gain g (the reference's *_noNMF variants, mcem.py:493-760 fed
+    by spp_estimation's noise PSD).
+    """
     n_pad = bucket_frames(max(X.shape[1] for X in X_tfs), bucket_multiple)
     X_c, X_p, mask, y_b = _pad_batch(X_tfs, ys, n_pad)
     B = len(X_tfs)
     if keys is None:
         keys = jax.random.split(jax.random.PRNGKey(0), B)
 
+    update_nmf = noise_model != "spp"
+    Vb_fixed = None
+    if not update_nmf:
+        from .mcem import spp_track_jax
+
+        psd, _ = jax.vmap(spp_track_jax)(jnp.asarray(X_p))
+        Vb_fixed = jnp.maximum(psd, 1e-6)  # SPP noise PSD, floored
+
     if _use_fused(engine, vae_params, n_pad):
         y_arg = None if ys is None else jnp.asarray(y_b)
         out = mcem_batch_fused(vae_params, jnp.asarray(X_p),
-                               jnp.asarray(mask), y_arg, keys, cfg)
+                               jnp.asarray(mask), y_arg, keys, cfg,
+                               update_nmf=update_nmf, Vb_fixed=Vb_fixed)
     elif ys is None:
         out = mcem_m1_batch(vae_params, jnp.asarray(X_p), jnp.asarray(mask),
-                            keys, cfg)
+                            keys, cfg, update_nmf=update_nmf,
+                            Vb_fixed=Vb_fixed)
     else:
         out = mcem_m2_batch(vae_params, jnp.asarray(X_p), jnp.asarray(mask),
-                            jnp.asarray(y_b), keys, cfg)
+                            jnp.asarray(y_b), keys, cfg,
+                            update_nmf=update_nmf, Vb_fixed=Vb_fixed)
     WFs = np.asarray(out["WFs"])
     WFn = np.asarray(out["WFn"])
     S_hat = [WFs[i, :, : X.shape[1]] * X for i, X in enumerate(X_tfs)]
@@ -197,7 +214,7 @@ def enhance_files(file_paths, processed_dir, output_dir, vae_params,
                   cfg: MCEMConfig = MCEMConfig(), batch_size=16,
                   bucket_multiple=128, quantile_fraction=0.98,
                   quantile_weight=0.999, seed=0, verbose=False,
-                  engine="auto"):
+                  engine="auto", noise_model="nmf"):
     """Full sweep over a test file list (reference evaluate_*.py main +
     process_utt): reads `<utt>_x.wav` (+ `_s.wav` for oracle labels), writes
     `<utt>_s_est.wav`, `<utt>_n_est.wav` and the soft/hard label arrays
@@ -243,7 +260,7 @@ def enhance_files(file_paths, processed_dir, output_dir, vae_params,
                   if model_type == "m2" else None)
             S_hat, N_hat = enhance_batch(
                 vae_params, X_tfs, ys, keys, cfg, bucket_multiple,
-                engine=engine,
+                engine=engine, noise_model=noise_model,
             )
             # ISTFT + write
             n_max = max(X.shape[1] for X in X_tfs)

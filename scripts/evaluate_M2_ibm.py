@@ -27,6 +27,7 @@ def main(argv=None):
     model_path = flag(rest, "model", paths.models_dir)
     classifier_path = flag(rest, "classifier")
     classif_type = flag(rest, "classif_type", "dnn")
+    noise_model = flag(rest, "noise_model", "nmf")  # 'nmf' | 'spp' (noNMF)
     output = flag(rest, "output",
                   paths.models_dir + f"M2_ibm_{classif_type}_enhanced/")
     batch_size = flag(rest, "batch_size", 16, int)
@@ -44,7 +45,8 @@ def main(argv=None):
     enhance_files(files, paths.processed_wav_dir, output, dgm,
                   model_type="m2", classif_type=classif_type, target="ibm",
                   classifier_params=classifier, mean=mean, std=std, cfg=cfg,
-                  batch_size=batch_size, verbose=True)
+                  batch_size=batch_size, verbose=True,
+                  noise_model=noise_model)
     print(f"Finished in {time.perf_counter() - t0:.1f} seconds "
           f"({len(files)} utterances)")
 

@@ -113,6 +113,21 @@ def test_enhance_files_m2_sweep(tmp_path):
         assert_allclose(s_est + n_est, x, atol=5e-3)
 
 
+def test_enhance_batch_spp_noise_model():
+    """The noNMF variant (reference mcem.py:493-760): SPP-tracked fixed
+    noise variance, M-step updates only the gain. Reconstruction invariant
+    still holds."""
+    files = _test_files()[:2]
+    X_tfs = [load_mixture(
+        os.path.join(PROCESSED, os.path.splitext(p)[0]))[2] for p in files]
+    vae = vae_init(KEY, [513, 8, [32]])
+    S_hat, N_hat = enhance_batch(vae, X_tfs, cfg=FAST_CFG,
+                                 noise_model="spp")
+    for S, N, X in zip(S_hat, N_hat, X_tfs):
+        assert np.all(np.isfinite(S)) and np.all(np.isfinite(N))
+        assert_allclose(S + N, X, atol=2e-4 * np.abs(X).max())
+
+
 def test_enhance_files_m1_vad_free(tmp_path):
     files = _test_files()[:2]
     vae = vae_init(KEY, [513, 8, [32]])
