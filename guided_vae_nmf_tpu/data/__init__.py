@@ -11,6 +11,7 @@ from .noise import (
     mix_at_snr,
 )
 from .h5io import H5FrameWriter, H5FrameReader, frame_batches
+from . import native_loader
 from .synthesis import (
     create_clean_frames,
     create_noisy_frames,

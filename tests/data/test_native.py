@@ -1,0 +1,66 @@
+"""Native C++ loader tests: decode and STFT parity with the Python/numpy
+implementations (which are themselves golden-parity with the reference)."""
+
+import numpy as np
+import pytest
+from numpy.testing import assert_allclose, assert_array_equal
+
+from conftest import REFERENCE_DATA, has_reference_data
+from guided_vae_nmf_tpu.data import read_wav, speech_list, write_wav
+from guided_vae_nmf_tpu.data.native_loader import (
+    is_available,
+    read_wav_native,
+    stft_power_native,
+    load_power_native,
+)
+from guided_vae_nmf_tpu.dsp import stft
+
+pytestmark = pytest.mark.skipif(
+    not is_available(), reason="native toolchain unavailable"
+)
+
+FS = 16000
+
+
+def test_riff_decode_matches_python(tmp_path):
+    rng = np.random.RandomState(0)
+    x = np.clip(0.5 * rng.randn(12345), -1, 1)
+    path = str(tmp_path / "t.wav")
+    write_wav(path, x, FS)
+    py, fs_py = read_wav(path)
+    nat, fs_nat = read_wav_native(path)
+    assert fs_py == fs_nat == FS
+    assert_array_equal(nat, py)
+
+
+@pytest.mark.skipif(not has_reference_data(), reason="subset absent")
+def test_sphere_decode_matches_python():
+    raw = f"{REFERENCE_DATA}/raw/"
+    path = raw + speech_list(raw, "train")[0]
+    py, fs_py = read_wav(path)
+    nat, fs_nat = read_wav_native(path)
+    assert fs_py == fs_nat
+    assert_array_equal(nat, py)
+
+
+def test_stft_power_matches_python():
+    rng = np.random.RandomState(1)
+    for n in (16000, 16001, 40960 + 77):
+        x = 0.3 * rng.randn(n)
+        ref = (np.abs(stft(x)) ** 2).astype(np.float32)
+        nat = stft_power_native(x)
+        assert nat.shape == ref.shape
+        assert_allclose(nat, ref, rtol=1e-5, atol=1e-7 * ref.max())
+
+
+@pytest.mark.skipif(not has_reference_data(), reason="subset absent")
+def test_fused_load_power_matches_pipeline():
+    raw = f"{REFERENCE_DATA}/raw/"
+    path = raw + speech_list(raw, "train")[0]
+    x, fs = read_wav(path)
+    x = x[int(0.1 * FS):]
+    x = x / np.max(np.abs(x))
+    ref = (np.abs(stft(x)) ** 2).astype(np.float32)
+    nat = load_power_native(path)
+    assert nat.shape == ref.shape
+    assert_allclose(nat, ref, rtol=1e-5, atol=1e-7 * ref.max())
