@@ -30,6 +30,7 @@ TPU-first re-design (not a translation):
 from dataclasses import dataclass
 from functools import partial
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -305,6 +306,104 @@ def mcem_run(vae_params, X_abs2, mask, y, key, cfg: MCEMConfig,
     return {
         "WFs": WFs, "WFn": WFn, "cost": cost,
         "W": W, "H": H, "g": g, "Z": Z,
+    }
+
+
+def mcem_run_converged(vae_params, X_abs2, mask, y, key,
+                       cfg: MCEMConfig = MCEMConfig(), tol=1e-4,
+                       check_every=5, update_nmf=True, Vb_fixed=None):
+    """MCEM with cost-based early stopping (the legacy engine's
+    `run(tol=1e-4)`, reference mcem_julius.py:106-108): run EM in
+    `check_every`-iteration jitted chunks and stop once the per-chunk mean
+    cost decrease falls below `tol`; `cfg.niter` is the iteration budget.
+
+    Single-utterance host loop (per-utterance convergence times differ, so
+    batching would hide the capability); returns the same dict as
+    :func:`mcem_run` with 'cost' trimmed to the executed iterations and an
+    'iters' count.
+    """
+    chunk_cfg = MCEMConfig(
+        niter=check_every, nsamples_E_step=cfg.nsamples_E_step,
+        burnin_E_step=cfg.burnin_E_step, nsamples_WF=cfg.nsamples_WF,
+        burnin_WF=cfg.burnin_WF, var_RW=cfg.var_RW,
+        nmf_rank=cfg.nmf_rank, eps=cfg.eps,
+    )
+
+    @jax.jit
+    def chunk(state):
+        W, H, g, Z, Vs, k = state
+        dec = vae_params["decoder"]
+        L = dec["hidden"][0]["w"].shape[0] - (
+            0 if y is None else y.shape[0]
+        )
+        y_pre = _precompute_label_proj(dec, y, L)
+
+        def em_iter(carry, _):
+            W, H, g, Z, Vs, k = carry
+            Vb = (W @ H) if update_nmf else Vb_fixed
+            Z, Vs, k, samples = mh_sample_posterior(
+                dec, y_pre, X_abs2, Vb, g, Z, Vs, k,
+                chunk_cfg.nsamples_E_step, chunk_cfg.burnin_E_step,
+                chunk_cfg.var_RW,
+            )
+            W2, H2, g2 = nmf_m_step(
+                X_abs2, mask, W, H, g, samples, update_nmf=update_nmf,
+                Vb_fixed=Vb_fixed,
+            )
+            Vb2 = (W2 @ H2) if update_nmf else Vb_fixed
+            cost = _masked_cost(X_abs2, mask, Vb2, g2, samples)
+            return (W2, H2, g2, Z, Vs, k), cost
+
+        (W, H, g, Z, Vs, k), costs = lax.scan(
+            em_iter, (W, H, g, Z, Vs, k), None, length=check_every
+        )
+        return (W, H, g, Z, Vs, k), costs
+
+    # init exactly as mcem_run
+    F, N = X_abs2.shape
+    enc_params = vae_params["encoder"]
+    dec_params = vae_params["decoder"]
+    L = dec_params["hidden"][0]["w"].shape[0] - (
+        0 if y is None else y.shape[0]
+    )
+    key, k_w, k_h = jax.random.split(key, 3)
+    if update_nmf:
+        W = jnp.maximum(jax.random.uniform(k_w, (F, cfg.nmf_rank)), cfg.eps)
+        H = jnp.maximum(jax.random.uniform(k_h, (cfg.nmf_rank, N)), cfg.eps)
+    else:
+        W = jnp.ones((F, 1), X_abs2.dtype)
+        H = jnp.zeros((1, N), X_abs2.dtype)
+    g = jnp.ones((N,), X_abs2.dtype)
+    enc_in = X_abs2.T if y is None else jnp.concatenate([X_abs2, y], 0).T
+    _, mu, _ = encoder_apply(enc_params, enc_in)
+    Z = mu.T
+    y_pre = _precompute_label_proj(dec_params, y, L)
+    Vs = _decode_cond(dec_params, y_pre, Z)
+
+    state = (W, H, g, Z, Vs, key)
+    costs_all = []
+    prev = None
+    iters = 0
+    while iters < cfg.niter:
+        state, costs = chunk(state)
+        costs = np.asarray(costs)
+        costs_all.append(costs)
+        iters += check_every
+        cur = float(costs[-1])
+        if prev is not None and (prev - cur) < tol:
+            break
+        prev = cur
+
+    W, H, g, Z, Vs, key = state
+    Vb = (W @ H) if update_nmf else Vb_fixed
+    WFs, WFn, Z, Vs, key = mh_wiener_filter(
+        dec_params, y_pre, X_abs2, Vb, g, Z, Vs, key,
+        cfg.nsamples_WF, cfg.burnin_WF, cfg.var_RW,
+    )
+    return {
+        "WFs": WFs, "WFn": WFn,
+        "cost": jnp.asarray(np.concatenate(costs_all)),
+        "W": W, "H": H, "g": g, "Z": Z, "iters": iters,
     }
 
 

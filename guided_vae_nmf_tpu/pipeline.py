@@ -258,10 +258,34 @@ def enhance_files(file_paths, processed_dir, output_dir, vae_params,
             X_tfs = [u["X_tf"] for u in batch]
             ys = ([u["y_hard"] for u in batch]
                   if model_type == "m2" else None)
-            S_hat, N_hat = enhance_batch(
-                vae_params, X_tfs, ys, keys, cfg, bucket_multiple,
-                engine=engine, noise_model=noise_model,
-            )
+            try:
+                S_hat, N_hat = enhance_batch(
+                    vae_params, X_tfs, ys, keys, cfg, bucket_multiple,
+                    engine=engine, noise_model=noise_model,
+                )
+            except Exception as exc:  # fault-tolerant sweep (SURVEY §7.10)
+                # A crashed worker loses its whole shard in the reference;
+                # here the batch is retried one utterance at a time, and an
+                # utterance that still fails degrades to passthrough (the
+                # unenhanced mixture) instead of aborting the sweep.
+                print(f"batch of {len(batch)} failed ({exc!r}); "
+                      "retrying per-utterance")
+                S_hat, N_hat = [], []
+                for j, u in enumerate(batch):
+                    try:
+                        s1, n1 = enhance_batch(
+                            vae_params, [X_tfs[j]],
+                            None if ys is None else [ys[j]],
+                            keys[j:j + 1], cfg, bucket_multiple,
+                            engine=engine, noise_model=noise_model,
+                        )
+                        S_hat.append(s1[0])
+                        N_hat.append(n1[0])
+                    except Exception as exc2:
+                        print(f"utterance {u['path']} failed ({exc2!r}); "
+                              "writing passthrough")
+                        S_hat.append(X_tfs[j])
+                        N_hat.append(np.zeros_like(X_tfs[j]))
             # ISTFT + write
             n_max = max(X.shape[1] for X in X_tfs)
             n_b = bucket_frames(n_max, bucket_multiple)

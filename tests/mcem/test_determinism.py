@@ -1,0 +1,73 @@
+"""Deterministic-replay tests (SURVEY §7.10): identical PRNG keys must
+reproduce identical enhancement results; different keys must differ (the
+randomness is real, not frozen). Plus the early-stopping engine variant
+(the legacy reference engine's run(tol), mcem_julius.py:106-108)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from numpy.testing import assert_array_equal, assert_allclose
+
+from guided_vae_nmf_tpu.models import vae_init, dgm_init
+from guided_vae_nmf_tpu.mcem import (
+    MCEMConfig,
+    mcem_run,
+    mcem_run_converged,
+    mcem_m2_batch,
+)
+
+F, N, L = 33, 20, 4
+CFG = MCEMConfig(niter=3, nsamples_E_step=2, burnin_E_step=2, nsamples_WF=2,
+                 burnin_WF=2, nmf_rank=3)
+
+
+def _problem():
+    vae = vae_init(jax.random.PRNGKey(0), [F, L, [16]])
+    X = jax.random.uniform(jax.random.PRNGKey(1), (F, N)) + 0.05
+    return vae, X, jnp.ones((N,))
+
+
+def test_same_key_reproduces_bitwise():
+    vae, X, mask = _problem()
+    a = mcem_run(vae, X, mask, None, jax.random.PRNGKey(7), CFG)
+    b = mcem_run(vae, X, mask, None, jax.random.PRNGKey(7), CFG)
+    assert_array_equal(np.asarray(a["WFs"]), np.asarray(b["WFs"]))
+    assert_array_equal(np.asarray(a["cost"]), np.asarray(b["cost"]))
+
+
+def test_different_keys_differ():
+    vae, X, mask = _problem()
+    a = mcem_run(vae, X, mask, None, jax.random.PRNGKey(7), CFG)
+    b = mcem_run(vae, X, mask, None, jax.random.PRNGKey(8), CFG)
+    assert not np.allclose(np.asarray(a["WFs"]), np.asarray(b["WFs"]))
+
+
+def test_batch_determinism():
+    y_dim = 5
+    dgm = dgm_init(jax.random.PRNGKey(0), [F, y_dim, L, [16]])
+    B = 3
+    X = jax.random.uniform(jax.random.PRNGKey(1), (B, F, N)) + 0.05
+    y = (jax.random.uniform(jax.random.PRNGKey(2), (B, y_dim, N)) > 0.5)
+    y = y.astype(jnp.float32)
+    mask = jnp.ones((B, N))
+    keys = jax.random.split(jax.random.PRNGKey(3), B)
+    a = mcem_m2_batch(dgm, X, mask, y, keys, CFG)
+    b = mcem_m2_batch(dgm, X, mask, y, keys, CFG)
+    assert_array_equal(np.asarray(a["WFs"]), np.asarray(b["WFs"]))
+
+
+def test_early_stopping_engine():
+    vae, X, mask = _problem()
+    cfg = MCEMConfig(niter=40, nsamples_E_step=2, burnin_E_step=2,
+                     nsamples_WF=2, burnin_WF=2, nmf_rank=3)
+    out = mcem_run_converged(vae, X, mask, None, jax.random.PRNGKey(5),
+                             cfg, tol=1e-3, check_every=5)
+    # converged before the budget on this toy problem
+    assert out["iters"] <= cfg.niter
+    assert out["cost"].shape[0] == out["iters"]
+    assert np.all(np.isfinite(np.asarray(out["WFs"])))
+    assert_allclose(np.asarray(out["WFs"] + out["WFn"]), 1.0, atol=1e-5)
+    # a tighter tolerance runs at least as long
+    out2 = mcem_run_converged(vae, X, mask, None, jax.random.PRNGKey(5),
+                              cfg, tol=1e-9, check_every=5)
+    assert out2["iters"] >= out["iters"]
