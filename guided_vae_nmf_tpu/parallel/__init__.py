@@ -2,6 +2,7 @@ from .sweep import (
     shard_file_list,
     sharded_mcem_m1,
     sharded_mcem_m2,
+    sharded_mcem_fused,
 )
 from .mesh import (
     make_mesh,

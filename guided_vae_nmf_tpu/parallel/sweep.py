@@ -11,6 +11,7 @@ one jit-compiled program, XLA collectives only where shardings require them.
 
 import numpy as np
 import jax
+from jax.sharding import PartitionSpec as P
 
 from .mesh import batch_sharding, replicated, pad_to_multiple
 from ..mcem.engine import mcem_m1_batch, mcem_m2_batch, MCEMConfig
@@ -60,6 +61,42 @@ def sharded_mcem_m1(mesh, vae_params, X_abs2, mask, keys,
         jax.device_put(keys, data2),
         cfg,
     )
+    return jax.tree_util.tree_map(lambda x: np.asarray(x)[:B], out)
+
+
+def sharded_mcem_fused(mesh, vae_params, X_abs2, mask, y, keys,
+                       cfg: MCEMConfig = MCEMConfig(), axis="data",
+                       **fused_kw):
+    """Fused-Pallas MCEM over the mesh via shard_map: the utterance batch
+    splits over the data axis and each device runs its own kernel grid on
+    its shard (a Pallas call is opaque to the partitioner, so plain
+    sharding annotations would gather the batch — shard_map keeps it
+    SPMD). Zero collectives: the sweep is embarrassingly parallel like the
+    reference's process pool, but one program."""
+    from ..mcem.pallas_engine import mcem_batch_fused
+
+    n_dev = mesh.shape[axis]
+    has_y = y is not None
+    arrays = [X_abs2, mask, keys] + ([y] if has_y else [])
+    arrays, B = _pad_batch_to_mesh(arrays, n_dev)
+    if has_y:
+        X_abs2, mask, keys, y = arrays
+    else:
+        X_abs2, mask, keys = arrays
+
+    def local(params, X, m, k, yy=None):
+        return mcem_batch_fused(params, X, m, yy, k, cfg, **fused_kw)
+
+    in_specs = [P(), P(axis), P(axis), P(axis)]
+    args = [vae_params, X_abs2, mask, keys]
+    if has_y:
+        in_specs.append(P(axis))
+        args.append(y)
+    fn = jax.shard_map(
+        local, mesh=mesh, in_specs=tuple(in_specs), out_specs=P(axis),
+        check_vma=False,
+    )
+    out = fn(*args)
     return jax.tree_util.tree_map(lambda x: np.asarray(x)[:B], out)
 
 

@@ -9,11 +9,13 @@ from numpy.testing import assert_allclose
 
 from guided_vae_nmf_tpu.models import vae_init, dgm_init
 from guided_vae_nmf_tpu.mcem import MCEMConfig, mcem_m1_batch, mcem_m2_batch
+from guided_vae_nmf_tpu.models import dgm_init as _dgm_init
 from guided_vae_nmf_tpu.parallel import (
     make_mesh,
     shard_file_list,
     sharded_mcem_m1,
     sharded_mcem_m2,
+    sharded_mcem_fused,
 )
 
 KEY = jax.random.PRNGKey(0)
@@ -42,6 +44,24 @@ def test_sharded_m1_matches_single_device():
     out = sharded_mcem_m1(mesh, vae, X, mask, keys, CFG)
     assert_allclose(out["WFs"], np.asarray(ref["WFs"]), atol=1e-5)
     assert_allclose(out["cost"], np.asarray(ref["cost"]), rtol=1e-4)
+
+
+def test_sharded_fused_pallas_engine():
+    """shard_map keeps the Pallas kernel SPMD: each of the 8 virtual
+    devices runs its own kernel grid on its batch shard."""
+    mesh = make_mesh()
+    B, F2, N2, L2 = 8, 65, 128, 8
+    dgm = _dgm_init(KEY, [F2, 10, L2, [16, 16]])
+    X = np.asarray(jax.random.uniform(KEY, (B, F2, N2))) + 0.05
+    y = (np.random.RandomState(0).rand(B, 10, N2) > 0.5).astype(np.float32)
+    mask = np.ones((B, N2), np.float32)
+    keys = np.asarray(jax.random.split(jax.random.PRNGKey(2), B))
+    cfg = MCEMConfig(niter=2, nsamples_E_step=2, burnin_E_step=1,
+                     nsamples_WF=2, burnin_WF=1, nmf_rank=3)
+    out = sharded_mcem_fused(mesh, dgm, X, mask, y, keys, cfg)
+    assert out["WFs"].shape == (B, F2, N2)
+    assert np.all(np.isfinite(out["WFs"]))
+    assert_allclose(out["WFs"] + out["WFn"], 1.0, atol=1e-4)
 
 
 def test_sharded_m2_with_ragged_batch():
