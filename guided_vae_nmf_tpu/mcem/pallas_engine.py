@@ -70,8 +70,13 @@ def _normal(shape):
 
 def _make_chain_kernel(mode, n_steps, burnin, var_RW, T, L, F,
                        samples_dtype=jnp.float32,
-                       matmul_dtype=jnp.float32):
+                       matmul_dtype=jnp.float32, approx_recip=False):
     sqrt_var = float(np.sqrt(var_RW))
+
+    def recip(x):
+        if approx_recip:
+            return pl.reciprocal(x, approx=True)
+        return 1.0 / x
 
     def mm(a, b):
         return jnp.dot(a.astype(matmul_dtype), b.astype(matmul_dtype),
@@ -102,9 +107,9 @@ def _make_chain_kernel(mode, n_steps, burnin, var_RW, T, L, F,
             Zp = Z + sqrt_var * _normal((T, L))
             h = jnp.tanh(mm(Zp, w1_ref[:]) + ypre)           # (T, H1)
             h = jnp.tanh(mm(h, w2_ref[:]) + b2_ref[:])       # (T, H2)
-            Vsp = jnp.exp(mm(h, w3_ref[:]) + b3_ref[:])      # (T, F)
+            Vsp = jnp.exp(mm(h, w3_ref[:]) + b3_ref[:])        # (T, F)
             Vxp = jnp.maximum(G * Vsp + Vb, VX_FLOOR)
-            invVxp = 1.0 / Vxp
+            invVxp = recip(Vxp)
             logVxp = jnp.log(Vxp)
             acc = jnp.sum(
                 logVx - logVxp + (invVx - invVxp) * X2, axis=1
@@ -139,7 +144,7 @@ def _make_chain_kernel(mode, n_steps, burnin, var_RW, T, L, F,
         Vx0 = jnp.maximum(G * Vs0 + Vb, VX_FLOOR)
         Z, Vs, _, _ = lax.fori_loop(
             0, n_steps, body,
-            (z_ref[0], Vs0, jnp.log(Vx0), 1.0 / Vx0),
+            (z_ref[0], Vs0, jnp.log(Vx0), recip(Vx0)),
         )
         z_out_ref[0] = Z
         vs_out_ref[0] = Vs
@@ -157,12 +162,13 @@ def _default_interpret():
 @functools.partial(
     jax.jit,
     static_argnames=("mode", "nsamples", "burnin", "var_RW", "tile",
-                     "samples_dtype", "matmul_dtype", "interpret"),
+                     "samples_dtype", "matmul_dtype", "interpret",
+                     "approx_recip"),
 )
 def mh_chain_pallas(dec_w, X2, Vb, g, ypre, Z, Vs, seeds, mode="e",
                     nsamples=10, burnin=30, var_RW=0.01, tile=128,
                     samples_dtype=jnp.float32, matmul_dtype=jnp.float32,
-                    interpret=None):
+                    interpret=None, approx_recip=False):
     """Run the fused MH chain over a frames-major batch.
 
     Args (frames-major layout):
@@ -185,7 +191,8 @@ def mh_chain_pallas(dec_w, X2, Vb, g, ypre, Z, Vs, seeds, mode="e",
 
     kernel = _make_chain_kernel(mode, n_steps, burnin, var_RW, tile, L, F,
                                 samples_dtype=samples_dtype,
-                                matmul_dtype=matmul_dtype)
+                                matmul_dtype=matmul_dtype,
+                                approx_recip=approx_recip)
 
     def tiled(shape_tail):
         return pl.BlockSpec(
@@ -344,13 +351,13 @@ def _masked_cost_batched(X2, mask, Vb, g, Vs):
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "update_nmf", "tile", "compute_cost",
-                     "samples_dtype", "matmul_dtype"),
+                     "samples_dtype", "matmul_dtype", "approx_recip"),
 )
 def mcem_batch_fused(vae_params, X_abs2, mask, y, keys,
                      cfg: MCEMConfig = MCEMConfig(), update_nmf=True,
                      Vb_fixed=None, tile=128, compute_cost=True,
                      samples_dtype=jnp.float32,
-                     matmul_dtype=jnp.float32):
+                     matmul_dtype=jnp.float32, approx_recip=False):
     """Full batched MCEM with the fused Pallas chains.
 
     Same contract as engine.mcem_m1_batch / mcem_m2_batch: X_abs2 (B, F, N)
@@ -417,7 +424,7 @@ def mcem_batch_fused(vae_params, X_abs2, mask, y, keys,
             dec_w, X2, Vb, g, ypre, Z, Vs, seeds, mode="e",
             nsamples=cfg.nsamples_E_step, burnin=cfg.burnin_E_step,
             var_RW=cfg.var_RW, tile=tile, samples_dtype=samples_dtype,
-            matmul_dtype=matmul_dtype,
+            matmul_dtype=matmul_dtype, approx_recip=approx_recip,
         )
         W2, H2, g2 = _nmf_m_step_batched(
             X2, mask, W, H, g, samples, s1=s1, s2=s2,
@@ -442,7 +449,7 @@ def mcem_batch_fused(vae_params, X_abs2, mask, y, keys,
     Z, Vs, (ws, wn) = mh_chain_pallas(
         dec_w, X2, Vb, g, ypre, Z, Vs, seeds, mode="wf",
         nsamples=cfg.nsamples_WF, burnin=cfg.burnin_WF, var_RW=cfg.var_RW,
-        tile=tile, matmul_dtype=matmul_dtype,
+        tile=tile, matmul_dtype=matmul_dtype, approx_recip=approx_recip,
     )
     WFs = jnp.swapaxes(ws / cfg.nsamples_WF, 1, 2)       # back to (F,N)
     WFn = jnp.swapaxes(wn / cfg.nsamples_WF, 1, 2)
