@@ -71,24 +71,41 @@ def main():
 
     params = dgm_init(jax.random.PRNGKey(0), [F, y_dim, z_dim, h_dim])
     keys = jax.random.split(jax.random.PRNGKey(1), B)
-    X_p, y_b, mask = map(jnp.asarray, (X_p, y_b, mask))
+
+    # complex mixture spectrograms for the Wiener-filter + ISTFT stages
+    X_tfs = []
+    t_origs = []
+    for i in range(B):
+        T, X_tf, _ = utts[i % len(utts)]
+        X_tfs.append(X_tf)
+        t_origs.append(T)
+    ys = [y_b[i, :, : X_tfs[i].shape[1]] for i in range(B)]
+
+    from guided_vae_nmf_tpu.pipeline import (
+        _enhance_to_audio_jit, _pad_batch, bucket_frames,
+    )
+
+    # Stage the batch on device once (a production sweep overlaps host
+    # transfers with compute; the bench transport here is a development
+    # tunnel whose copy bandwidth is not representative of real H2D).
+    n_pad = bucket_frames(max(X.shape[1] for X in X_tfs))
+    X_c, X_pb, maskb, y_bb = _pad_batch(X_tfs, ys, n_pad)
+    dev_args = tuple(jnp.asarray(a) for a in (
+        np.real(X_c).astype(np.float32), np.imag(X_c).astype(np.float32),
+        X_pb, maskb, y_bb,
+    ))
 
     def run():
-        # Fused Pallas engine, full parity config (cost tracking is a
-        # diagnostic that does not feed the Wiener filters — disabled).
-        if on_tpu:
-            # bf16 sample dumps + approximate reciprocal: both validated
-            # quality-neutral on the trained-model subset run
-            # (|ΔSI-SDR| <= 0.01 dB, |ΔESTOI| <= 0.001; VALIDATION.md).
-            out = mcem_batch_fused(params, X_p, mask, y_b, keys, cfg,
-                                   compute_cost=False,
-                                   samples_dtype=jnp.bfloat16,
-                                   approx_recip=True)
-        else:
-            out = mcem_m2_batch(params, X_p, mask, y_b, keys, cfg)
-        # Fetch a scalar checksum: forces full execution even where the
-        # transport's block_until_ready is over-eager, without a bulk D2H.
-        return float(jnp.sum(out["WFs"]) + jnp.sum(out["cost"]))
+        # Timed device program: MCEM engine + Wiener filtering + batched
+        # masked ISTFT. Fast mode (bf16 sample dumps + approximate
+        # reciprocal) is validated quality-neutral on the trained-model
+        # subset run (|dSI-SDR| <= 0.01 dB, |dESTOI| <= 0.001;
+        # VALIDATION.md).
+        s_est, n_est, WFs, WFn = _enhance_to_audio_jit(
+            params, *dev_args, keys, cfg, use_fused=on_tpu, fast=on_tpu,
+        )
+        # scalar fetch forces completion without a bulk tunnel D2H
+        return float(jnp.sum(s_est[:, :16]) + jnp.sum(WFs[:, 0, 0]))
 
     run()  # compile + warm up
     times = []

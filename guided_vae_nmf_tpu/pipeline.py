@@ -130,6 +130,75 @@ def _pad_batch(X_tfs, ys, n_pad):
     return X_c, X_p, mask, y_b
 
 
+from functools import partial
+
+
+@partial(jax.jit,
+         static_argnames=("cfg", "use_fused", "noise_model", "fast"))
+def _enhance_to_audio_jit(vae_params, X_re, X_im, X_p, mask, y, keys,
+                          cfg, use_fused=True, noise_model="nmf",
+                          fast=False):
+    """One device program: MCEM -> Wiener filtering -> masked batched ISTFT.
+
+    Complex spectrogram arrives as split real/imag f32 (transport-safe);
+    returns (s_est, n_est) padded float32 waveforms plus the WF masks.
+    """
+    update_nmf = noise_model != "spp"
+    Vb_fixed = None
+    if not update_nmf:
+        from .mcem import spp_track_jax
+
+        psd, _ = jax.vmap(spp_track_jax)(X_p)
+        Vb_fixed = jnp.maximum(psd, 1e-6)
+
+    if use_fused:
+        kw = dict(samples_dtype=jnp.bfloat16, approx_recip=True,
+                  compute_cost=False) if fast else {}
+        out = mcem_batch_fused(vae_params, X_p, mask, y, keys, cfg,
+                               update_nmf=update_nmf, Vb_fixed=Vb_fixed,
+                               **kw)
+    elif y is None:
+        out = mcem_m1_batch(vae_params, X_p, mask, keys, cfg,
+                            update_nmf=update_nmf, Vb_fixed=Vb_fixed)
+    else:
+        out = mcem_m2_batch(vae_params, X_p, mask, y, keys, cfg,
+                            update_nmf=update_nmf, Vb_fixed=Vb_fixed)
+    X = X_re + 1j * X_im
+    S = out["WFs"] * X
+    Nc = out["WFn"] * X
+    s_est = jax.vmap(lambda c, m: istft_masked_ri_jax(
+        jnp.real(c), jnp.imag(c), m))(S, mask)
+    n_est = jax.vmap(lambda c, m: istft_masked_ri_jax(
+        jnp.real(c), jnp.imag(c), m))(Nc, mask)
+    return s_est, n_est, out["WFs"], out["WFn"]
+
+
+def enhance_to_audio(vae_params, X_tfs, t_origs, ys=None, keys=None,
+                     cfg: MCEMConfig = MCEMConfig(), bucket_multiple=128,
+                     engine="auto", noise_model="nmf", fast=False):
+    """Batched wav-domain enhancement: complex spectrograms in, trimmed
+    time-domain (s_est, n_est) lists out — engine, Wiener filtering and
+    ISTFT all inside one jit (no host round-trips between stages)."""
+    n_pad = bucket_frames(max(X.shape[1] for X in X_tfs), bucket_multiple)
+    X_c, X_p, mask, y_b = _pad_batch(X_tfs, ys, n_pad)
+    B = len(X_tfs)
+    if keys is None:
+        keys = jax.random.split(jax.random.PRNGKey(0), B)
+    use_fused = _use_fused(engine, vae_params, n_pad)
+    s_est, n_est, _, _ = _enhance_to_audio_jit(
+        vae_params,
+        jnp.asarray(np.real(X_c).astype(np.float32)),
+        jnp.asarray(np.imag(X_c).astype(np.float32)),
+        jnp.asarray(X_p), jnp.asarray(mask),
+        None if ys is None else jnp.asarray(y_b), keys, cfg,
+        use_fused=use_fused, noise_model=noise_model, fast=fast,
+    )
+    s_est = np.asarray(s_est)
+    n_est = np.asarray(n_est)
+    return ([s_est[i][:t] for i, t in enumerate(t_origs)],
+            [n_est[i][:t] for i, t in enumerate(t_origs)])
+
+
 def _istft_batch(S_hat, masks, t_origs):
     """Masked batched ISTFT then per-utterance trim to T_orig. Real/imag are
     shipped as separate f32 buffers (complex64 transfers are unsupported on
@@ -258,10 +327,12 @@ def enhance_files(file_paths, processed_dir, output_dir, vae_params,
             X_tfs = [u["X_tf"] for u in batch]
             ys = ([u["y_hard"] for u in batch]
                   if model_type == "m2" else None)
+            t_origs = [u["T_orig"] for u in batch]
             try:
-                S_hat, N_hat = enhance_batch(
-                    vae_params, X_tfs, ys, keys, cfg, bucket_multiple,
-                    engine=engine, noise_model=noise_model,
+                s_est, n_est = enhance_to_audio(
+                    vae_params, X_tfs, t_origs, ys, keys, cfg,
+                    bucket_multiple, engine=engine,
+                    noise_model=noise_model,
                 )
             except Exception as exc:  # fault-tolerant sweep (SURVEY §7.10)
                 # A crashed worker loses its whole shard in the reference;
@@ -270,34 +341,25 @@ def enhance_files(file_paths, processed_dir, output_dir, vae_params,
                 # unenhanced mixture) instead of aborting the sweep.
                 print(f"batch of {len(batch)} failed ({exc!r}); "
                       "retrying per-utterance")
-                S_hat, N_hat = [], []
+                s_est, n_est = [], []
                 for j, u in enumerate(batch):
                     try:
-                        s1, n1 = enhance_batch(
-                            vae_params, [X_tfs[j]],
+                        s1, n1 = enhance_to_audio(
+                            vae_params, [X_tfs[j]], [t_origs[j]],
                             None if ys is None else [ys[j]],
                             keys[j:j + 1], cfg, bucket_multiple,
                             engine=engine, noise_model=noise_model,
                         )
-                        S_hat.append(s1[0])
-                        N_hat.append(n1[0])
+                        s_est.append(s1[0])
+                        n_est.append(n1[0])
                     except Exception as exc2:
                         print(f"utterance {u['path']} failed ({exc2!r}); "
                               "writing passthrough")
-                        S_hat.append(X_tfs[j])
-                        N_hat.append(np.zeros_like(X_tfs[j]))
-            # ISTFT + write
-            n_max = max(X.shape[1] for X in X_tfs)
-            n_b = bucket_frames(n_max, bucket_multiple)
-            Sb = np.zeros((len(batch), BINS, n_b), np.complex64)
-            mb = np.zeros((len(batch), n_b), np.float32)
-            for j, S in enumerate(S_hat):
-                Sb[j, :, : S.shape[1]] = S
-                mb[j, : S.shape[1]] = 1.0
-            s_est = _istft_batch(Sb, mb, [u["T_orig"] for u in batch])
-            for j, S in enumerate(N_hat):
-                Sb[j, :, : S.shape[1]] = S
-            n_est = _istft_batch(Sb, mb, [u["T_orig"] for u in batch])
+                        x_t, _, _ = load_mixture(os.path.join(
+                            processed_dir,
+                            os.path.splitext(u["path"])[0]))
+                        s_est.append(x_t)
+                        n_est.append(np.zeros_like(x_t))
 
             for j, u in enumerate(batch):
                 base_out = os.path.join(
