@@ -13,6 +13,12 @@ from .pallas_engine import (
     mcem_batch_fused,
     mh_chain_pallas,
 )
+from .peem import (
+    PEEMConfig,
+    peem_run,
+    peem_m1_batch,
+    peem_m2_batch,
+)
 from .spp import (
     SPPNoiseEstimator,
     timo_mask_estimation,

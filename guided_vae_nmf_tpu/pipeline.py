@@ -36,9 +36,12 @@ from .data import read_wav, write_wav
 from .models import classifier_apply
 from .mcem import (
     MCEMConfig,
+    PEEMConfig,
     mcem_m1_batch,
     mcem_m2_batch,
     mcem_batch_fused,
+    peem_m1_batch,
+    peem_m2_batch,
     timo_mask_estimation,
     timo_vad_estimation,
 )
@@ -151,7 +154,12 @@ def _enhance_to_audio_jit(vae_params, X_re, X_im, X_p, mask, y, keys,
         psd, _ = jax.vmap(spp_track_jax)(X_p)
         Vb_fixed = jnp.maximum(psd, 1e-6)
 
-    if use_fused:
+    if isinstance(cfg, PEEMConfig):
+        fn = peem_m1_batch if y is None else peem_m2_batch
+        args = (vae_params, X_p, mask) + (() if y is None else (y,))
+        out = fn(*args, keys, cfg, update_nmf=update_nmf,
+                 Vb_fixed=Vb_fixed)
+    elif use_fused:
         kw = dict(samples_dtype=jnp.bfloat16, approx_recip=True,
                   compute_cost=False) if fast else {}
         out = mcem_batch_fused(vae_params, X_p, mask, y, keys, cfg,

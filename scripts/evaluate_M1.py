@@ -13,6 +13,7 @@ import time
 sys.path.insert(0, ".")
 
 from guided_vae_nmf_tpu.config import PathsConfig, MCEMConfig, apply_overrides
+from guided_vae_nmf_tpu.mcem import PEEMConfig
 from guided_vae_nmf_tpu.data import speech_list
 from guided_vae_nmf_tpu.pipeline import enhance_files
 from _common import load_model, flag
@@ -22,6 +23,10 @@ def main(argv=None):
     argv = argv or sys.argv[1:]
     paths, rest = apply_overrides(PathsConfig(), argv)
     cfg, rest = apply_overrides(MCEMConfig(), rest)
+    if flag(rest, "algorithm", "mcem") == "peem":
+        # point-estimate EM (gradient E-step; arXiv:1905.01209) — ~5-8x
+        # cheaper per iteration than MCEM at near-identical quality
+        cfg, rest = apply_overrides(PEEMConfig(), rest)
     model_path = flag(rest, "model", paths.models_dir)
     output = flag(rest, "output", paths.models_dir + "M1_enhanced/")
     batch_size = flag(rest, "batch_size", 16, int)

@@ -1,0 +1,63 @@
+"""PEEM (point-estimate EM) tests: deterministic E-step, cost descent,
+Wiener-filter partition, batched variants."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from numpy.testing import assert_allclose, assert_array_equal
+
+from guided_vae_nmf_tpu.models import vae_init, dgm_init
+from guided_vae_nmf_tpu.mcem import (
+    PEEMConfig,
+    peem_run,
+    peem_m1_batch,
+    peem_m2_batch,
+)
+
+F, N, L = 33, 24, 4
+CFG = PEEMConfig(niter=8, e_steps=3, nmf_rank=3)
+KEY = jax.random.PRNGKey(0)
+
+
+def test_peem_m1_cost_descends():
+    vae = vae_init(KEY, [F, L, [16]])
+    X = jax.random.uniform(KEY, (F, N)) + 0.05
+    out = peem_run(vae, X, jnp.ones((N,)), None, jax.random.PRNGKey(1), CFG)
+    cost = np.asarray(out["cost"])
+    assert np.all(np.isfinite(cost))
+    assert cost[-1] < cost[0]
+    assert_allclose(np.asarray(out["WFs"] + out["WFn"]), 1.0, atol=1e-5)
+
+
+def test_peem_deterministic_given_key():
+    vae = vae_init(KEY, [F, L, [16]])
+    X = jax.random.uniform(KEY, (F, N)) + 0.05
+    a = peem_run(vae, X, jnp.ones((N,)), None, jax.random.PRNGKey(3), CFG)
+    b = peem_run(vae, X, jnp.ones((N,)), None, jax.random.PRNGKey(3), CFG)
+    assert_array_equal(np.asarray(a["WFs"]), np.asarray(b["WFs"]))
+
+
+def test_peem_m2_batched():
+    y_dim = 6
+    dgm = dgm_init(KEY, [F, y_dim, L, [16]])
+    B = 3
+    X = jax.random.uniform(KEY, (B, F, N)) + 0.05
+    y = (jax.random.uniform(jax.random.PRNGKey(2), (B, y_dim, N)) > 0.5)
+    y = y.astype(jnp.float32)
+    keys = jax.random.split(jax.random.PRNGKey(4), B)
+    out = peem_m2_batch(dgm, X, jnp.ones((B, N)), y, keys, CFG)
+    assert out["WFs"].shape == (B, F, N)
+    assert np.all(np.isfinite(np.asarray(out["WFs"])))
+    c = np.asarray(out["cost"])
+    assert np.all(c[:, -1] < c[:, 0])
+
+
+def test_peem_m1_batched_matches_single():
+    vae = vae_init(KEY, [F, L, [16]])
+    B = 2
+    X = jax.random.uniform(KEY, (B, F, N)) + 0.05
+    keys = jax.random.split(jax.random.PRNGKey(5), B)
+    batched = peem_m1_batch(vae, X, jnp.ones((B, N)), keys, CFG)
+    single = peem_run(vae, X[0], jnp.ones((N,)), None, keys[0], CFG)
+    assert_allclose(np.asarray(batched["WFs"][0]),
+                    np.asarray(single["WFs"]), atol=1e-6)
