@@ -19,3 +19,4 @@ from .runner import (  # noqa: E402  (needs HAS_PESQ defined above)
     compute_metrics_utt,
     compute_metrics_mixture_utt,
 )
+from .polqa import run_polqa, HAS_POLQA  # noqa: E402

@@ -22,6 +22,10 @@ def main(argv=None):
     save_json = flag(rest, "save_json", "false") in ("1", "true")
     run_metrics(paths.input_speech_dir, paths.processed_wav_dir, est_dir,
                 with_f1=False, save_json=save_json)
+    if flag(rest, "polqa", "false") in ("1", "true"):
+        from guided_vae_nmf_tpu.metrics import run_polqa
+
+        run_polqa(paths.input_speech_dir, paths.processed_wav_dir, est_dir)
 
 
 if __name__ == "__main__":

@@ -23,6 +23,13 @@ def main(argv=None):
     z_dim, h_dim = 16, (128,)
     resume = "--resume" in rest and rest[rest.index("--resume") + 1] in (
         "1", "true")
+    data_parallel = "--data_parallel" in rest and rest[
+        rest.index("--data_parallel") + 1] in ("1", "true")
+    mesh = None
+    if data_parallel:
+        from guided_vae_nmf_tpu.parallel import make_mesh
+
+        mesh = make_mesh()  # frame batch sharded over all local devices
     if "--z_dim" in rest:
         z_dim = int(rest[rest.index("--z_dim") + 1])
     if "--h_dim" in rest:
@@ -47,7 +54,7 @@ def main(argv=None):
     model_dir = os.path.join(paths.models_dir, name)
     params, hist = train_m1(
         Xtr, Xva, dims=(513, z_dim, h_dim), cfg=cfg, model_dir=model_dir,
-        name="M1", resume=resume, verbose=True,
+        name="M1", mesh=mesh, resume=resume, verbose=True,
     )
     print(f"done; best valid {min(h['valid'] for h in hist):.2f}; "
           f"checkpoints in {model_dir}")

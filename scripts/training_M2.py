@@ -24,6 +24,13 @@ def main(argv=None):
     z_dim, h_dim = 32, (128, 128)
     resume = "--resume" in rest and rest[rest.index("--resume") + 1] in (
         "1", "true")
+    data_parallel = "--data_parallel" in rest and rest[
+        rest.index("--data_parallel") + 1] in ("1", "true")
+    mesh = None
+    if data_parallel:
+        from guided_vae_nmf_tpu.parallel import make_mesh
+
+        mesh = make_mesh()  # frame batch sharded over all local devices
     if "--labels" in rest:
         labels = rest[rest.index("--labels") + 1]
     if "--z_dim" in rest:
@@ -45,7 +52,7 @@ def main(argv=None):
     model_dir = os.path.join(paths.models_dir, name)
     params, hist = train_m2(
         (Xtr, Ytr), (Xva, Yva), dims=(513, y_dim, z_dim, h_dim), cfg=cfg,
-        model_dir=model_dir, name="M2", resume=resume, verbose=True,
+        model_dir=model_dir, name="M2", mesh=mesh, resume=resume, verbose=True,
     )
     print(f"done; best valid {min(h['valid'] for h in hist):.2f}; "
           f"checkpoints in {model_dir}")

@@ -27,6 +27,13 @@ def main(argv=None):
     eps = 1e-8
     resume = "--resume" in rest and rest[rest.index("--resume") + 1] in (
         "1", "true")
+    data_parallel = "--data_parallel" in rest and rest[
+        rest.index("--data_parallel") + 1] in ("1", "true")
+    mesh = None
+    if data_parallel:
+        from guided_vae_nmf_tpu.parallel import make_mesh
+
+        mesh = make_mesh()  # frame batch sharded over all local devices
     if "--labels" in rest:
         labels = rest[rest.index("--labels") + 1]
     if "--h_dim" in rest:
@@ -54,7 +61,7 @@ def main(argv=None):
     params, hist = train_classifier(
         (Xtr.astype(np.float32), Ytr), (Xva.astype(np.float32), Yva),
         dims=(513, h_dim, y_dim), cfg=cfg, model_dir=model_dir,
-        name="Classifier", mean=mean, std=std, resume=resume, verbose=True,
+        name="Classifier", mean=mean, std=std, mesh=mesh, resume=resume, verbose=True,
     )
     print(f"done; best valid BCE {min(h['valid'] for h in hist):.2f}; "
           f"checkpoints in {model_dir}")

@@ -23,6 +23,13 @@ def main(argv=None):
     cfg, rest = apply_overrides(TrainConfig(end_epoch=100), rest)
     resume = "--resume" in rest and rest[rest.index("--resume") + 1] in (
         "1", "true")
+    data_parallel = "--data_parallel" in rest and rest[
+        rest.index("--data_parallel") + 1] in ("1", "true")
+    mesh = None
+    if data_parallel:
+        from guided_vae_nmf_tpu.parallel import make_mesh
+
+        mesh = make_mesh()  # frame batch sharded over all local devices
     eps = 1e-8
 
     h5 = paths.h5_path("noisy_wiener_labels")
@@ -42,7 +49,7 @@ def main(argv=None):
     params, hist = train_wiener(
         (Xtr.astype(np.float32), Ytr), (Xva.astype(np.float32), Yva),
         dims=(513, (128,) * 5, 513), cfg=cfg, model_dir=model_dir,
-        name="Wiener", mean=mean, std=std, resume=resume, verbose=True,
+        name="Wiener", mean=mean, std=std, mesh=mesh, resume=resume, verbose=True,
     )
     print(f"done; best valid mask-MSE {min(h['valid'] for h in hist):.4f}; "
           f"checkpoints in {model_dir}")
