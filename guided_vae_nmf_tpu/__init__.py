@@ -42,3 +42,14 @@ if _os.environ.get("GVNMF_PLATFORM"):
     import jax as _jax
 
     _jax.config.update("jax_platforms", _os.environ["GVNMF_PLATFORM"])
+
+if _os.environ.get("GVNMF_CACHE_DIR"):
+    # Persistent XLA compilation cache: the fused Pallas kernels take
+    # minutes to compile cold; with the cache a sweep restart reuses them
+    # across processes.
+    import jax as _jax2
+
+    _jax2.config.update(
+        "jax_compilation_cache_dir", _os.environ["GVNMF_CACHE_DIR"]
+    )
+    _jax2.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -4,6 +4,7 @@ from .sweep import (
     sharded_mcem_m2,
     sharded_mcem_fused,
 )
+from . import multihost
 from .mesh import (
     make_mesh,
     batch_sharding,
