@@ -37,7 +37,10 @@ def initialize(coordinator_address=None, num_processes=None,
     coordinator_address = coordinator_address or os.environ.get(
         "JAX_COORDINATOR_ADDRESS"
     )
-    in_pod = os.environ.get("TPU_WORKER_HOSTNAMES") not in (None, "")
+    hosts = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+    # a real pod var is a comma-separated host list; tooling sometimes
+    # injects warning strings there
+    in_pod = bool(hosts) and " " not in hosts and "," in hosts
     if coordinator_address is None and not in_pod:
         return  # single-host run
     kwargs = {}
