@@ -66,6 +66,11 @@ def _load():
         ctypes.c_char_p, ctypes.c_double, ctypes.c_int, ctypes.c_double,
         ctypes.c_double, ctypes.POINTER(ctypes.c_float), ctypes.c_long,
     ]
+    lib.gvnmf_stft_complex.restype = ctypes.c_int
+    lib.gvnmf_stft_complex.argtypes = [
+        ctypes.POINTER(ctypes.c_double), ctypes.c_long, ctypes.c_int,
+        ctypes.c_double, ctypes.c_double, ctypes.POINTER(ctypes.c_float),
+    ]
     _lib = lib
     return _lib
 
@@ -110,6 +115,26 @@ def stft_power_native(x, fs=16000, wlen_sec=64e-3, hop_percent=0.25):
     if rc != 0:
         raise RuntimeError("native stft failed")
     return out.T
+
+
+def stft_complex_native(x, fs=16000, wlen_sec=64e-3, hop_percent=0.25):
+    """Native complex STFT -> (bins, frames) complex64 (the reference
+    orientation)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native loader unavailable")
+    x = np.ascontiguousarray(x, np.float64)
+    frames = lib.gvnmf_frame_count(len(x), fs, wlen_sec, hop_percent)
+    bins = lib.gvnmf_bins(fs, wlen_sec)
+    out = np.empty((frames, bins, 2), np.float32)
+    rc = lib.gvnmf_stft_complex(
+        x.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), len(x), fs,
+        wlen_sec, hop_percent,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    if rc != 0:
+        raise RuntimeError("native stft failed")
+    return out.view(np.complex64)[..., 0].T
 
 
 def load_power_native(path, cut_sec=0.1, fs=16000, wlen_sec=64e-3,

@@ -60,7 +60,18 @@ def bucket_frames(n_frames, bucket_multiple=128):
 
 
 def load_mixture(path_base):
-    """Read `<base>_x.wav` -> (x_t, T_orig, X_tf (F, N) complex64)."""
+    """Read `<base>_x.wav` -> (x_t, T_orig, X_tf (F, N) complex64).
+
+    Uses the native C++ decode+STFT when the library is built (exact
+    parity, GIL-free; tests/data/test_native.py), falling back to the
+    numpy path."""
+    from .data import native_loader
+
+    if native_loader.is_available():
+        x_t, fs = native_loader.read_wav_native(path_base + "_x.wav")
+        assert fs == FS
+        X_tf = native_loader.stft_complex_native(x_t)
+        return x_t, len(x_t), X_tf
     x_t, fs = read_wav(path_base + "_x.wav")
     assert fs == FS
     X_tf = stft(x_t, fs=FS, wlen_sec=NFFT / FS, hop_percent=HOP / NFFT)

@@ -293,6 +293,39 @@ int gvnmf_stft_power(const double* x, long n, int fs, double wlen_sec,
   return 0;
 }
 
+// Complex STFT of a float64 signal: out_ri is interleaved (frames, bins, 2)
+// float32 [re, im] — numpy-compatible complex64 after a view cast. Returns 0.
+int gvnmf_stft_complex(const double* x, long n, int fs, double wlen_sec,
+                       double hop_percent, float* out_ri) {
+  StftPlan p = make_plan(fs, wlen_sec, hop_percent);
+  int bins = p.nfft / 2 + 1;
+  int half = p.nfft / 2;
+  double q = (static_cast<double>(n) / fs) / wlen_sec / hop_percent;
+  long n_eff = (std::ceil(q) != std::floor(q)) ? n + p.hop : n;
+  long frames = 1 + n_eff / p.hop;
+  auto sample = [&](long idx) -> double {
+    long i = idx - half;
+    long m = n_eff;
+    if (i < 0) i = -i;
+    if (i >= m) i = 2 * (m - 1) - i;
+    if (i < 0) i = 0;
+    return (i < n) ? x[i] : 0.0;
+  };
+  std::vector<std::complex<double>> buf(p.nfft);
+  for (long f = 0; f < frames; ++f) {
+    long start = f * p.hop;
+    for (int i = 0; i < p.nfft; ++i)
+      buf[i] = std::complex<double>(sample(start + i) * p.window[i], 0.0);
+    fft_inplace(buf.data(), p.nfft);
+    float* col = out_ri + f * bins * 2;
+    for (int b = 0; b < bins; ++b) {
+      col[2 * b] = static_cast<float>(buf[b].real());
+      col[2 * b + 1] = static_cast<float>(buf[b].imag());
+    }
+  }
+  return 0;
+}
+
 // Fused loader: decode + cut leading seconds + peak-normalize + STFT power.
 // Returns frame count, fills out (frames, bins) up to out_capacity floats;
 // -1 on decode error, -2 on unexpected sample rate.

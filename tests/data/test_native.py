@@ -53,6 +53,19 @@ def test_stft_power_matches_python():
         assert_allclose(nat, ref, rtol=1e-5, atol=1e-7 * ref.max())
 
 
+def test_stft_complex_matches_python():
+    from guided_vae_nmf_tpu.data.native_loader import stft_complex_native
+
+    rng = np.random.RandomState(2)
+    for n in (16000, 16001):
+        x = 0.3 * rng.randn(n)
+        ref = stft(x)
+        nat = stft_complex_native(x)
+        assert nat.shape == ref.shape and nat.dtype == np.complex64
+        scale = np.abs(ref).max()
+        assert_allclose(nat, ref, atol=1e-5 * scale)
+
+
 @pytest.mark.skipif(not has_reference_data(), reason="subset absent")
 def test_fused_load_power_matches_pipeline():
     raw = f"{REFERENCE_DATA}/raw/"
