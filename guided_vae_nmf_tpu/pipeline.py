@@ -338,8 +338,11 @@ def enhance_files(file_paths, processed_dir, output_dir, vae_params,
 
     key = jax.random.PRNGKey(seed)
     for n_pad, idxs in sorted(groups.items()):
-        for lo in range(0, len(idxs), batch_size):
-            sel = idxs[lo: lo + batch_size]
+        # keep batch x frames roughly constant so the E-step sample buffer
+        # (B, R, F, N) stays within HBM for long-utterance buckets
+        eff_batch = max(1, batch_size * 512 // max(n_pad, 512))
+        for lo in range(0, len(idxs), eff_batch):
+            sel = idxs[lo: lo + eff_batch]
             batch = [utts[i] for i in sel]
             key, sub = jax.random.split(key)
             keys = jax.random.split(sub, len(batch))
