@@ -111,6 +111,23 @@ def test_mcem_batch_fused_end_to_end_shapes():
     assert np.all(np.isfinite(np.asarray(out["WFs"])))
 
 
+def test_vad_guided_y_dim_1():
+    """M2-VAD: a single guidance row (y_dim=1) conditions the decoder."""
+    dgm = dgm_init(KEY, [F, 1, L, [H, H]])
+    X = jax.random.uniform(jax.random.PRNGKey(7), (B, F, N)) + 0.05
+    y = (jax.random.uniform(jax.random.PRNGKey(8), (B, 1, N)) > 0.5)
+    y = y.astype(jnp.float32)
+    mask = jnp.ones((B, N))
+    keys = jax.random.split(jax.random.PRNGKey(9), B)
+    cfg = MCEMConfig(niter=2, nsamples_E_step=2, burnin_E_step=1,
+                     nsamples_WF=2, burnin_WF=1, nmf_rank=3)
+    out = mcem_batch_fused(dgm, X, mask, y, keys, cfg)
+    assert np.all(np.isfinite(np.asarray(out["WFs"])))
+    # conditioning is live: all-ones vs all-zeros VAD give different filters
+    out0 = mcem_batch_fused(dgm, X, mask, jnp.zeros_like(y), keys, cfg)
+    assert not np.allclose(np.asarray(out["WFs"]), np.asarray(out0["WFs"]))
+
+
 def test_bf16_sample_mode_runs():
     dgm, *_ = _setup()
     X = jax.random.uniform(jax.random.PRNGKey(7), (B, F, N)) + 0.05

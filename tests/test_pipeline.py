@@ -138,6 +138,21 @@ def test_enhance_files_m1_vad_free(tmp_path):
     assert not glob(str(tmp_path / "**/*_ibm_*"), recursive=True)
 
 
+def test_fault_tolerant_sweep_passthrough(tmp_path):
+    """A model whose dimensions cannot process the input must not abort
+    the sweep: the failed utterances degrade to mixture passthrough."""
+    files = _test_files()[:2]
+    bad_vae = vae_init(KEY, [64, 8, [32]])  # x_dim 64 != 513 -> raises
+    enhance_files(files, PROCESSED, str(tmp_path), bad_vae,
+                  model_type="m1", cfg=FAST_CFG)
+    for p in files:
+        base = str(tmp_path / os.path.splitext(p)[0])
+        s_est, _ = read_wav(base + "_s_est.wav")
+        x, _ = read_wav(os.path.join(PROCESSED,
+                                     os.path.splitext(p)[0]) + "_x.wav")
+        assert_allclose(s_est, x, atol=2.0 / 32768)  # passthrough
+
+
 def test_enhance_files_wiener(tmp_path):
     files = _test_files()
     w = classifier_init(KEY, [513, [16] * 5, 513])

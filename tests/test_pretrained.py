@@ -83,6 +83,18 @@ def test_m2_ibm_oracle_improves_si_sdr(mixtures, tmp_path):
     assert max(deltas) > 2.0  # clear win on at least one utterance
 
 
+def test_m2_vad_oracle_runs(mixtures, tmp_path):
+    m2 = load_params(best_checkpoint(os.path.join(ART, "M2_vad")),
+                     static={"y_dim": 1})
+    files = speech_list(f"{REFERENCE_DATA}/raw/", "test")[:1]
+    est = str(tmp_path / "est")
+    enhance_files(files, mixtures, est, m2, model_type="m2",
+                  classif_type="oracle", target="vad",
+                  cfg=MCEMConfig(niter=5), batch_size=2)
+    before, after = _si_sdr_delta(mixtures, est, files[0])
+    assert np.isfinite(after)
+
+
 def test_wiener_dnn_baseline_runs(mixtures, tmp_path):
     w = load_params(best_checkpoint(os.path.join(ART, "wiener")),
                     static={"batch_norm": False})
