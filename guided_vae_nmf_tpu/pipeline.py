@@ -155,8 +155,15 @@ def _enhance_to_audio_jit(vae_params, X_re, X_im, X_p, mask, y, keys,
     """One device program: MCEM -> Wiener filtering -> masked batched ISTFT.
 
     Complex spectrogram arrives as split real/imag f32 (transport-safe);
-    returns (s_est, n_est) padded float32 waveforms plus the WF masks.
+    X_p may be None (computed on device as re^2+im^2 with benign pad
+    frames) and y may be uint8 (cast on device) — both halve host->device
+    traffic on slow transports. Returns (s_est, n_est) padded float32
+    waveforms plus the WF masks.
     """
+    if X_p is None:
+        X_p = jnp.where(mask[:, None, :] > 0, X_re**2 + X_im**2, 1.0)
+    if y is not None and y.dtype != jnp.float32:
+        y = y.astype(jnp.float32)
     update_nmf = noise_model != "spp"
     Vb_fixed = None
     if not update_nmf:
@@ -312,9 +319,10 @@ def enhance_files(file_paths, processed_dir, output_dir, vae_params,
     group is enhanced as one device batch. Returns wall-clock seconds.
     """
     t_start = time.perf_counter()
-    # Load + label everything (host, IO-bound)
-    utts = []
-    for path in file_paths:
+
+    # Load + label everything with a host thread pool (IO-bound; the
+    # native C++ loader releases the GIL, so decode+STFT run in parallel)
+    def load_one(path):
         base_in = os.path.join(processed_dir, os.path.splitext(path)[0])
         x_t, T_orig, X_tf = load_mixture(base_in)
         y_soft, y_hard = None, None
@@ -326,17 +334,25 @@ def enhance_files(file_paths, processed_dir, output_dir, vae_params,
                 target=target, quantile_fraction=quantile_fraction,
                 quantile_weight=quantile_weight,
             )
-        utts.append({
-            "path": path, "T_orig": T_orig, "X_tf": X_tf,
-            "y_soft": y_soft, "y_hard": y_hard,
-        })
+        return {"path": path, "T_orig": T_orig, "X_tf": X_tf,
+                "y_soft": y_soft, "y_hard": y_hard}
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        utts = list(pool.map(load_one, file_paths))
 
     # Bucket by padded length
     groups = defaultdict(list)
     for i, u in enumerate(utts):
         groups[bucket_frames(u["X_tf"].shape[1], bucket_multiple)].append(i)
 
+    # Phase 1 — dispatch every batch asynchronously: hard labels travel as
+    # uint8 and |X|^2 is recomputed on device, shrinking host->device
+    # traffic; JAX's async dispatch overlaps each batch's transfer with
+    # the previous batch's compute.
     key = jax.random.PRNGKey(seed)
+    pending = []
     for n_pad, idxs in sorted(groups.items()):
         # keep batch x frames roughly constant so the E-step sample buffer
         # (B, R, F, N) stays within HBM for long-utterance buckets
@@ -349,52 +365,77 @@ def enhance_files(file_paths, processed_dir, output_dir, vae_params,
             X_tfs = [u["X_tf"] for u in batch]
             ys = ([u["y_hard"] for u in batch]
                   if model_type == "m2" else None)
-            t_origs = [u["T_orig"] for u in batch]
+            n_b = bucket_frames(max(X.shape[1] for X in X_tfs),
+                                bucket_multiple)
+            X_c, _, mask_b, y_b = _pad_batch(X_tfs, ys, n_b)
+            use_fused = _use_fused(engine, vae_params, n_b)
             try:
-                s_est, n_est = enhance_to_audio(
-                    vae_params, X_tfs, t_origs, ys, keys, cfg,
-                    bucket_multiple, engine=engine,
+                out = _enhance_to_audio_jit(
+                    vae_params,
+                    jnp.asarray(np.real(X_c).astype(np.float32)),
+                    jnp.asarray(np.imag(X_c).astype(np.float32)),
+                    None, jnp.asarray(mask_b),
+                    None if y_b is None else jnp.asarray(
+                        y_b.astype(np.uint8)),
+                    keys, cfg, use_fused=use_fused,
                     noise_model=noise_model,
                 )
-            except Exception as exc:  # fault-tolerant sweep (SURVEY §7.10)
-                # A crashed worker loses its whole shard in the reference;
-                # here the batch is retried one utterance at a time, and an
-                # utterance that still fails degrades to passthrough (the
-                # unenhanced mixture) instead of aborting the sweep.
-                print(f"batch of {len(batch)} failed ({exc!r}); "
-                      "retrying per-utterance")
-                s_est, n_est = [], []
-                for j, u in enumerate(batch):
-                    try:
-                        s1, n1 = enhance_to_audio(
-                            vae_params, [X_tfs[j]], [t_origs[j]],
-                            None if ys is None else [ys[j]],
-                            keys[j:j + 1], cfg, bucket_multiple,
-                            engine=engine, noise_model=noise_model,
-                        )
-                        s_est.append(s1[0])
-                        n_est.append(n1[0])
-                    except Exception as exc2:
-                        print(f"utterance {u['path']} failed ({exc2!r}); "
-                              "writing passthrough")
-                        x_t, _, _ = load_mixture(os.path.join(
-                            processed_dir,
-                            os.path.splitext(u["path"])[0]))
-                        s_est.append(x_t)
-                        n_est.append(np.zeros_like(x_t))
+            except Exception as exc:
+                out = exc
+            pending.append((batch, X_tfs, ys, keys, out))
 
+    # Phase 2 — fetch results in dispatch order and write outputs;
+    # fault-tolerant (SURVEY §7.10): a failed batch is retried one
+    # utterance at a time, and an utterance that still fails degrades to
+    # mixture passthrough instead of aborting the sweep.
+    for n_batch, (batch, X_tfs, ys, keys, out) in enumerate(pending):
+        t_origs = [u["T_orig"] for u in batch]
+        try:
+            if isinstance(out, Exception):
+                raise out
+            s_pad = np.asarray(out[0])
+            n_pad_arr = np.asarray(out[1])
+            if not np.all(np.isfinite(s_pad)):
+                raise FloatingPointError("non-finite enhancement output")
+            s_est = [s_pad[j][:t] for j, t in enumerate(t_origs)]
+            n_est = [n_pad_arr[j][:t] for j, t in enumerate(t_origs)]
+        except Exception as exc:
+            print(f"batch of {len(batch)} failed ({exc!r}); "
+                  "retrying per-utterance")
+            s_est, n_est = [], []
             for j, u in enumerate(batch):
-                base_out = os.path.join(
-                    output_dir, os.path.splitext(u["path"])[0]
-                )
-                os.makedirs(os.path.dirname(base_out), exist_ok=True)
-                write_wav(base_out + "_s_est.wav", s_est[j], FS)
-                write_wav(base_out + "_n_est.wav", n_est[j], FS)
-                if u["y_soft"] is not None:
-                    np.save(base_out + "_ibm_soft_est.npy", u["y_soft"])
-                    np.save(base_out + "_ibm_hard_est.npy", u["y_hard"])
-            if verbose:
-                print(f"bucket {n_pad}: enhanced {len(batch)} utterances")
+                try:
+                    s1, n1 = enhance_to_audio(
+                        vae_params, [X_tfs[j]], [t_origs[j]],
+                        None if ys is None else [ys[j]],
+                        keys[j:j + 1], cfg, bucket_multiple,
+                        engine=engine, noise_model=noise_model,
+                    )
+                    s_est.append(s1[0])
+                    n_est.append(n1[0])
+                except Exception as exc2:
+                    print(f"utterance {u['path']} failed ({exc2!r}); "
+                          "writing passthrough")
+                    x_t, _, _ = load_mixture(os.path.join(
+                        processed_dir, os.path.splitext(u["path"])[0]))
+                    s_est.append(x_t)
+                    n_est.append(np.zeros_like(x_t))
+
+        for j, u in enumerate(batch):
+            base_out = os.path.join(
+                output_dir, os.path.splitext(u["path"])[0]
+            )
+            os.makedirs(os.path.dirname(base_out), exist_ok=True)
+            write_wav(base_out + "_s_est.wav", s_est[j], FS)
+            write_wav(base_out + "_n_est.wav", n_est[j], FS)
+            if u["y_soft"] is not None:
+                # compact dtypes (soft f16, hard u8); consumers cast
+                np.save(base_out + "_ibm_soft_est.npy",
+                        u["y_soft"].astype(np.float16))
+                np.save(base_out + "_ibm_hard_est.npy",
+                        u["y_hard"].astype(np.uint8))
+        if verbose:
+            print(f"batch {n_batch}: enhanced {len(batch)} utterances")
     return time.perf_counter() - t_start
 
 
