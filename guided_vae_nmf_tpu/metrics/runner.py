@@ -38,10 +38,12 @@ def _maybe_pesq(s, s_hat):
 
 
 def compute_metrics_utt(args):
-    """One utterance: returns a metric tuple (reference
-    run_metrics_M2.py:102-163)."""
+    """One utterance: returns a metric tuple; optionally renders the
+    reference's per-utterance inspection figure with the metrics in the
+    title (reference run_metrics_M1.py:117-139,
+    run_metrics_M2.py:102-200)."""
     (processed_dir, est_dir, path, with_f1, target, quantile_fraction,
-     quantile_weight) = args
+     quantile_weight, make_figures) = args
     base_p = os.path.join(processed_dir, os.path.splitext(path)[0])
     base_e = os.path.join(est_dir, os.path.splitext(path)[0])
 
@@ -57,6 +59,27 @@ def compute_metrics_utt(args):
     p = _maybe_pesq(s, s_hat)
     if p is not None:  # pragma: no cover
         row.append(p)
+
+    if make_figures:
+        import matplotlib
+
+        matplotlib.use("pdf")
+        import matplotlib.pyplot as plt
+
+        from ..viz import display_multiple_signals
+
+        x, _ = read_wav(base_p + "_x.wav")
+        fig = display_multiple_signals(
+            [[s, stft(s), None], [x[:ln], stft(x[:ln]), None],
+             [s_hat, stft(s_hat), None]],
+            titles=["clean", "mixture", "enhanced"],
+        )
+        fig.suptitle(
+            f"SI-SDR {si_sdr:.1f} dB | SI-SIR {si_sir:.1f} | "
+            f"SI-SAR {si_sar:.1f} | ESTOI {estoi_v:.3f}"
+        )
+        fig.savefig(base_e + "_fig.png", dpi=40)
+        plt.close(fig)
 
     if with_f1:
         y_hard = np.load(base_e + "_ibm_hard_est.npy")
@@ -98,7 +121,7 @@ def run_metrics(input_speech_dir, processed_dir, est_dir=None,
                 dataset_type="test", with_f1=False, target="ibm",
                 quantile_fraction=0.98, quantile_weight=0.999,
                 max_workers=8, confidence=0.95, save_json=False,
-                mixture_floor=False, serial=False):
+                mixture_floor=False, serial=False, make_figures=False):
     """Sweep the test list, aggregate, print tables; returns
     (metric_keys, rows, snr_list, stats)."""
     files = speech_list(input_speech_dir, dataset_type)
@@ -116,7 +139,7 @@ def run_metrics(input_speech_dir, processed_dir, est_dir=None,
     else:
         args = [
             (processed_dir, est_dir, p, with_f1, target, quantile_fraction,
-             quantile_weight)
+             quantile_weight, make_figures)
             for p in files
         ]
         fn = compute_metrics_utt

@@ -20,8 +20,9 @@ def main(argv=None):
     paths, rest = apply_overrides(PathsConfig(), argv)
     est_dir = flag(rest, "est_dir", paths.models_dir + "M1_enhanced/")
     save_json = flag(rest, "save_json", "false") in ("1", "true")
+    figures = flag(rest, "figures", "false") in ("1", "true")
     run_metrics(paths.input_speech_dir, paths.processed_wav_dir, est_dir,
-                with_f1=False, save_json=save_json)
+                with_f1=False, save_json=save_json, make_figures=figures)
     if flag(rest, "polqa", "false") in ("1", "true"):
         from guided_vae_nmf_tpu.metrics import run_polqa
 

@@ -21,8 +21,10 @@ def main(argv=None):
                    paths.models_dir + "M2_ibm_dnn_enhanced/")
     target = flag(rest, "target", "ibm")
     save_json = flag(rest, "save_json", "false") in ("1", "true")
+    figures = flag(rest, "figures", "false") in ("1", "true")
     run_metrics(paths.input_speech_dir, paths.processed_wav_dir, est_dir,
-                with_f1=True, target=target, save_json=save_json)
+                with_f1=True, target=target, save_json=save_json,
+                make_figures=figures)
 
 
 if __name__ == "__main__":
