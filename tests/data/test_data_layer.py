@@ -128,6 +128,36 @@ def test_create_clean_frames_matches_golden(tmp_path):
 
 
 @pytest.mark.skipif(not has_reference_data(), reason="reference subset absent")
+def test_h5_attrs_self_describe_recompute(tmp_path):
+    """The reference's golden-metadata round trip (reference
+    tests/dataset/test_csr1_wjs0_dataset_h5.py): recompute the STFT of an
+    utterance using ONLY the parameters stored in the H5 attrs and verify
+    exact equality with the stored frame columns."""
+    out = str(tmp_path / "clean.h5")
+    create_clean_frames(f"{REFERENCE_DATA}/raw/", out,
+                        dataset_types=("train",), labels="labels",
+                        quantile_fraction=0.98)
+    r = H5FrameReader(out, "train")
+    attrs = r.attrs
+    raw_dir = f"{REFERENCE_DATA}/raw/"
+    path = speech_list(raw_dir, "train")[0]
+    x, fs = read_wav(raw_dir + path)
+    assert fs == attrs["fs"]
+    x = x[int(0.1 * attrs["fs"]):]
+    x = x / np.max(np.abs(x))
+    S = stft(x, fs=attrs["fs"], wlen_sec=attrs["wlen_sec"],
+             win=attrs["win"], hop_percent=attrs["hop_percent"],
+             dtype=attrs["dtype"])
+    power = (np.abs(S) ** 2).astype(np.float32)
+    stored = r.X[:, : power.shape[1]]
+    assert_allclose(stored, power, rtol=1e-6)
+    ibm = clean_speech_IBM(S, attrs["quantile_fraction"],
+                           attrs["quantile_weight"])
+    np.testing.assert_array_equal(r.Y[:, : ibm.shape[1]], ibm)
+    r.close()
+
+
+@pytest.mark.skipif(not has_reference_data(), reason="reference subset absent")
 def test_create_noisy_and_test_mixtures(tmp_path):
     rng = np.random.RandomState(5)
     noise = {"cafe": 0.1 * rng.randn(FS * 60),

@@ -56,6 +56,21 @@ def test_batch_determinism():
     assert_array_equal(np.asarray(a["WFs"]), np.asarray(b["WFs"]))
 
 
+def test_early_stopping_engine_m2():
+    y_dim = 5
+    dgm = dgm_init(jax.random.PRNGKey(0), [F, y_dim, L, [16]])
+    X = jax.random.uniform(jax.random.PRNGKey(1), (F, N)) + 0.05
+    y = (jax.random.uniform(jax.random.PRNGKey(2), (y_dim, N)) > 0.5)
+    y = y.astype(jnp.float32)
+    cfg = MCEMConfig(niter=20, nsamples_E_step=2, burnin_E_step=2,
+                     nsamples_WF=2, burnin_WF=2, nmf_rank=3)
+    out = mcem_run_converged(dgm, X, jnp.ones((N,)), y,
+                             jax.random.PRNGKey(6), cfg, tol=1e-3,
+                             check_every=5)
+    assert np.all(np.isfinite(np.asarray(out["WFs"])))
+    assert out["iters"] <= cfg.niter
+
+
 def test_early_stopping_engine():
     vae, X, mask = _problem()
     cfg = MCEMConfig(niter=40, nsamples_E_step=2, burnin_E_step=2,
