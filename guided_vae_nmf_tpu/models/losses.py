@@ -65,6 +65,15 @@ def binary_cross_entropy(r, x, eps):
     )
 
 
+def binary_cross_entropy_logits(z, x):
+    """Numerically stable BCE from logits: identical objective to
+    :func:`binary_cross_entropy` applied to sigmoid(z) (up to the eps
+    regularizer), with bounded gradients when sigmoids saturate. Sum over
+    bins, mean over batch (the reference convention, utils.py:55-56)."""
+    per = jnp.maximum(z, 0.0) - z * x + jnp.log1p(jnp.exp(-jnp.abs(z)))
+    return jnp.mean(jnp.sum(per, axis=-1))
+
+
 def binary_cross_entropy_2classes(r1, r2, x, eps):
     """Two-head BCE for the softmax classifier (reference utils.py:58-59)."""
     return -jnp.mean(

@@ -225,6 +225,18 @@ def classifier_apply(params, x, train=False):
     return y
 
 
+def classifier_apply_logits(params, x):
+    """Pre-sigmoid logits — for the numerically stable training loss (the
+    eps-form BCE's gradient blows up to 1/eps once sigmoids saturate)."""
+    h = x
+    for i, layer in enumerate(params["hidden"]):
+        h = linear_apply(layer, h)
+        if params.get("batch_norm"):
+            h, _ = _bn_apply(params["bn"][i], h, False)
+        h = jax.nn.relu(h)
+    return linear_apply(params["out"], h)
+
+
 def classifier2_init(key, dims, batch_norm=False):
     """Two-class softmax-per-bin variant (reference models.py:64-88): output
     layer is 2*y_dim wide, reshaped to (batch, 2, y_dim) and softmaxed over

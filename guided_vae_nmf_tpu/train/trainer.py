@@ -34,6 +34,7 @@ from ..models import (
     classifier_apply,
     elbo,
     binary_cross_entropy,
+    binary_cross_entropy_logits,
     mean_square_error_mask,
 )
 from ..data.h5io import frame_batches
@@ -80,9 +81,12 @@ def m2_loss(params, batch, key, eps):
 
 def classifier_loss(params, batch, key, eps):
     x, y = batch
-    y_hat = classifier_apply(params, x)
-    loss = binary_cross_entropy(y_hat, y, eps)
-    y_hard = (y_hat > 0.5).astype(jnp.float32)
+    from ..models.nets import classifier_apply_logits
+
+    z = classifier_apply_logits(params, x)
+    # stable logits-form BCE == the reference's sigmoid+log objective
+    loss = binary_cross_entropy_logits(z, y)
+    y_hard = (z > 0.0).astype(jnp.float32)
     aux = {
         "tp": jnp.sum(y * y_hard),
         "tn": jnp.sum((1 - y) * (1 - y_hard)),
