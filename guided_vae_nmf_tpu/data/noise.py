@@ -121,6 +121,50 @@ def write_preprocessed_noise(output_noise_dir, dataset_type, noise_type,
     return path
 
 
+def synthetic_noise_bank(clean_streams=None, seed=11, duration_sec=60,
+                         fs=FS):
+    """Six-family synthetic noise bank for training when the DEMAND/QUT
+    corpora are unavailable: white, three AR(1)-colored spectra, an
+    amplitude-modulated colored noise (nonstationary), and — when clean
+    speech is supplied — a 6-talker babble built by overlap-summing random
+    stretches of the given utterances. Peak-normalized 60 s recordings,
+    deterministic under `seed`.
+
+    This bank is what the shipped pretrained checkpoints were trained with
+    (scripts/pretrain_subset.py); diversity here is what makes the
+    small-data models transfer to real noise (VALIDATION.md).
+    """
+    from scipy.signal import lfilter
+
+    r = np.random.RandomState(seed)
+    n_samp = int(duration_sec * fs)
+    bank = {}
+    white = r.randn(n_samp)
+    bank["white"] = white / np.abs(white).max()
+    for name, a in [("low", 0.9), ("mid", 0.6), ("brown", 0.98)]:
+        n = lfilter([1], [1, -a], r.randn(n_samp))
+        bank[name] = n / np.abs(n).max()
+    n = lfilter([1], [1, -0.8], r.randn(n_samp))
+    t = np.arange(n_samp) / fs
+    env = 0.4 + 0.6 * np.abs(
+        np.sin(2 * np.pi * 1.3 * t) * np.sin(2 * np.pi * 0.31 * t + 1)
+    )
+    bank["mod"] = (n * env) / np.abs(n * env).max()
+    if clean_streams:
+        bab = np.zeros(n_samp)
+        for _ in range(6):
+            stream = np.concatenate(
+                [clean_streams[r.randint(len(clean_streams))]
+                 for _ in range(40)]
+            )
+            off = (r.randint(len(stream) - n_samp)
+                   if len(stream) > n_samp else 0)
+            seg = stream[off: off + n_samp]
+            bab[: len(seg)] += seg
+        bank["babble"] = bab / np.abs(bab).max()
+    return bank
+
+
 def snr_gain(speech, noise, snr_db):
     """k such that mixing s + sqrt(k)*n realizes `snr_db` (reference
     create_noisy_train_set.py:237-242)."""

@@ -1,0 +1,134 @@
+"""Reproduce the shipped pretrained checkpoints (artifacts/pretrained)
+from the bundled subset: build a diverse-noise labeled frame set from all
+15 clean utterances (WSJ0 si_tr_s/si_dt_05 + NTCD-TIMIT), train all six
+model families, and copy the best checkpoint of each into --out.
+
+Usage: GVNMF_PLATFORM=cpu python scripts/pretrain_subset.py
+       [--out artifacts/pretrained] [--epochs 300]
+"""
+
+import glob
+import os
+import shutil
+import sys
+
+sys.path.insert(0, ".")
+
+import numpy as np
+
+from guided_vae_nmf_tpu.data import read_wav
+from guided_vae_nmf_tpu.data.noise import synthetic_noise_bank, noise_segment
+from guided_vae_nmf_tpu.dsp import (
+    stft, clean_speech_IBM, clean_speech_VAD, ideal_wiener_mask,
+)
+from guided_vae_nmf_tpu.train import (
+    TrainConfig, train_m1, train_m2, train_classifier, train_wiener,
+)
+from guided_vae_nmf_tpu.train.checkpoints import best_checkpoint
+from _common import flag
+
+SUB = "/root/reference/data/subset"
+FS = 16000
+
+
+def load_clean(p):
+    x, fs = read_wav(p)
+    if x.ndim > 1:
+        x = x[:, 0]
+    x = x[int(0.1 * FS):]
+    return x / np.max(np.abs(x))
+
+
+def clean_frames(clean):
+    return np.concatenate(
+        [(np.abs(stft(x)) ** 2).astype(np.float32) for x in clean], 1
+    ).T
+
+
+def build(clean, noise, seed, n_mix=4,
+          snrs=(-5, -2.5, 0, 2.5, 5.0)):
+    rng = np.random.RandomState(seed)
+    types = list(noise)
+    X, Yibm, Yvad, Ywf = [], [], [], []
+    for x in clean:
+        s_tf = stft(x)
+        for _ in range(n_mix):
+            snr = rng.choice(snrs)
+            np.random.seed(rng.randint(1 << 30))
+            nz = noise_segment(noise, types[rng.randint(len(types))], x)
+            k = np.sum(x**2) * 10 ** (-snr / 10) / np.sum(nz**2)
+            nz = nz * np.sqrt(k)
+            X.append((np.abs(stft(x + nz)) ** 2).astype(np.float32))
+            Yibm.append(clean_speech_IBM(s_tf, 0.999, 0.999))
+            Yvad.append(clean_speech_VAD(s_tf, 0.999, 0.999))
+            Ywf.append(ideal_wiener_mask(s_tf, stft(nz)).astype(np.float32))
+    cat = lambda a: np.concatenate(a, 1).T  # noqa: E731
+    return cat(X), cat(Yibm), cat(Yvad), cat(Ywf)
+
+
+def main(argv=None):
+    argv = argv or sys.argv[1:]
+    out = flag(argv, "out", "artifacts/pretrained")
+    epochs = flag(argv, "epochs", 300, int)
+    work = flag(argv, "work", "/tmp/gvnmf_pretrain")
+
+    wsj = sorted(glob.glob(
+        f"{SUB}/raw/CSR-1-WSJ-0/WAV/wsj0/si_tr_s/**/*.wav", recursive=True))
+    wsj_dt = sorted(glob.glob(
+        f"{SUB}/raw/CSR-1-WSJ-0/WAV/wsj0/si_dt_05/**/*.wav", recursive=True))
+    ntcd = sorted(glob.glob(
+        f"{SUB}/raw/ntcd_timit/**/*.wav", recursive=True))
+    clean_tr = [load_clean(p) for p in wsj + ntcd[:10]]
+    clean_va = [load_clean(p) for p in wsj_dt + ntcd[10:]]
+
+    noise = synthetic_noise_bank(clean_tr)
+    Xtr, Yibm_tr, Yvad_tr, Ywf_tr = build(clean_tr, noise, 0)
+    Xva, Yibm_va, Yvad_va, Ywf_va = build(clean_va, noise, 1)
+    print(f"frames: train {Xtr.shape} valid {Xva.shape}")
+
+    cfg = TrainConfig(end_epoch=epochs, batch_size=256)
+    cfg_cls = TrainConfig(end_epoch=max(1, epochs // 2), batch_size=256)
+    eps = 1e-8
+    mean, std = Xtr.mean(0), Xtr.std(0)
+    Xn_tr = ((Xtr - mean) / (std + eps)).astype(np.float32)
+    Xn_va = ((Xva - mean) / (std + eps)).astype(np.float32)
+
+    jobs = [
+        ("M1", lambda d: train_m1(
+            clean_frames(clean_tr), clean_frames(clean_va),
+            dims=(513, 32, (128, 128)), cfg=cfg, model_dir=d, name="M1")),
+        ("M2_ibm", lambda d: train_m2(
+            (Xtr, Yibm_tr), (Xva, Yibm_va), dims=(513, 513, 32, (128, 128)),
+            cfg=cfg, model_dir=d, name="M2")),
+        ("M2_vad", lambda d: train_m2(
+            (Xtr, Yvad_tr), (Xva, Yvad_va), dims=(513, 1, 32, (128, 128)),
+            cfg=cfg, model_dir=d, name="M2")),
+        ("classifier_ibm", lambda d: train_classifier(
+            (Xn_tr, Yibm_tr), (Xn_va, Yibm_va),
+            dims=(513, (128, 128), 513), cfg=cfg_cls, model_dir=d,
+            name="Classifier", mean=mean, std=std)),
+        ("classifier_vad", lambda d: train_classifier(
+            (Xn_tr, Yvad_tr), (Xn_va, Yvad_va), dims=(513, (128, 128), 1),
+            cfg=cfg_cls, model_dir=d, name="Classifier", mean=mean,
+            std=std)),
+        ("wiener", lambda d: train_wiener(
+            (Xn_tr, Ywf_tr), (Xn_va, Ywf_va), dims=(513, (128,) * 5, 513),
+            cfg=cfg_cls, model_dir=d, name="Wiener", mean=mean, std=std)),
+    ]
+    for name, job in jobs:
+        mdir = os.path.join(work, name)
+        _, hist = job(mdir)
+        best = best_checkpoint(mdir)
+        dst = os.path.join(out, name)
+        os.makedirs(dst, exist_ok=True)
+        shutil.copy(best, dst)
+        for side in ("trainset_mean.npy", "trainset_std.npy"):
+            p = os.path.join(mdir, side)
+            if os.path.exists(p):
+                shutil.copy(p, dst)
+        print(f"{name}: best valid "
+              f"{min(h['valid'] for h in hist):.3f} -> {dst}")
+
+
+if __name__ == "__main__":
+    main()
