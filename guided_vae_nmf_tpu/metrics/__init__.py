@@ -20,3 +20,4 @@ from .runner import (  # noqa: E402  (needs HAS_PESQ defined above)
     compute_metrics_mixture_utt,
 )
 from .polqa import run_polqa, HAS_POLQA  # noqa: E402
+from .objective import seg_snr, fw_seg_snr, llr, wss  # noqa: E402
