@@ -12,7 +12,7 @@ convention.
 
 import dataclasses
 import os
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from .mcem.engine import MCEMConfig
 from .train.trainer import TrainConfig

@@ -25,7 +25,6 @@ import jax.numpy as jnp
 from jax import lax
 
 from .engine import (
-    MCEMConfig,
     VX_FLOOR,
     nmf_m_step,
     _precompute_label_proj,

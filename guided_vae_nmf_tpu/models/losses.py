@@ -6,7 +6,6 @@ semi-supervised forms, BCE, mask-MSE losses, and the tp/tn/fp/fn F1 score.
 All functions are pure jnp and jittable.
 """
 
-import jax
 import jax.numpy as jnp
 
 

@@ -12,8 +12,6 @@ stored (in, out) so `apply` is `x @ w + b` — a clean MXU matmul over a
 stochastic nodes take explicit PRNG keys.
 """
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np

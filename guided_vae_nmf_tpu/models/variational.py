@@ -8,7 +8,6 @@ retained Kingma-M2 ELBO machinery as pure functions over (params, batch,
 key).
 """
 
-import jax
 import jax.numpy as jnp
 
 from .nets import dgm_apply, vae_apply, classifier_apply

@@ -28,7 +28,6 @@ import jax.numpy as jnp
 from .dsp import (
     stft,
     istft_masked_ri_jax,
-    frame_count,
     clean_speech_IBM,
     clean_speech_VAD,
 )

@@ -18,8 +18,6 @@ SURVEY §2.7).
 import os
 import time
 from dataclasses import dataclass
-from functools import partial
-
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -33,12 +31,11 @@ from ..models import (
     classifier_init,
     classifier_apply,
     elbo,
-    binary_cross_entropy,
     binary_cross_entropy_logits,
     mean_square_error_mask,
 )
 from ..data.h5io import frame_batches
-from ..parallel.mesh import batch_sharding, replicated, make_mesh
+from ..parallel.mesh import batch_sharding, replicated
 from .checkpoints import save_params, save_resume_state, load_resume_state
 
 
