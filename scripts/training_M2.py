@@ -38,7 +38,7 @@ def main(argv=None):
     if "--h_dim" in rest:
         h_dim = tuple(int(v)
                       for v in rest[rest.index("--h_dim") + 1].split(","))
-    y_dim = 1 if labels == "noisy_vad_labels" else 513
+    y_dim = 1 if "vad" in labels else 513
 
     h5 = paths.h5_path(labels)
     rtr = H5FrameReader(h5, "train")

@@ -108,6 +108,25 @@ def test_m2_oracle_cli_and_metrics(data_root):
     assert "F1" in out
 
 
+def test_m2_vad_ablation_and_wiener_cli(data_root):
+    models_dir = os.path.join(data_root, "subset", "models")
+    # quick VAD-guided M2 train + ones-ablation eval (no classifier needed)
+    run_script("create_train_set.py", "--data_root", data_root,
+               "--labels", "vad_labels", "--quantile_fraction", "0.98")
+    run_script("training_M2.py", "--data_root", data_root,
+               "--labels", "vad_labels", "--end_epoch", "1",
+               "--z_dim", "8", "--h_dim", "32")
+    m2v = os.path.join(models_dir, "M2_hdim_032_zdim_008_end_epoch_001")
+    out = run_script(
+        "evaluate_M2_vad.py", "--data_root", data_root, "--model", m2v,
+        "--classif_type", "ones", "--niter", "2",
+        "--nsamples_E_step", "2", "--burnin_E_step", "2",
+        "--nsamples_WF", "2", "--burnin_WF", "2",
+        "--output", os.path.join(models_dir, "M2_vad_ones/"),
+    )
+    assert "Finished" in out
+
+
 def test_reconstruct_and_visualization(data_root):
     models_dir = os.path.join(data_root, "subset", "models")
     m1_dir = os.path.join(models_dir, "M1_hdim_032_zdim_008_end_epoch_002")
