@@ -83,6 +83,16 @@ def test_m2_ibm_oracle_improves_si_sdr(mixtures, tmp_path):
     assert max(deltas) > 2.0  # clear win on at least one utterance
 
 
+def test_m1_unsupervised_improves(mixtures, tmp_path):
+    m1 = load_params(best_checkpoint(os.path.join(ART, "M1")))
+    files = speech_list(f"{REFERENCE_DATA}/raw/", "test")[:1]
+    est = str(tmp_path / "est")
+    enhance_files(files, mixtures, est, m1, model_type="m1",
+                  cfg=MCEMConfig(niter=10), batch_size=2)
+    before, after = _si_sdr_delta(mixtures, est, files[0])
+    assert after > before
+
+
 def test_m2_vad_oracle_runs(mixtures, tmp_path):
     m2 = load_params(best_checkpoint(os.path.join(ART, "M2_vad")),
                      static={"y_dim": 1})
