@@ -20,6 +20,7 @@ Guidance label sources (reference evaluate_M2_ibm.py:121-141):
 import os
 import time
 from collections import defaultdict
+from functools import partial
 
 import numpy as np
 import jax
@@ -141,9 +142,6 @@ def _pad_batch(X_tfs, ys, n_pad):
         if ys is not None:
             y_b[i, :, : ys[i].shape[1]] = ys[i]
     return X_c, X_p, mask, y_b
-
-
-from functools import partial
 
 
 @partial(jax.jit,
