@@ -68,9 +68,11 @@ def _normal(shape):
     return jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(_TWO_PI * u2)
 
 
-def _make_chain_kernel(mode, n_steps, burnin, var_RW, T, L, F,
+def _make_chain_kernel(mode, n_steps, burnin, var_RW, T, L, F, depth=2,
                        samples_dtype=jnp.float32,
                        matmul_dtype=jnp.float32, approx_recip=False):
+    """`depth` = number of decoder hidden layers (the reference family is
+    tanh^depth -> exp; evaluate configs use 2, training_M1's default 1)."""
     sqrt_var = float(np.sqrt(var_RW))
 
     def recip(x):
@@ -83,8 +85,17 @@ def _make_chain_kernel(mode, n_steps, burnin, var_RW, T, L, F,
                        preferred_element_type=jnp.float32)
 
     def kernel(seed_ref, x2_ref, vb_ref, g_ref, ypre_ref, z_ref, vs_ref,
-               w1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
-               z_out_ref, vs_out_ref, *extra_refs):
+               *rest):
+        # rest = w1, (w_i, b_i) x (depth-1), w_out, b_out,
+        #        z_out, vs_out, extra...
+        n_w = 1 + 2 * (depth - 1) + 2
+        w_refs = rest[:n_w]
+        z_out_ref, vs_out_ref, *extra_refs = rest[n_w:]
+        w1_ref = w_refs[0]
+        mid = [(w_refs[1 + 2 * i], w_refs[2 + 2 * i])
+               for i in range(depth - 1)]
+        wo_ref, bo_ref = w_refs[-2], w_refs[-1]
+
         pltpu.prng_seed(seed_ref[pl.program_id(0), pl.program_id(1)])
         X2 = x2_ref[0]          # (T, F)
         Vb = vb_ref[0]          # (T, F)
@@ -106,8 +117,9 @@ def _make_chain_kernel(mode, n_steps, burnin, var_RW, T, L, F,
             Z, Vs, logVx, invVx = carry   # (T,L), (T,F), (T,F), (T,F)
             Zp = Z + sqrt_var * _normal((T, L))
             h = jnp.tanh(mm(Zp, w1_ref[:]) + ypre)           # (T, H1)
-            h = jnp.tanh(mm(h, w2_ref[:]) + b2_ref[:])       # (T, H2)
-            Vsp = jnp.exp(mm(h, w3_ref[:]) + b3_ref[:])        # (T, F)
+            for w_ref, b_ref in mid:
+                h = jnp.tanh(mm(h, w_ref[:]) + b_ref[:])
+            Vsp = jnp.exp(mm(h, wo_ref[:]) + bo_ref[:])      # (T, F)
             Vxp = jnp.maximum(G * Vsp + Vb, VX_FLOOR)
             invVxp = recip(Vxp)
             logVxp = jnp.log(Vxp)
@@ -172,8 +184,9 @@ def mh_chain_pallas(dec_w, X2, Vb, g, ypre, Z, Vs, seeds, mode="e",
     """Run the fused MH chain over a frames-major batch.
 
     Args (frames-major layout):
-      dec_w: dict with w1 (L, H1) — the z-rows of the decoder's first
-        layer — w2 (H1, H2), b2 (H2,), w3 (H2, F), b3 (F,).
+      dec_w: bundle from :func:`_dec_parts` — w1 (L, H1) (the z-rows of the
+        decoder's first layer), mid = [(w_i, b_i), ...] for hidden layers
+        2..depth, wo (H_last, F), bo (F,).
       X2, Vb, Vs: (B, N, F); g: (B, N); ypre: (B, N, H1); Z: (B, N, L);
       seeds: (B, N//tile) int32.
 
@@ -184,12 +197,13 @@ def mh_chain_pallas(dec_w, X2, Vb, g, ypre, Z, Vs, seeds, mode="e",
     B, N, F = X2.shape
     L = Z.shape[-1]
     H1 = ypre.shape[-1]
-    H2 = dec_w["w2"].shape[-1]
+    depth = 1 + len(dec_w["mid"])
     assert N % tile == 0, (N, tile)
     n_tiles = N // tile
     n_steps = nsamples + burnin
 
     kernel = _make_chain_kernel(mode, n_steps, burnin, var_RW, tile, L, F,
+                                depth=depth,
                                 samples_dtype=samples_dtype,
                                 matmul_dtype=matmul_dtype,
                                 approx_recip=approx_recip)
@@ -207,6 +221,11 @@ def mh_chain_pallas(dec_w, X2, Vb, g, ypre, Z, Vs, seeds, mode="e",
             shape, lambda b, t, *_: (0,) * nd, memory_space=pltpu.VMEM
         )
 
+    w_args = [dec_w["w1"]]
+    for w, b in dec_w["mid"]:
+        w_args += [w, b]
+    w_args += [dec_w["wo"], dec_w["bo"]]
+
     in_specs = [
         tiled((tile, F)),                                # X2
         tiled((tile, F)),                                # Vb
@@ -214,12 +233,7 @@ def mh_chain_pallas(dec_w, X2, Vb, g, ypre, Z, Vs, seeds, mode="e",
         tiled((tile, H1)),                               # ypre
         tiled((tile, L)),                                # Z
         tiled((tile, F)),                                # Vs
-        full((L, H1)),                                   # w1
-        full((H1, H2)),                                  # w2
-        full((H2,)),                                     # b2
-        full((H2, F)),                                   # w3
-        full((F,)),                                      # b3
-    ]
+    ] + [full(w.shape) for w in w_args]
     out_shapes = [
         jax.ShapeDtypeStruct((B, N, L), jnp.float32),    # Z out
         jax.ShapeDtypeStruct((B, N, F), jnp.float32),    # Vs out
@@ -255,8 +269,7 @@ def mh_chain_pallas(dec_w, X2, Vb, g, ypre, Z, Vs, seeds, mode="e",
     )
     if interpret is None:
         interpret = _default_interpret()
-    args = (seeds, X2, Vb, g[..., None], ypre, Z, Vs,
-            dec_w["w1"], dec_w["w2"], dec_w["b2"], dec_w["w3"], dec_w["b3"])
+    args = (seeds, X2, Vb, g[..., None], ypre, Z, Vs, *w_args)
 
     def build_and_call():
         return pl.pallas_call(
@@ -283,14 +296,16 @@ def mh_chain_pallas(dec_w, X2, Vb, g, ypre, Z, Vs, seeds, mode="e",
 
 
 def _dec_parts(dec_params, L):
-    """Decoder weight bundle for the kernel (z-rows of layer 1 split out)."""
+    """Decoder weight bundle for the kernel (z-rows of layer 1 split out;
+    any hidden depth)."""
     l0 = dec_params["hidden"][0]
     return {
         "w1": l0["w"][:L],
-        "w2": dec_params["hidden"][1]["w"],
-        "b2": dec_params["hidden"][1]["b"],
-        "w3": dec_params["out"]["w"],
-        "b3": dec_params["out"]["b"],
+        "mid": tuple(
+            (layer["w"], layer["b"]) for layer in dec_params["hidden"][1:]
+        ),
+        "wo": dec_params["out"]["w"],
+        "bo": dec_params["out"]["b"],
     }
 
 
@@ -370,7 +385,7 @@ def mcem_batch_fused(vae_params, X_abs2, mask, y, keys,
     params = {k: v for k, v in vae_params.items() if k != "y_dim"}
     enc = params["encoder"]
     dec = params["decoder"]
-    assert len(dec["hidden"]) == 2, "fused path expects 2 hidden layers"
+    assert 1 <= len(dec["hidden"]) <= 4, "fused path: 1-4 hidden layers"
     B, F, N = X_abs2.shape
     y_dim = 0 if y is None else y.shape[1]
     L = dec["hidden"][0]["w"].shape[0] - y_dim
@@ -396,8 +411,9 @@ def mcem_batch_fused(vae_params, X_abs2, mask, y, keys,
 
     # initial Vs via the decoder (frames-major)
     h = jnp.tanh(jnp.einsum("bnl,lh->bnh", Z, dec_w["w1"]) + ypre)
-    h = jnp.tanh(jnp.einsum("bnh,hk->bnk", h, dec_w["w2"]) + dec_w["b2"])
-    Vs = jnp.exp(jnp.einsum("bnk,kf->bnf", h, dec_w["w3"]) + dec_w["b3"])
+    for w, b in dec_w["mid"]:
+        h = jnp.tanh(jnp.einsum("bnh,hk->bnk", h, w) + b)
+    Vs = jnp.exp(jnp.einsum("bnk,kf->bnf", h, dec_w["wo"]) + dec_w["bo"])
 
     key0 = keys[0]
     k_init, key0 = jax.random.split(key0)

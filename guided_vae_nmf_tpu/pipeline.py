@@ -247,7 +247,7 @@ def _use_fused(engine, vae_params, n_pad):
     dec = vae_params["decoder"]
     return (
         jax.default_backend() != "cpu"
-        and len(dec["hidden"]) == 2
+        and 1 <= len(dec["hidden"]) <= 4
         and n_pad % 128 == 0
     )
 

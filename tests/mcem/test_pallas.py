@@ -111,6 +111,38 @@ def test_mcem_batch_fused_end_to_end_shapes():
     assert np.all(np.isfinite(np.asarray(out["WFs"])))
 
 
+def test_depth_1_and_3_decoders():
+    """The fused kernel handles the reference's whole architecture family:
+    1 hidden layer (training_M1.py's default) through deeper stacks."""
+    for h_stack in ([H], [H, H, H]):
+        dgm = dgm_init(KEY, [F, 10, L, h_stack])
+        dec = dgm["decoder"]
+        y = (jax.random.uniform(jax.random.PRNGKey(4), (B, N, 10)) > 0.5)
+        y = y.astype(jnp.float32)
+        l0 = dec["hidden"][0]
+        ypre = jnp.einsum("bny,yh->bnh", y, l0["w"][L:]) + l0["b"]
+        dec_w = _dec_parts(dec, L)
+        X2 = jax.random.uniform(jax.random.PRNGKey(1), (B, N, F)) + 0.05
+        Vb = X2 * 0.1
+        g = jnp.ones((B, N))
+        Z = jax.random.normal(jax.random.PRNGKey(3), (B, N, L))
+        zin = jnp.concatenate([Z, y], axis=-1)
+        Vs0 = decoder_apply(dec, zin.reshape(B * N, -1)).reshape(B, N, F)
+        seeds = jnp.zeros((B, N // 128), jnp.int32)
+        Zo, Vso, _ = mh_chain_pallas(dec_w, X2, Vb, g, ypre, Z, Vs0, seeds,
+                                     mode="e", nsamples=2, burnin=1,
+                                     var_RW=0.0)
+        assert_allclose(np.asarray(Vso), np.asarray(Vs0), atol=1e-4)
+        # full driver too
+        mask = jnp.ones((B, N))
+        keys = jax.random.split(jax.random.PRNGKey(9), B)
+        cfg = MCEMConfig(niter=1, nsamples_E_step=2, burnin_E_step=1,
+                         nsamples_WF=2, burnin_WF=1, nmf_rank=3)
+        out = mcem_batch_fused(dgm, jnp.swapaxes(X2, 1, 2), mask,
+                               jnp.swapaxes(y, 1, 2), keys, cfg)
+        assert np.all(np.isfinite(np.asarray(out["WFs"])))
+
+
 def test_vad_guided_y_dim_1():
     """M2-VAD: a single guidance row (y_dim=1) conditions the decoder."""
     dgm = dgm_init(KEY, [F, 1, L, [H, H]])
