@@ -222,20 +222,6 @@ def enhance_to_audio(vae_params, X_tfs, t_origs, ys=None, keys=None,
             [n_est[i][:t] for i, t in enumerate(t_origs)])
 
 
-def _istft_batch(S_hat, masks, t_origs):
-    """Masked batched ISTFT then per-utterance trim to T_orig. Real/imag are
-    shipped as separate f32 buffers (complex64 transfers are unsupported on
-    some transports, e.g. the axon TPU tunnel)."""
-    S_hat = np.asarray(S_hat)
-    ys = jax.vmap(lambda re, im, m: istft_masked_ri_jax(re, im, m))(
-        jnp.asarray(np.real(S_hat).astype(np.float32)),
-        jnp.asarray(np.imag(S_hat).astype(np.float32)),
-        jnp.asarray(masks),
-    )
-    ys = np.asarray(ys)
-    return [y[:t] for y, t in zip(ys, t_origs)]
-
-
 def _use_fused(engine, vae_params, n_pad):
     """Engine selection: the fused Pallas engine is the default on real
     accelerators; the XLA scan engine is the portable fallback (and the CPU
