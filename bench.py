@@ -69,7 +69,18 @@ def main():
         mask[i, :n] = 1.0
         audio_sec += T / 16000.0
 
-    params = dgm_init(jax.random.PRNGKey(0), [F, y_dim, z_dim, h_dim])
+    # Bench on the shipped pretrained M2-IBM weights (MH acceptance rates —
+    # and thus the exp/log mix of the hot loop — match production); fall
+    # back to random init only if the artifact is absent.
+    ckpt_dir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "artifacts", "pretrained", "M2_ibm",
+    )
+    try:
+        from scripts._common import load_model
+        params = load_model(ckpt_dir, kind="dgm", y_dim=y_dim)
+    except (FileNotFoundError, ImportError):
+        params = dgm_init(jax.random.PRNGKey(0), [F, y_dim, z_dim, h_dim])
     keys = jax.random.split(jax.random.PRNGKey(1), B)
 
     # complex mixture spectrograms for the Wiener-filter + ISTFT stages
