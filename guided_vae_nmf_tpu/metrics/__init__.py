@@ -6,13 +6,23 @@ from .stats import (
     compute_stats_noisnr,
 )
 
-try:  # optional: ITU-T P.862 PESQ via the external C extension if present
-    from pesq import pesq  # pragma: no cover
+# PESQ: prefer the ITU C extension when the external `pesq` wheel is
+# importable (bit-conformant); otherwise use the first-party P.862.2-wb
+# implementation so the metric protocol's PESQ column is always produced
+# (reference run_metrics_M1.py:19,83). HAS_PESQ_NATIVE records which.
+# (import the submodule first: its parent-attribute binding must happen
+# before the `pesq` name below is resolved, or it would shadow it)
+from .pesq import mos_lqo_wb, mos_lqo_nb
 
-    HAS_PESQ = True
-except ImportError:  # pragma: no cover
-    pesq = None
-    HAS_PESQ = False
+try:  # pragma: no cover - wheel absent in this environment
+    from pesq import pesq
+
+    HAS_PESQ_NATIVE = True
+except ImportError:
+    from .pesq import pesq
+
+    HAS_PESQ_NATIVE = False
+HAS_PESQ = True
 
 from .runner import (  # noqa: E402  (needs HAS_PESQ defined above)
     run_metrics,

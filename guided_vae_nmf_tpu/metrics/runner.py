@@ -20,21 +20,12 @@ from ..models.losses import f1_loss
 from .si_sdr import energy_ratios
 from .stoi import stoi
 from .stats import compute_stats
-from . import HAS_PESQ
-
-if HAS_PESQ:  # pragma: no cover
-    from pesq import pesq as _pesq
+from . import pesq as _pesq
 
 FS = 16000
 
 METRIC_KEYS_BASE = ["SI-SDR", "SI-SIR", "SI-SAR", "ESTOI"]
 METRIC_KEYS_F1 = ["ACC", "PRECISION", "RECALL", "F1"]
-
-
-def _maybe_pesq(s, s_hat):
-    if HAS_PESQ:  # pragma: no cover
-        return _pesq(FS, s, s_hat, "wb")
-    return None
 
 
 def compute_metrics_utt(args):
@@ -55,10 +46,8 @@ def compute_metrics_utt(args):
 
     si_sdr, si_sir, si_sar = energy_ratios(s_hat, s, n)
     estoi_v = stoi(s, s_hat, FS, extended=True)
-    row = [si_sdr, si_sir, si_sar, estoi_v]
-    p = _maybe_pesq(s, s_hat)
-    if p is not None:  # pragma: no cover
-        row.append(p)
+    pesq_v = _pesq(FS, s, s_hat, "wb")
+    row = [si_sdr, si_sir, si_sar, estoi_v, pesq_v]
 
     if make_figures:
         import matplotlib
@@ -76,7 +65,8 @@ def compute_metrics_utt(args):
         )
         fig.suptitle(
             f"SI-SDR {si_sdr:.1f} dB | SI-SIR {si_sir:.1f} | "
-            f"SI-SAR {si_sar:.1f} | ESTOI {estoi_v:.3f}"
+            f"SI-SAR {si_sar:.1f} | ESTOI {estoi_v:.3f} | "
+            f"PESQ {pesq_v:.2f}"
         )
         fig.savefig(base_e + "_fig.png", dpi=40)
         plt.close(fig)
@@ -110,11 +100,8 @@ def compute_metrics_mixture_utt(args):
     x, _ = read_wav(base + "_x.wav")
     si_sdr, si_sir, si_sar = energy_ratios(x, s, n)
     estoi_v = stoi(s, x, FS, extended=True)
-    row = [si_sdr, si_sir, si_sar, estoi_v]
-    p = _maybe_pesq(s, x)
-    if p is not None:  # pragma: no cover
-        row.append(p)
-    return tuple(row)
+    pesq_v = _pesq(FS, s, x, "wb")
+    return (si_sdr, si_sir, si_sar, estoi_v, pesq_v)
 
 
 def run_metrics(input_speech_dir, processed_dir, est_dir=None,
@@ -127,9 +114,7 @@ def run_metrics(input_speech_dir, processed_dir, est_dir=None,
     files = speech_list(input_speech_dir, dataset_type)
     snr_list = read_dataset(processed_dir, dataset_type, "snr_db")
 
-    keys = list(METRIC_KEYS_BASE)
-    if HAS_PESQ:  # pragma: no cover
-        keys.append("PESQ")
+    keys = list(METRIC_KEYS_BASE) + ["PESQ"]
     if with_f1 and not mixture_floor:
         keys.extend(METRIC_KEYS_F1)
 
