@@ -13,7 +13,13 @@ here from the source papers:
 Conventions follow the standard public implementation so reported numbers
 are comparable: 10 kHz internal rate, 25.6 ms frames with 50% overlap and
 512-point FFT, 15 one-third-octave bands from 150 Hz, 40 dB dynamic-range
-silence removal, 384 ms (30-frame) analysis segments.
+silence removal, 384 ms (30-frame) analysis segments. Two non-obvious
+details are matched deliberately: framing uses an exclusive endpoint (the
+final frame is dropped even when it fits exactly) and resampling uses an
+Octave-style 60 dB Kaiser-windowed-sinc FIR, both of which shift scores
+at the 1e-3 level if done the "natural" way. Golden regression values in
+tests/metrics/test_goldens.py; cross-implementation deltas via
+scripts/validate_stoi.py where pystoi is installed.
 """
 
 import numpy as np
@@ -54,7 +60,10 @@ def third_octave_band_matrix(fs=FS_INTERNAL, nfft=NFFT, num_bands=NUM_BANDS,
 
 
 def _frame(x, frame_len=FRAME_LEN, hop=HOP):
-    n_frames = (len(x) - frame_len) // hop + 1
+    # frame starts i in range(0, len(x) - frame_len, hop): the canonical
+    # implementation's exclusive endpoint drops the final frame even when
+    # it fits exactly — kept for numeric compatibility
+    n_frames = max((len(x) - frame_len + hop - 1) // hop, 0)
     if n_frames <= 0:
         return np.zeros((0, frame_len))
     idx = np.arange(n_frames)[:, None] * hop + np.arange(frame_len)[None, :]
@@ -90,11 +99,28 @@ def _band_envelopes(x, obm):
     return np.sqrt((np.abs(spec) ** 2) @ obm.T).T
 
 
+def _octave_resample_window(p, q):
+    """Anti-aliasing FIR designed the way Octave's `resample` does it
+    (60 dB Kaiser-windowed sinc) — the filter the canonical STOI
+    implementation resamples with, kept for numeric compatibility."""
+    rejection_db = 60.0
+    cutoff = 1.0 / (2.0 * max(p, q))
+    roll_off_width = cutoff / 10.0
+    half_len = int(np.ceil((rejection_db - 8.0) /
+                           (28.714 * roll_off_width)))
+    t = np.arange(-half_len, half_len + 1)
+    ideal = 2 * p * cutoff * np.sinc(2 * cutoff * t)
+    beta = 0.1102 * (rejection_db - 8.7)
+    return np.kaiser(2 * half_len + 1, beta) * ideal
+
+
 def _resample(x, fs):
     if fs == FS_INTERNAL:
         return x
     g = np.gcd(int(fs), FS_INTERNAL)
-    return resample_poly(x, FS_INTERNAL // g, int(fs) // g)
+    p, q = FS_INTERNAL // g, int(fs) // g
+    h = _octave_resample_window(p, q)
+    return resample_poly(x, p, q, window=h / np.sum(h))
 
 
 def stoi(x, y, fs_sig, extended=False):
