@@ -9,6 +9,7 @@ from .noise import (
     write_preprocessed_noise,
     snr_gain,
     mix_at_snr,
+    synthetic_noise_bank,
 )
 from .h5io import H5FrameWriter, H5FrameReader, frame_batches
 from . import native_loader

@@ -55,17 +55,32 @@ def main(argv=None):
         labels = rest[rest.index("--labels") + 1]
     if "--noise_dir" in rest:
         noise_dir = rest[rest.index("--noise_dir") + 1]
+    if "--processed_noise_dir" in rest:
+        processed_noise_dir = rest[rest.index("--processed_noise_dir") + 1]
 
-    # Load preprocessed noise if present, else preprocess from raw DEMAND
-    audios = {}
-    try:
-        for dataset_type in ("train", "validation"):
-            types = list(DEMAND_RECORDINGS[dataset_type].keys())
-            audios[dataset_type] = noise_list_preprocessed(
-                processed_noise_dir, dataset_type, types
-            )
-    except (FileNotFoundError, OSError):
-        audios = prepare_demand_noise(noise_dir, processed_noise_dir)
+    if "--synthetic_noise" in rest and rest[
+            rest.index("--synthetic_noise") + 1] in ("1", "true"):
+        # DEMAND unavailable: six-family synthetic bank (the same one the
+        # shipped pretrained checkpoints were trained with)
+        from guided_vae_nmf_tpu.data import synthetic_noise_bank
+
+        bank = synthetic_noise_bank()
+        names = sorted(bank)
+        audios = {
+            "train": {t: bank[t] for t in names[: len(names) // 2 + 1]},
+            "validation": {t: bank[t] for t in names[len(names) // 2 + 1:]},
+        }
+    else:
+        # Load preprocessed noise if present, else preprocess raw DEMAND
+        audios = {}
+        try:
+            for dataset_type in ("train", "validation"):
+                types = list(DEMAND_RECORDINGS[dataset_type].keys())
+                audios[dataset_type] = noise_list_preprocessed(
+                    processed_noise_dir, dataset_type, types
+                )
+        except (FileNotFoundError, OSError):
+            audios = prepare_demand_noise(noise_dir, processed_noise_dir)
 
     out = paths.h5_path(labels)
     os.makedirs(os.path.dirname(out), exist_ok=True)

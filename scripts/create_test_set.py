@@ -41,13 +41,25 @@ def main(argv=None):
     processed_noise_dir = "data/complete/processed/QUT-NOISE/"
     if "--noise_dir" in rest:
         noise_dir = rest[rest.index("--noise_dir") + 1]
+    if "--processed_noise_dir" in rest:
+        processed_noise_dir = rest[rest.index("--processed_noise_dir") + 1]
 
     noise_types = ("cafe", "home", "street", "car")
-    try:
-        audios = noise_list_preprocessed(processed_noise_dir, "test",
-                                         list(noise_types))
-    except (FileNotFoundError, OSError):
-        audios = prepare_qut_noise(noise_dir, processed_noise_dir)
+    if "--synthetic_noise" in rest and rest[
+            rest.index("--synthetic_noise") + 1] in ("1", "true"):
+        # QUT unavailable: stand in four synthetic families under the
+        # QUT type names so downstream tooling sees the same layout
+        from guided_vae_nmf_tpu.data import synthetic_noise_bank
+
+        bank = synthetic_noise_bank()
+        audios = dict(zip(noise_types, (bank["white"], bank["low"],
+                                        bank["mid"], bank["brown"])))
+    else:
+        try:
+            audios = noise_list_preprocessed(processed_noise_dir, "test",
+                                             list(noise_types))
+        except (FileNotFoundError, OSError):
+            audios = prepare_qut_noise(noise_dir, processed_noise_dir)
 
     t0 = time.perf_counter()
     all_snr = create_test_mixtures(

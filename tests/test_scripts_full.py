@@ -1,0 +1,102 @@
+"""CLI smoke tests for the driver scripts not covered by test_scripts.py:
+create_noisy_train_set, create_test_set, training_classifier,
+training_wiener_filter, evaluate_wiener_filter, run_metrics_wiener,
+reconstruct_dnn_classif — every scripts/*.py is now executed by CI
+(reference §2.5 inventory: 19 entry points).
+
+Noise corpora (DEMAND/QUT) are not bundled, so the dataset-synthesis
+scripts run with --synthetic_noise 1 (the same six-family bank the
+pretrained checkpoints were trained with).
+"""
+
+import os
+import shutil
+
+import pytest
+
+from conftest import REFERENCE_DATA, has_reference_data
+from tests.test_scripts import run_script
+
+pytestmark = pytest.mark.skipif(
+    not has_reference_data(), reason="reference subset absent"
+)
+
+
+@pytest.fixture(scope="module")
+def data_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("data_root_full")
+    subset = root / "subset"
+    subset.mkdir()
+    os.symlink(f"{REFERENCE_DATA}/raw", subset / "raw")
+    shutil.copytree(f"{REFERENCE_DATA}/processed/CSR-1-WSJ-0",
+                    subset / "processed" / "CSR-1-WSJ-0")
+    (subset / "export").mkdir()
+    (subset / "models").mkdir()
+    return str(root)
+
+
+def test_noisy_train_classifier_and_wiener_cli(data_root):
+    models_dir = os.path.join(data_root, "subset", "models")
+
+    # 1) noisy training frames (IBM labels) with the synthetic bank
+    out = run_script("create_noisy_train_set.py", "--data_root", data_root,
+                     "--synthetic_noise", "1")
+    assert "wrote" in out
+
+    # 2) supervised IBM classifier, 1 epoch, tiny hidden
+    out = run_script("training_classifier.py", "--data_root", data_root,
+                     "--end_epoch", "1", "--h_dim", "32")
+    assert "done" in out
+    clf_dir = os.path.join(models_dir, "Classifier_hdim_032_end_epoch_001")
+    assert os.path.isdir(clf_dir)
+    assert os.path.exists(os.path.join(clf_dir, "trainset_mean.npy"))
+
+    # 3) qualitative classifier masks + F1 figures
+    out = run_script("reconstruct_dnn_classif.py", "--data_root", data_root,
+                     "--classifier", clf_dir,
+                     "--output", os.path.join(models_dir, "classif_figs/"))
+    assert "F1" in out
+
+    # 4) Wiener-mask labels + DNN baseline, 1 epoch
+    run_script("create_noisy_train_set.py", "--data_root", data_root,
+               "--synthetic_noise", "1", "--labels", "noisy_wiener_labels")
+    out = run_script("training_wiener_filter.py", "--data_root", data_root,
+                     "--end_epoch", "1")
+    assert "done" in out
+    wdir = os.path.join(models_dir, "Wiener_hdim_5x128_end_epoch_001")
+    assert os.path.isdir(wdir)
+
+    # 5) enhance the test set with the Wiener DNN
+    est = os.path.join(models_dir, "wiener_enhanced/")
+    out = run_script("evaluate_wiener_filter.py", "--data_root", data_root,
+                     "--model", wdir, "--output", est)
+    assert "Finished" in out
+
+    # 6) metric protocol on the Wiener outputs
+    out = run_script("run_metrics_wiener.py", "--data_root", data_root,
+                     "--est_dir", est)
+    assert "SI-SDR" in out and "PESQ" in out
+
+
+def test_create_test_set_cli(tmp_path):
+    """create_test_set synthesizes the QUT-layout mixture triplets +
+    snr_db pickle in a fresh root (separate from the shared fixture so the
+    golden processed data is never overwritten)."""
+    root = tmp_path / "root"
+    subset = root / "subset"
+    subset.mkdir(parents=True)
+    os.symlink(f"{REFERENCE_DATA}/raw", subset / "raw")
+    (subset / "processed").mkdir()
+
+    out = run_script("create_test_set.py", "--data_root", str(root),
+                     "--synthetic_noise", "1")
+    assert "Finished" in out and "mixtures" in out
+
+    wavs = []
+    for dirpath, _, files in os.walk(subset / "processed"):
+        wavs.extend(f for f in files if f.endswith("_x.wav"))
+    assert wavs, "no mixture wavs written"
+    pickles = []
+    for dirpath, _, files in os.walk(subset / "processed"):
+        pickles.extend(f for f in files if f.endswith("snr_db.p"))
+    assert pickles, "no snr_db pickle written"
