@@ -1,4 +1,4 @@
-from .wav import read_wav, write_wav
+from .wav import read_wav, write_wav, read_wav_int16, wav_num_samples
 from .file_lists import speech_list, write_dataset, read_dataset
 from .noise import (
     qut_noise_list,

@@ -62,9 +62,67 @@ def read_wav(path):
     return x, int(fs)
 
 
+def read_wav_int16(path):
+    """Read a PCM16 wav/SPHERE file as raw int16 samples -> (int16 array,
+    sample_rate). Transport-oriented: int16 halves host->device traffic and
+    the device converts with the same 1/32768 scaling as :func:`read_wav`.
+    Falls back to quantizing for non-PCM16 sources."""
+    with open(path, "rb") as f:
+        magic = f.read(8)
+    if magic.startswith(b"NIST_1A"):
+        fs, data = _read_nist_sphere(path)
+    else:
+        fs, data = wavfile.read(path)
+    if data.dtype != np.int16:
+        x, fs = read_wav(path)
+        data = np.clip(np.round(np.asarray(x) * 32768.0),
+                       -32768, 32767).astype(np.int16)
+    return data, int(fs)
+
+
+def wav_num_samples(path):
+    """Per-channel sample count from the container header only (no PCM
+    read) — used to bucket a sweep's utterances by length before any
+    decode work is scheduled."""
+    with open(path, "rb") as f:
+        magic = f.read(8)
+        if magic.startswith(b"NIST_1A"):
+            header_size = int(f.read(8).strip())
+            header = f.read(header_size - 16).decode(
+                "ascii", errors="replace")
+            for line in header.splitlines():
+                parts = line.split(None, 2)
+                if len(parts) == 3 and parts[0] == "sample_count":
+                    return int(parts[2])
+            raise ValueError(f"no sample_count in SPHERE header: {path}")
+        if magic[:4] != b"RIFF":
+            raise ValueError(f"not a RIFF/SPHERE file: {path}")
+        f.seek(12)  # past RIFF size + WAVE tag
+        channels, bits = 1, 16
+        while True:
+            head = f.read(8)
+            if len(head) < 8:
+                raise ValueError(f"no data chunk found: {path}")
+            tag = head[:4]
+            size = int.from_bytes(head[4:8], "little")
+            if tag == b"fmt ":
+                fmt = f.read(size)
+                channels = int.from_bytes(fmt[2:4], "little")
+                bits = int.from_bytes(fmt[14:16], "little")
+            elif tag == b"data":
+                return size // (channels * max(bits // 8, 1))
+            else:
+                f.seek(size + (size & 1), 1)
+
+
 def write_wav(path, x, fs):
     """Write float samples in [-1, 1] as 16-bit PCM (soundfile default
-    subtype for wav)."""
-    x = np.asarray(x, dtype=np.float64)
-    scaled = np.clip(np.round(x * 32768.0), -32768, 32767).astype(np.int16)
+    subtype for wav). int16 input is written as-is (pre-quantized, e.g.
+    on-device by the enhancement pipeline)."""
+    x = np.asarray(x)
+    if x.dtype == np.int16:
+        wavfile.write(path, int(fs), x)
+        return
+    scaled = np.clip(np.round(x.astype(np.float64) * 32768.0),
+                     -32768, 32767).astype(np.int16)
     wavfile.write(path, int(fs), scaled)

@@ -7,6 +7,7 @@ from .stft import (
     stft_params,
 )
 from .stft import frame_count, istft_masked_jax, istft_masked_ri_jax
+from .stft import pad_signal_for_stft, stft_batch_padded_jax
 from .targets import (
     clean_speech_IBM_jax,
     clean_speech_VAD_jax,

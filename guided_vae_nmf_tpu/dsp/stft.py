@@ -195,6 +195,46 @@ def stft_jax(x, nfft=1024, hopsamp=256):
     return jnp.fft.rfft(frames, axis=-1).T.astype(jnp.complex64)
 
 
+def pad_signal_for_stft(x, fs=16000, wlen_sec=64e-3, hop_percent=0.25):
+    """Host-side pre-padding for the on-device batched STFT: applies the
+    reference's end-pad rule plus the centered reflect padding, returning
+    (padded float32 signal, n_valid_frames).
+
+    Frames [0, n_valid) of :func:`stft_batch_padded_jax` over the padded
+    signal are sample-identical to :func:`stft` of the raw signal — only
+    the FFT arithmetic precision differs (f32 on device vs f64 host).
+    The reflect padding must happen per-utterance on the host: batching
+    zero-padded signals first would reflect the wrong samples at the
+    utterance end.
+    """
+    nfft, hopsamp = stft_params(fs, wlen_sec, hop_percent)
+    x = np.asarray(x)
+    x = _maybe_end_pad(x, fs, wlen_sec, hop_percent, hopsamp)
+    n_frames = 1 + len(x) // hopsamp
+    xp = np.pad(x, nfft // 2, mode="reflect")
+    if xp.dtype != np.int16:  # int16 PCM ships raw; the device rescales
+        xp = xp.astype(np.float32)
+    return xp, n_frames
+
+
+@partial(jax.jit, static_argnames=("nfft", "hopsamp"))
+def stft_batch_padded_jax(x_pad, nfft=1024, hopsamp=256):
+    """Batched on-device STFT of host-pre-padded signals (see
+    :func:`pad_signal_for_stft`): (B, L) float32 -> (B, nfft//2+1,
+    n_frames) complex64 with n_frames = 1 + (L - nfft) // hopsamp.
+
+    Shipping waveforms + computing the STFT on device cuts host->device
+    traffic ~4x versus shipping split-complex spectrograms (T samples vs
+    2 * 513 * T/256 floats) and moves the FFT onto the accelerator."""
+    B, L = x_pad.shape
+    n_frames = 1 + (L - nfft) // hopsamp
+    idx = jnp.arange(n_frames)[:, None] * hopsamp + jnp.arange(nfft)[None, :]
+    window = jnp.asarray(periodic_hann(nfft), jnp.float32)
+    frames = x_pad[:, idx] * window
+    return jnp.fft.rfft(frames, axis=-1).transpose(0, 2, 1).astype(
+        jnp.complex64)
+
+
 @partial(jax.jit, static_argnames=("nfft", "hopsamp"))
 def istft_masked_ri_jax(S_re, S_im, frame_mask, nfft=1024, hopsamp=256):
     """Real/imag-input variant of :func:`istft_masked_jax`.

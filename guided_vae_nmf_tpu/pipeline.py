@@ -144,23 +144,10 @@ def _pad_batch(X_tfs, ys, n_pad):
     return X_c, X_p, mask, y_b
 
 
-@partial(jax.jit,
-         static_argnames=("cfg", "use_fused", "noise_model", "fast"))
-def _enhance_to_audio_jit(vae_params, X_re, X_im, X_p, mask, y, keys,
-                          cfg, use_fused=True, noise_model="nmf",
-                          fast=False):
-    """One device program: MCEM -> Wiener filtering -> masked batched ISTFT.
-
-    Complex spectrogram arrives as split real/imag f32 (transport-safe);
-    X_p may be None (computed on device as re^2+im^2 with benign pad
-    frames) and y may be uint8 (cast on device) — both halve host->device
-    traffic on slow transports. Returns (s_est, n_est) padded float32
-    waveforms plus the WF masks.
-    """
-    if X_p is None:
-        X_p = jnp.where(mask[:, None, :] > 0, X_re**2 + X_im**2, 1.0)
-    if y is not None and y.dtype != jnp.float32:
-        y = y.astype(jnp.float32)
+def _mcem_wf_istft(vae_params, X_re, X_im, X_p, mask, y, keys, cfg,
+                   use_fused, noise_model, fast):
+    """Shared traced core: engine selection -> MCEM -> Wiener filtering ->
+    masked batched ISTFT. Called from inside the jitted entry points."""
     update_nmf = noise_model != "spp"
     Vb_fixed = None
     if not update_nmf:
@@ -194,6 +181,125 @@ def _enhance_to_audio_jit(vae_params, X_re, X_im, X_p, mask, y, keys,
     n_est = jax.vmap(lambda c, m: istft_masked_ri_jax(
         jnp.real(c), jnp.imag(c), m))(Nc, mask)
     return s_est, n_est, out["WFs"], out["WFn"]
+
+
+@partial(jax.jit,
+         static_argnames=("cfg", "use_fused", "noise_model", "fast"))
+def _enhance_to_audio_jit(vae_params, X_re, X_im, X_p, mask, y, keys,
+                          cfg, use_fused=True, noise_model="nmf",
+                          fast=False):
+    """One device program: MCEM -> Wiener filtering -> masked batched ISTFT.
+
+    Complex spectrogram arrives as split real/imag f32 (transport-safe);
+    X_p may be None (computed on device as re^2+im^2 with benign pad
+    frames) and y may be uint8 (cast on device) — both halve host->device
+    traffic on slow transports. Returns (s_est, n_est) padded float32
+    waveforms plus the WF masks.
+    """
+    if X_p is None:
+        X_p = jnp.where(mask[:, None, :] > 0, X_re**2 + X_im**2, 1.0)
+    if y is not None and y.dtype != jnp.float32:
+        y = y.astype(jnp.float32)
+    return _mcem_wf_istft(vae_params, X_re, X_im, X_p, mask, y, keys, cfg,
+                          use_fused, noise_model, fast)
+
+
+@partial(jax.jit,
+         static_argnames=("cfg", "use_fused", "noise_model", "fast",
+                          "label_mode", "target", "quantile_fraction",
+                          "quantile_weight"))
+def _enhance_waveform_jit(vae_params, x_pad, s_pad, y_in, classifier_params,
+                          mean, std, mask, keys, cfg, use_fused=True,
+                          noise_model="nmf", fast=False, label_mode="none",
+                          target="ibm", quantile_fraction=0.98,
+                          quantile_weight=0.999):
+    """Whole-pipeline device program fed RAW WAVEFORMS: batched STFT ->
+    guidance labels -> MCEM -> Wiener filtering -> masked ISTFT.
+
+    Shipping pre-padded waveforms instead of split-complex spectrograms
+    cuts host->device traffic ~4x (T f32 samples vs 2*513*T/256), and the
+    oracle/dnn label generation runs on device (`clean_speech_IBM_jax` /
+    `classifier_apply`) instead of on the host critical path — the two
+    host-side costs the round-1 sweep measurement identified.
+
+    label_mode: 'none' (M1), 'oracle', 'dnn', 'ones', 'zeros' computed on
+    device, or 'host' (y_in carries precomputed labels, e.g. the SPP
+    'timo' source).
+
+    Transport contract (every leg sized for a slow link): waveforms may
+    arrive int16 (converted on device with the same 1/32768 scaling the
+    host decoder uses); the enhanced audio returns PCM16-quantized int16
+    (bit-identical to what write_wav would produce from f32); hard labels
+    return bit-packed uint8 (MSB-first, np.unpackbits layout); soft labels
+    are fetched (f16) only for 'dnn' — for the other sources soft == hard
+    and the host reconstructs them. Returns (s_i16, n_i16,
+    y_soft f16 | None, y_hard_packed u8 | None, finite_ok bool scalar).
+    """
+    from .dsp import (
+        stft_batch_padded_jax, clean_speech_IBM_jax, clean_speech_VAD_jax,
+    )
+
+    if x_pad.dtype != jnp.float32:
+        x_pad = x_pad.astype(jnp.float32) / 32768.0
+    if s_pad is not None and s_pad.dtype != jnp.float32:
+        s_pad = s_pad.astype(jnp.float32) / 32768.0
+    X = stft_batch_padded_jax(x_pad)
+    X_re, X_im = jnp.real(X), jnp.imag(X)
+    X_p = jnp.where(mask[:, None, :] > 0, X_re**2 + X_im**2, 1.0)
+
+    y = y_soft = y_hard = None
+    if label_mode == "host":
+        y = y_in.astype(jnp.float32)
+    elif label_mode == "oracle":
+        S = stft_batch_padded_jax(s_pad)
+        Sp = (jnp.real(S)**2 + jnp.imag(S)**2) * mask[:, None, :]
+        fn = (clean_speech_VAD_jax if target == "vad"
+              else clean_speech_IBM_jax)
+        y_soft = jax.vmap(
+            lambda p: fn(p, quantile_fraction, quantile_weight))(Sp)
+        y_hard = y_soft
+        y = y_hard
+    elif label_mode == "dnn":
+        xn = X_p.transpose(0, 2, 1)  # (B, N, F)
+        if mean is not None:
+            xn = (xn - mean.reshape(1, 1, -1)) / (
+                std.reshape(1, 1, -1) + 1e-8)
+        flat = classifier_apply(classifier_params,
+                                xn.reshape(-1, xn.shape[-1]))
+        y_soft = flat.reshape(
+            xn.shape[0], xn.shape[1], -1).transpose(0, 2, 1)
+        y_hard = (y_soft > 0.5).astype(jnp.float32)
+        y = y_hard
+    elif label_mode in ("ones", "zeros"):
+        y_dim = 1 if target == "vad" else X_p.shape[1]
+        fill = jnp.ones if label_mode == "ones" else jnp.zeros
+        y = fill((X_p.shape[0], y_dim, X_p.shape[2]), jnp.float32)
+        y_soft = y_hard = y
+
+    s_est, n_est, _, _ = _mcem_wf_istft(
+        vae_params, X_re, X_im, X_p, mask, y, keys, cfg, use_fused,
+        noise_model, fast)
+    finite_ok = jnp.all(jnp.isfinite(s_est)) & jnp.all(jnp.isfinite(n_est))
+
+    def to_pcm16(w):
+        return jnp.clip(jnp.round(w * 32768.0), -32768, 32767).astype(
+            jnp.int16)
+
+    out_soft = (y_soft.astype(jnp.float16)
+                if (y_soft is not None and label_mode == "dnn") else None)
+    out_hard = None if y_hard is None else _packbits_bands(y_hard)
+    return to_pcm16(s_est), to_pcm16(n_est), out_soft, out_hard, finite_ok
+
+
+def _packbits_bands(y):
+    """(B, y_dim, N) 0/1 floats -> (B, ceil(y_dim/8), N) uint8, MSB-first
+    per byte (np.unpackbits(..., axis=1) inverts it on the host) — an 8x
+    smaller device->host transfer for hard labels."""
+    B, d, N = y.shape
+    pad = (-d) % 8
+    yp = jnp.pad(y, ((0, 0), (0, pad), (0, 0))).reshape(B, -1, 8, N)
+    weights = jnp.asarray([128, 64, 32, 16, 8, 4, 2, 1], jnp.float32)
+    return jnp.einsum("bkwn,w->bkn", yp, weights).astype(jnp.uint8)
 
 
 def enhance_to_audio(vae_params, X_tfs, t_origs, ys=None, keys=None,
@@ -292,133 +398,253 @@ def enhance_files(file_paths, processed_dir, output_dir, vae_params,
                   cfg: MCEMConfig = MCEMConfig(), batch_size=16,
                   bucket_multiple=128, quantile_fraction=0.98,
                   quantile_weight=0.999, seed=0, verbose=False,
-                  engine="auto", noise_model="nmf"):
+                  engine="auto", noise_model="nmf", fast=False):
     """Full sweep over a test file list (reference evaluate_*.py main +
     process_utt): reads `<utt>_x.wav` (+ `_s.wav` for oracle labels), writes
     `<utt>_s_est.wav`, `<utt>_n_est.wav` and the soft/hard label arrays
     (`_ibm_soft_est.npy` / `_ibm_hard_est.npy` — npy instead of torch .pt).
 
-    Utterances are grouped into (bucketed-length, batch_size) groups; each
-    group is enhanced as one device batch. Returns wall-clock seconds.
+    The sweep is a three-stage host/device pipeline (round-2 rework of the
+    round-1 "load everything, dispatch everything" design):
+
+      1. a header-only length scan buckets utterances without decoding;
+      2. batch assembly (wav decode + pre-pad, host labels only for the
+         SPP 'timo' source) runs in a prefetch thread pool, staying
+         PREFETCH batches ahead of the device;
+      3. batches ship as raw waveforms and the whole STFT -> labels ->
+         MCEM -> WF -> ISTFT chain runs as one device program
+         (`_enhance_waveform_jit`); a bounded in-flight queue caps device
+         memory, and completed outputs are written by a writer pool while
+         later batches compute.
+
+    Fault-tolerant (SURVEY §7.10): a failed batch is retried one utterance
+    at a time, and an utterance that still fails degrades to mixture
+    passthrough instead of aborting the sweep. Returns wall-clock seconds.
     """
-    t_start = time.perf_counter()
-
-    # Load + label everything with a host thread pool (IO-bound; the
-    # native C++ loader releases the GIL, so decode+STFT run in parallel)
-    def load_one(path):
-        base_in = os.path.join(processed_dir, os.path.splitext(path)[0])
-        x_t, T_orig, X_tf = load_mixture(base_in)
-        y_soft, y_hard = None, None
-        if model_type == "m2":
-            y_soft, y_hard = make_labels(
-                classif_type, np.abs(X_tf) ** 2,
-                s_path=base_in + "_s.wav",
-                classifier_params=classifier_params, mean=mean, std=std,
-                target=target, quantile_fraction=quantile_fraction,
-                quantile_weight=quantile_weight,
-            )
-        return {"path": path, "T_orig": T_orig, "X_tf": X_tf,
-                "y_soft": y_soft, "y_hard": y_hard}
-
     from concurrent.futures import ThreadPoolExecutor
 
+    from .data import wav_num_samples
+    from .dsp import pad_signal_for_stft
+    from .dsp.stft import frame_count
+
+    t_start = time.perf_counter()
+    PREFETCH = 3        # batches being assembled ahead of the device
+    MAX_INFLIGHT = 2    # dispatched-but-unfetched device batches
+
+    if model_type == "m2":
+        label_mode = "host" if classif_type == "timo" else classif_type
+    else:
+        label_mode = "none"
+    mean_d = None if mean is None else jnp.asarray(
+        np.asarray(mean, np.float32))
+    std_d = None if std is None else jnp.asarray(np.asarray(std, np.float32))
+
+    # ---- 1) header-only length scan + bucketing --------------------------
+    def scan_one(path):
+        base_in = os.path.join(processed_dir, os.path.splitext(path)[0])
+        return frame_count(wav_num_samples(base_in + "_x.wav"))
+
     with ThreadPoolExecutor(max_workers=8) as pool:
-        utts = list(pool.map(load_one, file_paths))
+        n_frames_all = list(pool.map(scan_one, file_paths))
 
-    # Bucket by padded length
     groups = defaultdict(list)
-    for i, u in enumerate(utts):
-        groups[bucket_frames(u["X_tf"].shape[1], bucket_multiple)].append(i)
+    for i, nf in enumerate(n_frames_all):
+        groups[bucket_frames(nf, bucket_multiple)].append(i)
 
-    # Phase 1 — dispatch every batch asynchronously: hard labels travel as
-    # uint8 and |X|^2 is recomputed on device, shrinking host->device
-    # traffic; JAX's async dispatch overlaps each batch's transfer with
-    # the previous batch's compute.
     key = jax.random.PRNGKey(seed)
-    pending = []
+    batches = []  # (paths, n_pad, keys)
     for n_pad, idxs in sorted(groups.items()):
         # keep batch x frames roughly constant so the E-step sample buffer
         # (B, R, F, N) stays within HBM for long-utterance buckets
         eff_batch = max(1, batch_size * 512 // max(n_pad, 512))
         for lo in range(0, len(idxs), eff_batch):
             sel = idxs[lo: lo + eff_batch]
-            batch = [utts[i] for i in sel]
             key, sub = jax.random.split(key)
-            keys = jax.random.split(sub, len(batch))
-            X_tfs = [u["X_tf"] for u in batch]
-            ys = ([u["y_hard"] for u in batch]
-                  if model_type == "m2" else None)
-            n_b = bucket_frames(max(X.shape[1] for X in X_tfs),
-                                bucket_multiple)
-            X_c, _, mask_b, y_b = _pad_batch(X_tfs, ys, n_b)
-            use_fused = _use_fused(engine, vae_params, n_b)
-            try:
-                out = _enhance_to_audio_jit(
-                    vae_params,
-                    jnp.asarray(np.real(X_c).astype(np.float32)),
-                    jnp.asarray(np.imag(X_c).astype(np.float32)),
-                    None, jnp.asarray(mask_b),
-                    None if y_b is None else jnp.asarray(
-                        y_b.astype(np.uint8)),
-                    keys, cfg, use_fused=use_fused,
-                    noise_model=noise_model,
-                )
-            except Exception as exc:
-                out = exc
-            pending.append((batch, X_tfs, ys, keys, out))
+            batches.append(([file_paths[i] for i in sel], n_pad,
+                            jax.random.split(sub, len(sel))))
 
-    # Phase 2 — fetch results in dispatch order and write outputs;
-    # fault-tolerant (SURVEY §7.10): a failed batch is retried one
-    # utterance at a time, and an utterance that still fails degrades to
-    # mixture passthrough instead of aborting the sweep.
-    for n_batch, (batch, X_tfs, ys, keys, out) in enumerate(pending):
-        t_origs = [u["T_orig"] for u in batch]
+    # ---- 2) batch assembly (runs in the prefetch pool) -------------------
+    def assemble(paths, n_pad):
+        L = (n_pad - 1) * HOP + NFFT
+        B = len(paths)
+        # int16 end to end: raw PCM ships as-is, the device applies the
+        # 1/32768 scaling (half the host->device bytes of f32)
+        x_b = np.zeros((B, L), np.int16)
+        s_b = np.zeros((B, L), np.int16) if label_mode == "oracle" else None
+        mask_b = np.zeros((B, n_pad), np.float32)
+        y_host = None
+        t_origs = []
+        from .data import read_wav_int16
+
+        def decode(path):
+            x, fs = read_wav_int16(path)
+            assert fs == FS
+            return x
+
+        for j, path in enumerate(paths):
+            base_in = os.path.join(processed_dir, os.path.splitext(path)[0])
+            x_t = decode(base_in + "_x.wav")
+            t_origs.append(len(x_t))
+            xp, nf = pad_signal_for_stft(x_t)
+            x_b[j, : len(xp)] = xp
+            mask_b[j, :nf] = 1.0
+            if label_mode == "oracle":
+                sp, _ = pad_signal_for_stft(decode(base_in + "_s.wav"))
+                s_b[j, : len(sp)] = sp
+            elif label_mode == "host":
+                _, _, X_tf = load_mixture(base_in)
+                _, y_hard = make_labels(
+                    classif_type, np.abs(X_tf) ** 2,
+                    classifier_params=classifier_params, mean=mean,
+                    std=std, target=target,
+                    quantile_fraction=quantile_fraction,
+                    quantile_weight=quantile_weight,
+                )
+                if y_host is None:
+                    y_host = np.zeros((B, y_hard.shape[0], n_pad), np.uint8)
+                y_host[j, :, : y_hard.shape[1]] = y_hard
+        return {"paths": paths, "t_origs": t_origs, "x": x_b, "s": s_b,
+                "y": y_host, "mask": mask_b,
+                "n_frames": [frame_count(t) for t in t_origs]}
+
+    # ---- 3) pipelined dispatch / fetch / write ---------------------------
+    def dispatch(a, n_pad, keys):
+        use_fused = _use_fused(engine, vae_params, n_pad)
+        return _enhance_waveform_jit(
+            vae_params, jnp.asarray(a["x"]),
+            None if a["s"] is None else jnp.asarray(a["s"]),
+            None if a["y"] is None else jnp.asarray(a["y"]),
+            classifier_params if label_mode == "dnn" else None,
+            mean_d if label_mode == "dnn" else None,
+            std_d if label_mode == "dnn" else None,
+            jnp.asarray(a["mask"]), keys, cfg, use_fused=use_fused,
+            noise_model=noise_model, fast=fast, label_mode=label_mode,
+            target=target, quantile_fraction=quantile_fraction,
+            quantile_weight=quantile_weight,
+        )
+
+    writer = ThreadPoolExecutor(max_workers=4)
+    write_futs = []
+
+    def write_utt(base_out, s, n, y_soft, y_hard):
+        os.makedirs(os.path.dirname(base_out), exist_ok=True)
+        write_wav(base_out + "_s_est.wav", s, FS)
+        write_wav(base_out + "_n_est.wav", n, FS)
+        if y_soft is not None:
+            # compact dtypes (soft f16, hard u8); consumers cast
+            np.save(base_out + "_ibm_soft_est.npy", y_soft)
+            np.save(base_out + "_ibm_hard_est.npy", y_hard)
+
+    def finish(item, n_batch):
+        a, keys, out = item
+        t_origs = a["t_origs"]
+        n_frames = a["n_frames"]
+        y_soft_b = y_hard_b = None
+        y_dim = 1 if target == "vad" else BINS
         try:
             if isinstance(out, Exception):
                 raise out
-            s_pad = np.asarray(out[0])
-            n_pad_arr = np.asarray(out[1])
-            if not np.all(np.isfinite(s_pad)):
+            if not bool(np.asarray(out[4])):
                 raise FloatingPointError("non-finite enhancement output")
+            s_pad = np.asarray(out[0])  # int16 PCM, quantized on device
+            n_pad_arr = np.asarray(out[1])
             s_est = [s_pad[j][:t] for j, t in enumerate(t_origs)]
             n_est = [n_pad_arr[j][:t] for j, t in enumerate(t_origs)]
+            if out[3] is not None:
+                y_hard_b = np.unpackbits(
+                    np.asarray(out[3]), axis=1)[:, :y_dim, :]
+                y_soft_b = (np.asarray(out[2]) if out[2] is not None
+                            else y_hard_b.astype(np.float16))
+            elif a["y"] is not None:  # host labels (timo)
+                y_hard_b = a["y"]
+                y_soft_b = a["y"].astype(np.float16)
         except Exception as exc:
-            print(f"batch of {len(batch)} failed ({exc!r}); "
+            print(f"batch of {len(a['paths'])} failed ({exc!r}); "
                   "retrying per-utterance")
             s_est, n_est = [], []
-            for j, u in enumerate(batch):
+            y_soft_l, y_hard_l = [], []
+            for j, path in enumerate(a["paths"]):
+                base_in = os.path.join(processed_dir,
+                                       os.path.splitext(path)[0])
                 try:
+                    _, _, X_tf = load_mixture(base_in)
+                    ys_j = None
+                    if model_type == "m2":
+                        y_soft_j, y_hard_j = make_labels(
+                            classif_type, np.abs(X_tf) ** 2,
+                            s_path=base_in + "_s.wav",
+                            classifier_params=classifier_params,
+                            mean=mean, std=std, target=target,
+                            quantile_fraction=quantile_fraction,
+                            quantile_weight=quantile_weight,
+                        )
+                        ys_j = [y_hard_j]
+                        y_soft_l.append(y_soft_j.astype(np.float16))
+                        y_hard_l.append(y_hard_j.astype(np.uint8))
                     s1, n1 = enhance_to_audio(
-                        vae_params, [X_tfs[j]], [t_origs[j]],
-                        None if ys is None else [ys[j]],
+                        vae_params, [X_tf], [t_origs[j]], ys_j,
                         keys[j:j + 1], cfg, bucket_multiple,
                         engine=engine, noise_model=noise_model,
                     )
                     s_est.append(s1[0])
                     n_est.append(n1[0])
                 except Exception as exc2:
-                    print(f"utterance {u['path']} failed ({exc2!r}); "
+                    print(f"utterance {path} failed ({exc2!r}); "
                           "writing passthrough")
-                    x_t, _, _ = load_mixture(os.path.join(
-                        processed_dir, os.path.splitext(u["path"])[0]))
+                    x_t, _, _ = load_mixture(base_in)
                     s_est.append(x_t)
                     n_est.append(np.zeros_like(x_t))
+                    if model_type == "m2":
+                        if not y_soft_l or len(y_soft_l) <= j:
+                            F = BINS if target != "vad" else 1
+                            y_soft_l.append(
+                                np.zeros((F, n_frames[j]), np.float16))
+                            y_hard_l.append(
+                                np.zeros((F, n_frames[j]), np.uint8))
+            if model_type == "m2":
+                y_soft_b = y_soft_l
+                y_hard_b = y_hard_l
 
-        for j, u in enumerate(batch):
-            base_out = os.path.join(
-                output_dir, os.path.splitext(u["path"])[0]
-            )
-            os.makedirs(os.path.dirname(base_out), exist_ok=True)
-            write_wav(base_out + "_s_est.wav", s_est[j], FS)
-            write_wav(base_out + "_n_est.wav", n_est[j], FS)
-            if u["y_soft"] is not None:
-                # compact dtypes (soft f16, hard u8); consumers cast
-                np.save(base_out + "_ibm_soft_est.npy",
-                        u["y_soft"].astype(np.float16))
-                np.save(base_out + "_ibm_hard_est.npy",
-                        u["y_hard"].astype(np.uint8))
+        for j, path in enumerate(a["paths"]):
+            base_out = os.path.join(output_dir, os.path.splitext(path)[0])
+            ys_j = yh_j = None
+            if y_soft_b is not None:
+                ys_j = np.asarray(y_soft_b[j])[:, : n_frames[j]]
+                yh_j = np.asarray(y_hard_b[j])[:, : n_frames[j]]
+            write_futs.append(writer.submit(
+                write_utt, base_out, s_est[j], n_est[j], ys_j, yh_j))
         if verbose:
-            print(f"batch {n_batch}: enhanced {len(batch)} utterances")
+            print(f"batch {n_batch}: enhanced {len(a['paths'])} utterances")
+
+    from collections import deque
+
+    loader = ThreadPoolExecutor(max_workers=PREFETCH)
+    assemble_futs = deque(
+        loader.submit(assemble, paths, n_pad)
+        for paths, n_pad, _ in batches[: PREFETCH]
+    )
+    in_flight = deque()
+    n_done = 0
+    for i, (paths, n_pad, keys) in enumerate(batches):
+        a = assemble_futs.popleft().result()
+        if i + PREFETCH < len(batches):
+            nxt = batches[i + PREFETCH]
+            assemble_futs.append(loader.submit(assemble, nxt[0], nxt[1]))
+        try:
+            out = dispatch(a, n_pad, keys)
+        except Exception as exc:
+            out = exc
+        in_flight.append((a, keys, out))
+        while len(in_flight) > MAX_INFLIGHT:
+            finish(in_flight.popleft(), n_done)
+            n_done += 1
+    while in_flight:
+        finish(in_flight.popleft(), n_done)
+        n_done += 1
+    loader.shutdown(wait=True)
+    for f in write_futs:
+        f.result()  # surface writer exceptions
+    writer.shutdown(wait=True)
     return time.perf_counter() - t_start
 
 

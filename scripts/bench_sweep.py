@@ -50,6 +50,7 @@ def main(argv=None):
     argv = argv or sys.argv[1:]
     n_utts = flag(argv, "n", 100, int)
     batch_size = flag(argv, "batch_size", 32, int)
+    fast = bool(flag(argv, "fast", 1, int))  # bf16 dumps + approx recip
     work = flag(argv, "work", "/tmp/gvnmf_sweep")
     shutil.rmtree(work, ignore_errors=True)
 
@@ -82,13 +83,13 @@ def main(argv=None):
     t0 = time.perf_counter()
     enhance_files(names, proc, os.path.join(work, "est_cold"), m2,
                   model_type="m2", classif_type="oracle", cfg=cfg,
-                  batch_size=batch_size)
+                  batch_size=batch_size, fast=fast)
     cold = time.perf_counter() - t0
 
     t0 = time.perf_counter()
     enhance_files(names, proc, os.path.join(work, "est_warm"), m2,
                   model_type="m2", classif_type="oracle", cfg=cfg,
-                  batch_size=batch_size)
+                  batch_size=batch_size, fast=fast)
     warm = time.perf_counter() - t0
 
     print(json.dumps({
