@@ -182,13 +182,22 @@ def mh_wiener_filter(dec_params, y_pre, X_abs2, Vb, g, Z0, Vs0, key,
 
 
 def nmf_m_step(X_abs2, mask, W, H, g, Vs_samples, update_nmf=True,
-               Vb_fixed=None):
+               Vb_fixed=None, axis_name=None):
     """Multiplicative W, H, g updates in the reference's exact order
     (mcem.py:90-152): W; recompute Vb,Vx; H; recompute; L1-normalize W with
     compensating H rescale; g. `mask` (N,) excludes pad frames from the
     cross-frame reductions so the result equals the unpadded per-utterance
     computation. With update_nmf=False the noise variance stays at Vb_fixed
-    and only g is updated (the *_noNMF variants, mcem.py:543-578)."""
+    and only g is updated (the *_noNMF variants, mcem.py:543-578).
+
+    `axis_name`: when the FRAME axis is sharded over a mesh (shard_map,
+    one long recording spanning chips — SURVEY §5), the only cross-frame
+    reductions in the whole EM iteration are this function's W-update
+    matmuls (and the cost); they become psums over the frame shards. The
+    H and g updates are per-frame and stay local."""
+
+    def fsum(v):
+        return lax.psum(v, axis_name) if axis_name else v
 
     def vx(Vb):
         return jnp.maximum(g * Vs_samples + Vb, VX_FLOOR)  # (R, F, N)
@@ -198,8 +207,8 @@ def nmf_m_step(X_abs2, mask, W, H, g, Vs_samples, update_nmf=True,
         Vx = vx(Vb)
         sum_inv2 = jnp.sum(Vx**-2, axis=0)
         sum_inv1 = jnp.sum(Vx**-1, axis=0)
-        num = ((X_abs2 * sum_inv2) * mask) @ H.T
-        den = (sum_inv1 * mask) @ H.T
+        num = fsum(((X_abs2 * sum_inv2) * mask) @ H.T)
+        den = fsum((sum_inv1 * mask) @ H.T)
         W = W * (num / den) ** 0.5
 
         Vb = W @ H
@@ -227,7 +236,7 @@ def nmf_m_step(X_abs2, mask, W, H, g, Vs_samples, update_nmf=True,
 # ---------------------------------------------------------------------------
 
 
-def _masked_cost(X_abs2, mask, Vb, g, Vs_samples):
+def _masked_cost(X_abs2, mask, Vb, g, Vs_samples, axis_name=None):
     """Expected negative log-likelihood over valid frames (reference
     mcem.py:68-70 computes a plain mean; the mask restricts it to real
     frames so padding cannot shift the trajectory)."""
@@ -235,11 +244,15 @@ def _masked_cost(X_abs2, mask, Vb, g, Vs_samples):
     per_bin = jnp.log(Vx) + X_abs2 / Vx
     total = jnp.sum(per_bin * mask)
     count = Vs_samples.shape[0] * X_abs2.shape[0] * jnp.sum(mask)
+    if axis_name:
+        total = lax.psum(total, axis_name)
+        count = lax.psum(count, axis_name)
     return total / count
 
 
 def mcem_run(vae_params, X_abs2, mask, y, key, cfg: MCEMConfig,
-             update_nmf=True, Vb_fixed=None):
+             update_nmf=True, Vb_fixed=None, axis_name=None,
+             init_nmf=None):
     """Run the full MCEM loop on one utterance.
 
     Args:
@@ -251,6 +264,13 @@ def mcem_run(vae_params, X_abs2, mask, y, key, cfg: MCEMConfig,
       key: PRNG key.
       update_nmf: False for the *_noNMF variants (requires Vb_fixed).
       Vb_fixed: (F, N) fixed noise variance when update_nmf=False.
+      axis_name: mesh axis the FRAME dimension is sharded over (inside a
+        shard_map; see parallel.sweep.frame_sharded_mcem) — the MH chain
+        is per-frame independent, so only the NMF W-update and the cost
+        need psums. None for the single-device path.
+      init_nmf: optional (W0, H0, g0) overriding the random NMF init —
+        used by the frame-sharded path so every shard starts from its
+        slice of one global init (and by fixed-randomness tests).
 
     Returns dict with WFs, WFn (F, N), cost (niter,), W, H, g, Z.
     """
@@ -260,15 +280,18 @@ def mcem_run(vae_params, X_abs2, mask, y, key, cfg: MCEMConfig,
     L = dec_params["hidden"][0]["w"].shape[0] - (0 if y is None else y.shape[0])
 
     key, k_w, k_h = jax.random.split(key, 3)
-    if update_nmf:
+    if init_nmf is not None:
+        W, H, g = init_nmf
+    elif update_nmf:
         W = jnp.maximum(jax.random.uniform(k_w, (F, cfg.nmf_rank)), cfg.eps)
         H = jnp.maximum(jax.random.uniform(k_h, (cfg.nmf_rank, N)), cfg.eps)
+        g = jnp.ones((N,), X_abs2.dtype)
     else:
         # Fixed external noise model: spread Vb over rank-1 factors so the
         # same code path computes Vb = W @ H = Vb_fixed.
         W = jnp.ones((F, 1), X_abs2.dtype)
         H = jnp.zeros((1, N), X_abs2.dtype)
-    g = jnp.ones((N,), X_abs2.dtype)
+        g = jnp.ones((N,), X_abs2.dtype)
 
     # Z0 = encoder posterior mean of the (label-conditioned) power frames
     # (reference mcem.py:214-215,367-368)
@@ -288,10 +311,11 @@ def mcem_run(vae_params, X_abs2, mask, y, key, cfg: MCEMConfig,
         )
         W2, H2, g2 = nmf_m_step(
             X_abs2, mask, W, H, g, Vs_samples, update_nmf=update_nmf,
-            Vb_fixed=Vb_fixed,
+            Vb_fixed=Vb_fixed, axis_name=axis_name,
         )
         Vb2 = (W2 @ H2) if update_nmf else Vb_fixed
-        cost = _masked_cost(X_abs2, mask, Vb2, g2, Vs_samples)
+        cost = _masked_cost(X_abs2, mask, Vb2, g2, Vs_samples,
+                            axis_name=axis_name)
         return (W2, H2, g2, Z, Vs, key), cost
 
     (W, H, g, Z, Vs, key), cost = lax.scan(

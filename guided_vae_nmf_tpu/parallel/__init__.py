@@ -3,6 +3,7 @@ from .sweep import (
     sharded_mcem_m1,
     sharded_mcem_m2,
     sharded_mcem_fused,
+    frame_sharded_mcem,
 )
 from . import multihost
 from .mesh import (

@@ -11,6 +11,7 @@ one jit-compiled program, XLA collectives only where shardings require them.
 
 import numpy as np
 import jax
+import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
 from .mesh import batch_sharding, replicated, pad_to_multiple
@@ -98,6 +99,86 @@ def sharded_mcem_fused(mesh, vae_params, X_abs2, mask, y, keys,
     )
     out = fn(*args)
     return jax.tree_util.tree_map(lambda x: np.asarray(x)[:B], out)
+
+
+def frame_sharded_mcem(mesh, vae_params, X_abs2, mask, y, key,
+                       cfg: MCEMConfig = MCEMConfig(), axis="data",
+                       update_nmf=True, Vb_fixed=None):
+    """ONE long recording sharded over the mesh along the FRAME axis
+    (SURVEY §5 closing bullet): a 30-minute utterance whose (R, F, N)
+    sample buffer would OOM a single chip spans the mesh instead.
+
+    The MH chain is per-frame independent (reference mcem.py:271-280) and
+    the H/g updates are per-frame, so the only collectives in the whole EM
+    loop are psums of the NMF W-update matmuls and the scalar cost
+    (engine.nmf_m_step / _masked_cost with axis_name set). The NMF init is
+    drawn once globally and sliced so the trajectory is shard-count
+    invariant; each shard folds its mesh position into the PRNG key for
+    independent per-frame MH noise.
+
+    Args: X_abs2 (F, N) with N % mesh_size == 0 (pad with `pad_power` +
+    mask), mask (N,), y (y_dim, N) or None, one PRNG key.
+    Returns the mcem_run dict with full-length (F, N) WFs/WFn/H/g and the
+    replicated W/cost.
+    """
+    from ..mcem.engine import mcem_run
+
+    n_dev = mesh.shape[axis]
+    F, N = X_abs2.shape
+    if N % n_dev != 0:
+        raise ValueError(f"frame count {N} must divide the mesh axis "
+                         f"({n_dev}); pad with pad_power + mask")
+
+    # Global NMF init, identical to the single-device mcem_run draw
+    key, k_w, k_h = jax.random.split(jnp.asarray(key), 3)
+    if update_nmf:
+        W0 = jnp.maximum(jax.random.uniform(k_w, (F, cfg.nmf_rank)),
+                         cfg.eps)
+        H0 = jnp.maximum(jax.random.uniform(k_h, (cfg.nmf_rank, N)),
+                         cfg.eps)
+    else:
+        W0 = jnp.ones((F, 1), X_abs2.dtype)
+        H0 = jnp.zeros((1, N), X_abs2.dtype)
+    g0 = jnp.ones((N,), X_abs2.dtype)
+
+    has_y = y is not None
+    has_vb = Vb_fixed is not None
+
+    def local(params, X, m, W0_, H0_, g0_, k, *rest):
+        yy = rest[0] if has_y else None
+        vb = rest[-1] if has_vb else None
+        k = jax.random.fold_in(k, jax.lax.axis_index(axis))
+        out = mcem_run(params, X, m, yy, k, cfg, update_nmf=update_nmf,
+                       Vb_fixed=vb, axis_name=axis,
+                       init_nmf=(W0_, H0_, g0_))
+        # W and cost are already psum-consistent (identical on every
+        # shard); mark them replicated for the out_specs below.
+        return {
+            "WFs": out["WFs"], "WFn": out["WFn"], "H": out["H"],
+            "g": out["g"], "Z": out["Z"],
+            "W": jax.lax.psum(out["W"], axis) / n_dev,
+            "cost": jax.lax.psum(out["cost"], axis) / n_dev,
+        }
+
+    frame2 = P(None, axis)   # (F, N) split on frames
+    frame1 = P(axis)
+    in_specs = [P(), frame2, frame1, P(), frame2, frame1, P()]
+    args = [vae_params, X_abs2, mask, W0, H0, g0, key]
+    if has_y:
+        in_specs.append(frame2)
+        args.append(y)
+    if has_vb:
+        in_specs.append(frame2)
+        args.append(Vb_fixed)
+    out_specs = {
+        "WFs": frame2, "WFn": frame2, "H": frame2, "g": frame1,
+        "Z": frame2, "W": P(), "cost": P(),
+    }
+    fn = jax.shard_map(
+        local, mesh=mesh, in_specs=tuple(in_specs), out_specs=out_specs,
+        check_vma=False,
+    )
+    return fn(*args)
 
 
 def sharded_mcem_m2(mesh, dgm_params, X_abs2, mask, y, keys,

@@ -82,3 +82,58 @@ def test_sharded_m2_with_ragged_batch():
     ref = mcem_m2_batch(dgm, jnp.asarray(X), jnp.asarray(mask),
                         jnp.asarray(y), jnp.asarray(keys), CFG)
     assert_allclose(out["WFs"], np.asarray(ref["WFs"]), atol=1e-5)
+
+
+def test_frame_sharded_long_recording_matches_single_device():
+    """One long recording sharded over the FRAME axis (SURVEY §5): with
+    var_RW=0 the MCEM trajectory is deterministic, so the 8-shard result
+    must equal the single-device run from the same global NMF init up to
+    psum reassociation."""
+    from guided_vae_nmf_tpu.parallel import frame_sharded_mcem
+    from guided_vae_nmf_tpu.mcem.engine import mcem_run
+
+    mesh = make_mesh()
+    F2, N2, ydim = 129, 512, 16
+    dgm = dgm_init(KEY, [F2, ydim, 8, [32]])
+    X = np.random.RandomState(0).rand(F2, N2).astype(np.float32) + 0.05
+    y = (np.random.RandomState(1).rand(ydim, N2) > 0.5).astype(np.float32)
+    mask = np.ones((N2,), np.float32)
+    key = jax.random.PRNGKey(42)
+    cfg = MCEMConfig(niter=5, nsamples_E_step=3, burnin_E_step=3,
+                     nsamples_WF=3, burnin_WF=3, nmf_rank=4, var_RW=0.0)
+
+    out_s = frame_sharded_mcem(mesh, dgm, jnp.asarray(X), jnp.asarray(mask),
+                               jnp.asarray(y), key, cfg)
+
+    k2, k_w, k_h = jax.random.split(key, 3)
+    W0 = jnp.maximum(jax.random.uniform(k_w, (F2, cfg.nmf_rank)), cfg.eps)
+    H0 = jnp.maximum(jax.random.uniform(k_h, (cfg.nmf_rank, N2)), cfg.eps)
+    g0 = jnp.ones((N2,), jnp.float32)
+    out_1 = mcem_run(dgm, jnp.asarray(X), jnp.asarray(mask), jnp.asarray(y),
+                     k2, cfg, init_nmf=(W0, H0, g0))
+    for name in ("WFs", "WFn", "g", "cost", "W", "H"):
+        a, b = np.asarray(out_s[name]), np.asarray(out_1[name])
+        assert a.shape == b.shape, name
+        assert_allclose(a, b, rtol=2e-4, atol=1e-6, err_msg=name)
+
+
+def test_frame_sharded_stochastic_and_errors():
+    from guided_vae_nmf_tpu.parallel import frame_sharded_mcem
+    import pytest
+
+    mesh = make_mesh()
+    F2, N2 = 33, 128
+    vae = vae_init(KEY, [F2, 4, [16]])
+    X = np.random.RandomState(2).rand(F2, N2).astype(np.float32) + 0.05
+    mask = np.ones((N2,), np.float32)
+    cfg = MCEMConfig(niter=2, nsamples_E_step=2, burnin_E_step=2,
+                     nsamples_WF=2, burnin_WF=2, nmf_rank=3)
+    out = frame_sharded_mcem(mesh, vae, jnp.asarray(X), jnp.asarray(mask),
+                             None, jax.random.PRNGKey(3), cfg)
+    assert np.all(np.isfinite(np.asarray(out["WFs"])))
+    assert_allclose(np.asarray(out["WFs"]) + np.asarray(out["WFn"]), 1.0,
+                    atol=1e-4)
+    with pytest.raises(ValueError):  # 100 frames don't divide 8 shards
+        frame_sharded_mcem(mesh, vae, jnp.asarray(X[:, :100]),
+                           jnp.asarray(mask[:100]), None,
+                           jax.random.PRNGKey(3), cfg)
