@@ -91,11 +91,15 @@ def _decode_cond(dec_params, y_pre, Z):
 
 
 def _mh_scan(dec_params, y_pre, X_abs2, Vb, g, Z0, Vs0, key, n_steps, var_RW,
-             step_extra):
+             step_extra, noise=None):
     """Run `n_steps` of the random-walk MH chain (reference mcem.py:218-294).
 
     `step_extra(carry_extra, m, Z, Vs, Vx)` folds per-step products (sample
     buffers or WF accumulators) without materializing the chain.
+    `noise`: optional (Zn (n_steps, L, N), U (n_steps, N)) recorded streams
+    replacing the PRNG draws — the fixed-randomness test mode shared with
+    the Pallas kernel (mh_chain_pallas(noise=...)), making var_RW>0
+    trajectories bit-comparable across engines.
     Returns (Z, Vs, key, carry_extra).
     """
     L, N = Z0.shape
@@ -105,7 +109,11 @@ def _mh_scan(dec_params, y_pre, X_abs2, Vb, g, Z0, Vs0, key, n_steps, var_RW,
     def step(carry, m):
         Z, Vs, key, extra = carry
         key, k_prop, k_acc = jax.random.split(key, 3)
-        Z_prime = Z + sqrt_var * jax.random.normal(k_prop, (L, N), Z.dtype)
+        if noise is not None:
+            zn_m = noise[0][m]
+        else:
+            zn_m = jax.random.normal(k_prop, (L, N), Z.dtype)
+        Z_prime = Z + sqrt_var * zn_m
         Vs_prime = _decode_cond(dec_params, y_pre, Z_prime)
         Vx = jnp.maximum(g * Vs + gVb, VX_FLOOR)
         Vx_prime = jnp.maximum(g * Vs_prime + gVb, VX_FLOOR)
@@ -115,7 +123,11 @@ def _mh_scan(dec_params, y_pre, X_abs2, Vb, g, Z0, Vs0, key, n_steps, var_RW,
             + (1.0 / Vx - 1.0 / Vx_prime) * X_abs2,
             axis=0,
         ) + 0.5 * jnp.sum(Z**2 - Z_prime**2, axis=0)
-        is_acc = jnp.log(jax.random.uniform(k_acc, (N,))) < acc_prob
+        if noise is not None:
+            u_m = noise[1][m]
+        else:
+            u_m = jax.random.uniform(k_acc, (N,))
+        is_acc = jnp.log(u_m) < acc_prob
         Z = jnp.where(is_acc[None, :], Z_prime, Z)
         # selective update == the reference's post-accept re-decode
         Vs = jnp.where(is_acc[None, :], Vs_prime, Vs)
@@ -131,7 +143,7 @@ def _mh_scan(dec_params, y_pre, X_abs2, Vb, g, Z0, Vs0, key, n_steps, var_RW,
 
 
 def mh_sample_posterior(dec_params, y_pre, X_abs2, Vb, g, Z0, Vs0, key,
-                        nsamples, burnin, var_RW):
+                        nsamples, burnin, var_RW, noise=None):
     """E-step chain: collect the `nsamples` post-burnin speech variances into
     a (R, F, N) buffer (reference mcem.py:286-289 keeps Z draws then
     re-decodes; keeping Vs directly is equivalent and halves decoder work)."""
@@ -146,13 +158,13 @@ def mh_sample_posterior(dec_params, y_pre, X_abs2, Vb, g, Z0, Vs0, key,
 
     Z, Vs, key, buf = _mh_scan(
         dec_params, y_pre, X_abs2, Vb, g, Z0, Vs0, key,
-        nsamples + burnin, var_RW, step_extra,
+        nsamples + burnin, var_RW, step_extra, noise=noise,
     )
     return Z, Vs, key, buf
 
 
 def mh_wiener_filter(dec_params, y_pre, X_abs2, Vb, g, Z0, Vs0, key,
-                     nsamples, burnin, var_RW):
+                     nsamples, burnin, var_RW, noise=None):
     """Final Wiener-filter chain (reference mcem.py:327-345): accumulate the
     posterior means of Vs_scaled/Vx and Vb/Vx in the scan carry."""
     F, N = X_abs2.shape
@@ -171,7 +183,7 @@ def mh_wiener_filter(dec_params, y_pre, X_abs2, Vb, g, Z0, Vs0, key,
 
     Z, Vs, key, (acc_s, acc_n) = _mh_scan(
         dec_params, y_pre, X_abs2, Vb, g, Z0, Vs0, key,
-        nsamples + burnin, var_RW, step_extra,
+        nsamples + burnin, var_RW, step_extra, noise=noise,
     )
     return acc_s / nsamples, acc_n / nsamples, Z, Vs, key
 

@@ -70,9 +70,16 @@ def _normal(shape):
 
 def _make_chain_kernel(mode, n_steps, burnin, var_RW, T, L, F, depth=2,
                        samples_dtype=jnp.float32,
-                       matmul_dtype=jnp.float32, approx_recip=False):
+                       matmul_dtype=jnp.float32, approx_recip=False,
+                       inject=False):
     """`depth` = number of decoder hidden layers (the reference family is
-    tanh^depth -> exp; evaluate configs use 2, training_M1's default 1)."""
+    tanh^depth -> exp; evaluate configs use 2, training_M1's default 1).
+
+    `inject=True` swaps the on-core PRNG for precomputed noise streams
+    passed as kernel inputs (proposal normals + accept uniforms) — the
+    fixed-randomness test mode (SURVEY §7): identical streams fed to the
+    XLA engine make the var_RW>0 trajectories bit-comparable on CPU,
+    where the interpreter's PRNG is a stub."""
     sqrt_var = float(np.sqrt(var_RW))
 
     def recip(x):
@@ -86,8 +93,10 @@ def _make_chain_kernel(mode, n_steps, burnin, var_RW, T, L, F, depth=2,
 
     def kernel(seed_ref, x2_ref, vb_ref, g_ref, ypre_ref, z_ref, vs_ref,
                *rest):
-        # rest = w1, (w_i, b_i) x (depth-1), w_out, b_out,
-        #        z_out, vs_out, extra...
+        # rest = [zn, u when inject,] w1, (w_i, b_i) x (depth-1),
+        #        w_out, b_out, z_out, vs_out, extra...
+        if inject:
+            zn_ref, u_ref, *rest = rest
         n_w = 1 + 2 * (depth - 1) + 2
         w_refs = rest[:n_w]
         z_out_ref, vs_out_ref, *extra_refs = rest[n_w:]
@@ -96,7 +105,8 @@ def _make_chain_kernel(mode, n_steps, burnin, var_RW, T, L, F, depth=2,
                for i in range(depth - 1)]
         wo_ref, bo_ref = w_refs[-2], w_refs[-1]
 
-        pltpu.prng_seed(seed_ref[pl.program_id(0), pl.program_id(1)])
+        if not inject:
+            pltpu.prng_seed(seed_ref[pl.program_id(0), pl.program_id(1)])
         X2 = x2_ref[0]          # (T, F)
         Vb = vb_ref[0]          # (T, F)
         G = g_ref[0]            # (T, 1) — column vector, broadcasts over F
@@ -115,7 +125,11 @@ def _make_chain_kernel(mode, n_steps, burnin, var_RW, T, L, F, depth=2,
             # log(Vx) and 1/Vx ride the carry: only the PROPOSAL's
             # transcendentals are paid each step.
             Z, Vs, logVx, invVx = carry   # (T,L), (T,F), (T,F), (T,F)
-            Zp = Z + sqrt_var * _normal((T, L))
+            if inject:
+                zn_m = zn_ref[0, pl.ds(m, 1)].reshape(T, L)
+            else:
+                zn_m = _normal((T, L))
+            Zp = Z + sqrt_var * zn_m
             h = jnp.tanh(mm(Zp, w1_ref[:]) + ypre)           # (T, H1)
             for w_ref, b_ref in mid:
                 h = jnp.tanh(mm(h, w_ref[:]) + b_ref[:])
@@ -126,7 +140,10 @@ def _make_chain_kernel(mode, n_steps, burnin, var_RW, T, L, F, depth=2,
             acc = jnp.sum(
                 logVx - logVxp + (invVx - invVxp) * X2, axis=1
             ) + 0.5 * jnp.sum(Z * Z - Zp * Zp, axis=1)       # (T,)
-            u = _uniform01((T, 1))[:, 0]
+            if inject:
+                u = u_ref[0, pl.ds(m, 1)].reshape(T)
+            else:
+                u = _uniform01((T, 1))[:, 0]
             accept = (jnp.log(u) < acc)[:, None]
             Z = jnp.where(accept, Zp, Z)
             Vs = jnp.where(accept, Vsp, Vs)
@@ -180,7 +197,7 @@ def _default_interpret():
 def mh_chain_pallas(dec_w, X2, Vb, g, ypre, Z, Vs, seeds, mode="e",
                     nsamples=10, burnin=30, var_RW=0.01, tile=128,
                     samples_dtype=jnp.float32, matmul_dtype=jnp.float32,
-                    interpret=None, approx_recip=False):
+                    interpret=None, approx_recip=False, noise=None):
     """Run the fused MH chain over a frames-major batch.
 
     Args (frames-major layout):
@@ -189,6 +206,10 @@ def mh_chain_pallas(dec_w, X2, Vb, g, ypre, Z, Vs, seeds, mode="e",
         2..depth, wo (H_last, F), bo (F,).
       X2, Vb, Vs: (B, N, F); g: (B, N); ypre: (B, N, H1); Z: (B, N, L);
       seeds: (B, N//tile) int32.
+      noise: optional (Zn (B, n_steps, N, L), U (B, n_steps, N)) recorded
+        noise streams replacing the on-core PRNG (fixed-randomness test
+        mode — lets CPU CI bit-check var_RW>0 chains against the XLA
+        engine, whose _mh_scan accepts the same streams).
 
     Returns (Z, Vs, extra): extra = (samples (B, nsamples, N, F), s1, s2)
     in 'e' mode, or (WFs_sum, WFn_sum) of (B, N, F) in 'wf' mode (divide by
@@ -206,7 +227,8 @@ def mh_chain_pallas(dec_w, X2, Vb, g, ypre, Z, Vs, seeds, mode="e",
                                 depth=depth,
                                 samples_dtype=samples_dtype,
                                 matmul_dtype=matmul_dtype,
-                                approx_recip=approx_recip)
+                                approx_recip=approx_recip,
+                                inject=noise is not None)
 
     def tiled(shape_tail):
         return pl.BlockSpec(
@@ -233,7 +255,20 @@ def mh_chain_pallas(dec_w, X2, Vb, g, ypre, Z, Vs, seeds, mode="e",
         tiled((tile, H1)),                               # ypre
         tiled((tile, L)),                                # Z
         tiled((tile, F)),                                # Vs
-    ] + [full(w.shape) for w in w_args]
+    ]
+    noise_args = ()
+    if noise is not None:
+        Zn, U = noise
+        in_specs += [
+            pl.BlockSpec((1, n_steps, tile, L),
+                         lambda b, t, *_: (b, 0, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_steps, tile),
+                         lambda b, t, *_: (b, 0, t),
+                         memory_space=pltpu.VMEM),
+        ]
+        noise_args = (Zn, U)
+    in_specs += [full(w.shape) for w in w_args]
     out_shapes = [
         jax.ShapeDtypeStruct((B, N, L), jnp.float32),    # Z out
         jax.ShapeDtypeStruct((B, N, F), jnp.float32),    # Vs out
@@ -269,7 +304,7 @@ def mh_chain_pallas(dec_w, X2, Vb, g, ypre, Z, Vs, seeds, mode="e",
     )
     if interpret is None:
         interpret = _default_interpret()
-    args = (seeds, X2, Vb, g[..., None], ypre, Z, Vs, *w_args)
+    args = (seeds, X2, Vb, g[..., None], ypre, Z, Vs, *noise_args, *w_args)
 
     def build_and_call():
         return pl.pallas_call(

@@ -1,10 +1,13 @@
 """Fused Pallas MH-chain kernel tests.
 
 On the CPU backend the kernel runs through the Pallas interpreter whose
-PRNG is a stub, so these tests exercise the deterministic var_RW=0 paths
+PRNG is a stub, so the deterministic var_RW=0 paths are checked directly
 (proposal == current => every update equation must reproduce the direct
-decoder computation bit-for-bit) and the driver plumbing. The stochastic
-behavior is validated on TPU (VALIDATION.md + bench.py).
+decoder computation bit-for-bit) and the var_RW>0 stochastic paths are
+checked via the fixed-randomness injection mode: recorded noise streams
+fed to both the kernel and the XLA engine must produce the same
+trajectories. On-core PRNG statistics are validated on TPU
+(VALIDATION.md + bench.py).
 """
 
 import numpy as np
@@ -172,3 +175,75 @@ def test_bf16_sample_mode_runs():
     out = mcem_batch_fused(dgm, X, mask, y, keys, cfg, compute_cost=False,
                            samples_dtype=jnp.bfloat16)
     assert np.all(np.isfinite(np.asarray(out["WFs"])))
+
+
+def test_injected_noise_e_mode_matches_xla_engine():
+    """Fixed-randomness test mode (SURVEY §7): recorded noise streams fed
+    to BOTH engines make the var_RW>0 E-chain trajectories comparable on
+    CPU, where the interpreter PRNG is a stub. Validates the stochastic
+    kernel math (proposal scaling, accept rule, accumulators) that the
+    var_RW=0 tests cannot reach."""
+    from guided_vae_nmf_tpu.mcem.engine import mh_sample_posterior
+
+    dgm, dec_w, X2, Vb, g, ypre, Z, Vs0, seeds = _setup()
+    nsamples, burnin, var_rw = 3, 2, 0.01
+    n_steps = nsamples + burnin
+    rng = np.random.RandomState(0)
+    Zn = rng.randn(B, n_steps, N, L).astype(np.float32)
+    U = rng.uniform(1e-6, 1.0, (B, n_steps, N)).astype(np.float32)
+
+    Zo, Vso, (samp, s1, s2) = mh_chain_pallas(
+        dec_w, X2, Vb, g, ypre, Z, Vs0, seeds, mode="e",
+        nsamples=nsamples, burnin=burnin, var_RW=var_rw,
+        noise=(jnp.asarray(Zn), jnp.asarray(U)),
+    )
+
+    dec = dgm["decoder"]
+    for b in range(B):
+        # engine layout is (F, N)/(L, N); kernel is frames-major
+        noise_b = (jnp.asarray(Zn[b].transpose(0, 2, 1)),
+                   jnp.asarray(U[b]))
+        Ze, Vse, _, buf = mh_sample_posterior(
+            dec, ypre[b], X2[b].T, Vb[b].T, g[b][None], Z[b].T, Vs0[b].T,
+            jax.random.PRNGKey(0), nsamples, burnin, var_rw,
+            noise=noise_b,
+        )
+        assert_allclose(np.asarray(Zo[b]), np.asarray(Ze).T, atol=2e-5)
+        assert_allclose(np.asarray(Vso[b]), np.asarray(Vse).T, rtol=2e-4)
+        # sample buffer: engine (R, F, N) vs kernel (R, N, F)
+        assert_allclose(np.asarray(samp[b]),
+                        np.asarray(buf).transpose(0, 2, 1), rtol=2e-4)
+    # at var_RW=0.01 with these streams some accepts and some rejects must
+    # occur, otherwise the test is vacuous
+    assert not np.allclose(np.asarray(Zo), np.asarray(Z))
+
+
+def test_injected_noise_wf_mode_matches_xla_engine():
+    from guided_vae_nmf_tpu.mcem.engine import mh_wiener_filter
+
+    dgm, dec_w, X2, Vb, g, ypre, Z, Vs0, seeds = _setup()
+    nsamples, burnin, var_rw = 4, 3, 0.01
+    n_steps = nsamples + burnin
+    rng = np.random.RandomState(1)
+    Zn = rng.randn(B, n_steps, N, L).astype(np.float32)
+    U = rng.uniform(1e-6, 1.0, (B, n_steps, N)).astype(np.float32)
+
+    Zo, Vso, (ws, wn) = mh_chain_pallas(
+        dec_w, X2, Vb, g, ypre, Z, Vs0, seeds, mode="wf",
+        nsamples=nsamples, burnin=burnin, var_RW=var_rw,
+        noise=(jnp.asarray(Zn), jnp.asarray(U)),
+    )
+    dec = dgm["decoder"]
+    for b in range(B):
+        noise_b = (jnp.asarray(Zn[b].transpose(0, 2, 1)),
+                   jnp.asarray(U[b]))
+        WFs, WFn, Ze, _, _ = mh_wiener_filter(
+            dec, ypre[b], X2[b].T, Vb[b].T, g[b][None], Z[b].T, Vs0[b].T,
+            jax.random.PRNGKey(0), nsamples, burnin, var_rw,
+            noise=noise_b,
+        )
+        assert_allclose(np.asarray(ws[b] / nsamples), np.asarray(WFs).T,
+                        atol=2e-5)
+        assert_allclose(np.asarray(wn[b] / nsamples), np.asarray(WFn).T,
+                        atol=2e-5)
+        assert_allclose(np.asarray(Zo[b]), np.asarray(Ze).T, atol=2e-5)
