@@ -308,6 +308,9 @@ def enhance_to_audio(vae_params, X_tfs, t_origs, ys=None, keys=None,
     """Batched wav-domain enhancement: complex spectrograms in, trimmed
     time-domain (s_est, n_est) lists out — engine, Wiener filtering and
     ISTFT all inside one jit (no host round-trips between stages)."""
+    if noise_model not in ("nmf", "spp"):
+        raise ValueError(f"noise_model must be 'nmf' or 'spp', "
+                         f"got {noise_model!r}")
     n_pad = bucket_frames(max(X.shape[1] for X in X_tfs), bucket_multiple)
     X_c, X_p, mask, y_b = _pad_batch(X_tfs, ys, n_pad)
     B = len(X_tfs)
@@ -427,6 +430,9 @@ def enhance_files(file_paths, processed_dir, output_dir, vae_params,
     from .dsp import pad_signal_for_stft
     from .dsp.stft import frame_count
 
+    if noise_model not in ("nmf", "spp"):
+        raise ValueError(f"noise_model must be 'nmf' or 'spp', "
+                         f"got {noise_model!r}")
     t_start = time.perf_counter()
     PREFETCH = 3        # batches being assembled ahead of the device
     MAX_INFLIGHT = 2    # dispatched-but-unfetched device batches

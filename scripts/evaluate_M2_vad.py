@@ -36,6 +36,7 @@ def main(argv=None):
     output = flag(rest, "output",
                   paths.models_dir + f"M2_vad_{classif_type}_enhanced/")
     batch_size = flag(rest, "batch_size", 16, int)
+    noise_model = flag(rest, "noise_model", "nmf")  # 'nmf' | 'spp' (noNMF)
 
     dgm = load_model(model_path, kind="dgm", y_dim=1)
     classifier, mean, std = None, None, None
@@ -50,7 +51,8 @@ def main(argv=None):
     enhance_files(files, paths.processed_wav_dir, output, dgm,
                   model_type="m2", classif_type=classif_type, target="vad",
                   classifier_params=classifier, mean=mean, std=std, cfg=cfg,
-                  batch_size=batch_size, verbose=True)
+                  batch_size=batch_size, verbose=True,
+                  noise_model=noise_model)
     print(f"Finished in {time.perf_counter() - t0:.1f} seconds "
           f"({len(files)} utterances)")
 
