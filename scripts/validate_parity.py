@@ -48,6 +48,8 @@ def make_noise(seed, kind):
 
 
 def metrics_line(tag, name, bp, s_hat):
+    from guided_vae_nmf_tpu.metrics import pesq
+
     s, _ = read_wav(bp + "_s.wav")
     n, _ = read_wav(bp + "_n.wav")
     x, _ = read_wav(bp + "_x.wav")
@@ -55,7 +57,9 @@ def metrics_line(tag, name, bp, s_hat):
     s, n, x, sh = s[:L], n[:L], x[:L], s_hat[:L]
     print(f"{name} {tag}: SI-SDR {energy_ratios(x, s, n)[0]:.1f} -> "
           f"{energy_ratios(sh, s, n)[0]:.1f} dB | "
-          f"ESTOI {stoi(s, x, FS, True):.3f} -> {stoi(s, sh, FS, True):.3f}")
+          f"ESTOI {stoi(s, x, FS, True):.3f} -> {stoi(s, sh, FS, True):.3f}"
+          f" | PESQ {pesq(FS, s, x, 'wb'):.2f} -> "
+          f"{pesq(FS, s, sh, 'wb'):.2f}")
 
 
 def main(argv=None):
