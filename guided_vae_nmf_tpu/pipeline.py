@@ -302,6 +302,88 @@ def _packbits_bands(y):
     return jnp.einsum("bkwn,w->bkn", yp, weights).astype(jnp.uint8)
 
 
+def _enhance_waveform_sharded(mesh, vae_params, x_pad, s_pad, y_in,
+                              classifier_params, mean, std, mask, keys,
+                              cfg, use_fused, noise_model, fast,
+                              label_mode, target, quantile_fraction,
+                              quantile_weight, axis="data"):
+    """shard_map wrapper of the whole waveform device program over the
+    mesh's data axis (multi-chip sweep): every stage — STFT, labels, MCEM,
+    Wiener filter, ISTFT — is per-utterance independent, so each device
+    runs its shard with ZERO collectives. shard_map (not sharding
+    annotations) because the fused Pallas call is opaque to the
+    partitioner. The batch size must be a multiple of the mesh axis
+    (enhance_files pads by duplicating trailing utterances and ignores
+    their outputs)."""
+    from jax.sharding import PartitionSpec as P
+
+    B = x_pad.shape[0]
+    n_dev = mesh.shape[axis]
+    if B % n_dev != 0:
+        raise ValueError(f"batch {B} must divide the mesh axis ({n_dev})")
+    has_s = s_pad is not None
+    has_y = y_in is not None
+    has_cls = classifier_params is not None
+    has_norm = mean is not None
+
+    def local(params, *rest):
+        rest = list(rest)
+        cls = rest.pop(0) if has_cls else None
+        mn = rest.pop(0) if has_norm else None
+        sd = rest.pop(0) if has_norm else None
+        x, m, k = rest[:3]
+        rest = rest[3:]
+        s = rest.pop(0) if has_s else None
+        yi = rest.pop(0) if has_y else None
+        s_e, n_e, ys, yh, ok = _enhance_waveform_jit(
+            params, x, s, yi, cls, mn, sd, m, k, cfg,
+            use_fused=use_fused, noise_model=noise_model, fast=fast,
+            label_mode=label_mode, target=target,
+            quantile_fraction=quantile_fraction,
+            quantile_weight=quantile_weight,
+        )
+        outs = [s_e, n_e]
+        if ys is not None:
+            outs.append(ys)
+        if yh is not None:
+            outs.append(yh)
+        outs.append(jnp.full((s_e.shape[0],), ok))
+        return tuple(outs)
+
+    data = P(axis)
+    in_specs = [P()]
+    args = [vae_params]
+    if has_cls:
+        in_specs.append(P())
+        args.append(classifier_params)
+    if has_norm:
+        in_specs += [P(), P()]
+        args += [mean, std]
+    in_specs += [data, data, data]
+    args += [x_pad, mask, keys]
+    if has_s:
+        in_specs.append(data)
+        args.append(s_pad)
+    if has_y:
+        in_specs.append(data)
+        args.append(y_in)
+
+    # extra outputs: dnn -> (y_soft, y_hard); oracle/ones/zeros -> y_hard;
+    # none/host -> nothing (host labels already live on the host)
+    n_extra = 2 if label_mode == "dnn" else (
+        1 if label_mode in ("oracle", "ones", "zeros") else 0)
+    fn = jax.shard_map(
+        local, mesh=mesh, in_specs=tuple(in_specs),
+        out_specs=tuple([data] * (3 + n_extra)), check_vma=False,
+    )
+    outs = list(fn(*args))
+    ok = outs.pop()
+    s_e, n_e = outs[0], outs[1]
+    ys = outs[2] if n_extra == 2 else None
+    yh = outs[2 + (n_extra == 2)] if n_extra else None
+    return s_e, n_e, ys, yh, ok
+
+
 def enhance_to_audio(vae_params, X_tfs, t_origs, ys=None, keys=None,
                      cfg: MCEMConfig = MCEMConfig(), bucket_multiple=128,
                      engine="auto", noise_model="nmf", fast=False):
@@ -401,7 +483,7 @@ def enhance_files(file_paths, processed_dir, output_dir, vae_params,
                   cfg: MCEMConfig = MCEMConfig(), batch_size=16,
                   bucket_multiple=128, quantile_fraction=0.98,
                   quantile_weight=0.999, seed=0, verbose=False,
-                  engine="auto", noise_model="nmf", fast=False):
+                  engine="auto", noise_model="nmf", fast=False, mesh=None):
     """Full sweep over a test file list (reference evaluate_*.py main +
     process_utt): reads `<utt>_x.wav` (+ `_s.wav` for oracle labels), writes
     `<utt>_s_est.wav`, `<utt>_n_est.wav` and the soft/hard label arrays
@@ -516,17 +598,41 @@ def enhance_files(file_paths, processed_dir, output_dir, vae_params,
     # ---- 3) pipelined dispatch / fetch / write ---------------------------
     def dispatch(a, n_pad, keys):
         use_fused = _use_fused(engine, vae_params, n_pad)
-        return _enhance_waveform_jit(
-            vae_params, jnp.asarray(a["x"]),
-            None if a["s"] is None else jnp.asarray(a["s"]),
-            None if a["y"] is None else jnp.asarray(a["y"]),
+        common = dict(use_fused=use_fused, noise_model=noise_model,
+                      fast=fast, label_mode=label_mode, target=target,
+                      quantile_fraction=quantile_fraction,
+                      quantile_weight=quantile_weight)
+        if mesh is None:
+            return _enhance_waveform_jit(
+                vae_params, jnp.asarray(a["x"]),
+                None if a["s"] is None else jnp.asarray(a["s"]),
+                None if a["y"] is None else jnp.asarray(a["y"]),
+                classifier_params if label_mode == "dnn" else None,
+                mean_d if label_mode == "dnn" else None,
+                std_d if label_mode == "dnn" else None,
+                jnp.asarray(a["mask"]), keys, cfg, **common,
+            )
+        # multi-chip: pad the batch to the mesh size by duplicating
+        # trailing utterances (their outputs are simply never written)
+        n_dev = mesh.shape["data"]
+        B = a["x"].shape[0]
+        Bp = ((B + n_dev - 1) // n_dev) * n_dev
+
+        def padb(arr):
+            if arr is None or Bp == B:
+                return arr
+            reps = np.repeat(np.asarray(arr)[-1:], Bp - B, axis=0)
+            return np.concatenate([np.asarray(arr), reps], axis=0)
+
+        keys_p = jnp.asarray(padb(np.asarray(keys)))
+        return _enhance_waveform_sharded(
+            mesh, vae_params, jnp.asarray(padb(a["x"])),
+            None if a["s"] is None else jnp.asarray(padb(a["s"])),
+            None if a["y"] is None else jnp.asarray(padb(a["y"])),
             classifier_params if label_mode == "dnn" else None,
             mean_d if label_mode == "dnn" else None,
             std_d if label_mode == "dnn" else None,
-            jnp.asarray(a["mask"]), keys, cfg, use_fused=use_fused,
-            noise_model=noise_model, fast=fast, label_mode=label_mode,
-            target=target, quantile_fraction=quantile_fraction,
-            quantile_weight=quantile_weight,
+            jnp.asarray(padb(a["mask"])), keys_p, cfg, **common,
         )
 
     writer = ThreadPoolExecutor(max_workers=4)
@@ -550,7 +656,7 @@ def enhance_files(file_paths, processed_dir, output_dir, vae_params,
         try:
             if isinstance(out, Exception):
                 raise out
-            if not bool(np.asarray(out[4])):
+            if not np.all(np.asarray(out[4])):  # scalar or per-shard flags
                 raise FloatingPointError("non-finite enhancement output")
             s_pad = np.asarray(out[0])  # int16 PCM, quantized on device
             n_pad_arr = np.asarray(out[1])

@@ -31,13 +31,18 @@ def main(argv=None):
     output = flag(rest, "output", paths.models_dir + "M1_enhanced/")
     batch_size = flag(rest, "batch_size", 16, int)
     noise_model = flag(rest, "noise_model", "nmf")  # 'nmf' | 'spp' (noNMF)
+    mesh = None
+    if flag(rest, "data_parallel", "0") in ("1", "true"):
+        from guided_vae_nmf_tpu.parallel import make_mesh
+
+        mesh = make_mesh()  # utterance batch sharded over all devices
 
     vae = load_model(model_path, kind="vae")
     files = speech_list(paths.input_speech_dir, "test")
     t0 = time.perf_counter()
     enhance_files(files, paths.processed_wav_dir, output, vae,
                   model_type="m1", cfg=cfg, batch_size=batch_size,
-                  verbose=True, noise_model=noise_model)
+                  verbose=True, noise_model=noise_model, mesh=mesh)
     print(f"Finished in {time.perf_counter() - t0:.1f} seconds "
           f"({len(files)} utterances)")
 

@@ -36,6 +36,11 @@ def main(argv=None):
     output = flag(rest, "output",
                   paths.models_dir + f"M2_ibm_{classif_type}_enhanced/")
     batch_size = flag(rest, "batch_size", 16, int)
+    mesh = None
+    if flag(rest, "data_parallel", "0") in ("1", "true"):
+        from guided_vae_nmf_tpu.parallel import make_mesh
+
+        mesh = make_mesh()  # utterance batch sharded over all devices
 
     dgm = load_model(model_path, kind="dgm", y_dim=513)
     classifier, mean, std = None, None, None
@@ -51,7 +56,7 @@ def main(argv=None):
                   model_type="m2", classif_type=classif_type, target="ibm",
                   classifier_params=classifier, mean=mean, std=std, cfg=cfg,
                   batch_size=batch_size, verbose=True,
-                  noise_model=noise_model)
+                  noise_model=noise_model, mesh=mesh)
     print(f"Finished in {time.perf_counter() - t0:.1f} seconds "
           f"({len(files)} utterances)")
 

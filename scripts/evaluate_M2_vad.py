@@ -37,6 +37,11 @@ def main(argv=None):
                   paths.models_dir + f"M2_vad_{classif_type}_enhanced/")
     batch_size = flag(rest, "batch_size", 16, int)
     noise_model = flag(rest, "noise_model", "nmf")  # 'nmf' | 'spp' (noNMF)
+    mesh = None
+    if flag(rest, "data_parallel", "0") in ("1", "true"):
+        from guided_vae_nmf_tpu.parallel import make_mesh
+
+        mesh = make_mesh()  # utterance batch sharded over all devices
 
     dgm = load_model(model_path, kind="dgm", y_dim=1)
     classifier, mean, std = None, None, None
@@ -52,7 +57,7 @@ def main(argv=None):
                   model_type="m2", classif_type=classif_type, target="vad",
                   classifier_params=classifier, mean=mean, std=std, cfg=cfg,
                   batch_size=batch_size, verbose=True,
-                  noise_model=noise_model)
+                  noise_model=noise_model, mesh=mesh)
     print(f"Finished in {time.perf_counter() - t0:.1f} seconds "
           f"({len(files)} utterances)")
 

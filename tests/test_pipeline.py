@@ -164,3 +164,32 @@ def test_enhance_files_wiener(tmp_path):
                                      os.path.splitext(p)[0]) + "_x.wav")
         assert len(s_est) == len(x)
         assert np.all(np.isfinite(s_est))
+
+
+def test_enhance_files_mesh_sharded_matches_single_device(tmp_path):
+    """The wav->wav sweep sharded over the 8-way virtual mesh (shard_map,
+    zero collectives) must reproduce the single-device sweep: same keys,
+    per-utterance independence — only the batch padding to the mesh size
+    differs, and padded duplicates are never written."""
+    from guided_vae_nmf_tpu.parallel import make_mesh
+
+    files = _test_files()
+    dgm = dgm_init(KEY, [513, 513, 8, [32]])
+    out_1 = tmp_path / "single"
+    out_m = tmp_path / "mesh"
+    enhance_files(files, PROCESSED, str(out_1), dgm, model_type="m2",
+                  classif_type="oracle", cfg=FAST_CFG, batch_size=4)
+    enhance_files(files, PROCESSED, str(out_m), dgm, model_type="m2",
+                  classif_type="oracle", cfg=FAST_CFG, batch_size=4,
+                  mesh=make_mesh())
+    for p in files:
+        rel = os.path.splitext(p)[0]
+        s1, _ = read_wav(str(out_1 / (rel + "_s_est.wav")))
+        sm, _ = read_wav(str(out_m / (rel + "_s_est.wav")))
+        assert len(s1) == len(sm)
+        # identical per-utterance programs + keys; PCM16 quantization
+        # absorbs float reassociation -> at most a couple of LSBs
+        assert np.max(np.abs(s1 - sm)) <= 4.0 / 32768, p
+        y1 = np.load(str(out_1 / (rel + "_ibm_hard_est.npy")))
+        ym = np.load(str(out_m / (rel + "_ibm_hard_est.npy")))
+        np.testing.assert_array_equal(y1, ym)
