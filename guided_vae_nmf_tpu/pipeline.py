@@ -270,6 +270,19 @@ def _enhance_waveform_jit(vae_params, x_pad, s_pad, y_in, classifier_params,
             xn.shape[0], xn.shape[1], -1).transpose(0, 2, 1)
         y_hard = (y_soft > 0.5).astype(jnp.float32)
         y = y_hard
+    elif label_mode == "timo":
+        # SPP recurrence is causal over frames, so trailing pad frames
+        # (benign X_p = 1) cannot perturb the valid prefix
+        from .mcem.spp import (
+            timo_mask_estimation_jax, timo_vad_estimation_jax,
+        )
+
+        if target == "vad":
+            y_soft = jax.vmap(timo_vad_estimation_jax)(X_p)[:, None, :]
+        else:
+            y_soft = jax.vmap(timo_mask_estimation_jax)(X_p)
+        y_hard = (y_soft > 0.5).astype(jnp.float32)
+        y = y_hard
     elif label_mode in ("ones", "zeros"):
         y_dim = 1 if target == "vad" else X_p.shape[1]
         fill = jnp.ones if label_mode == "ones" else jnp.zeros
@@ -286,7 +299,8 @@ def _enhance_waveform_jit(vae_params, x_pad, s_pad, y_in, classifier_params,
             jnp.int16)
 
     out_soft = (y_soft.astype(jnp.float16)
-                if (y_soft is not None and label_mode == "dnn") else None)
+                if (y_soft is not None and label_mode in ("dnn", "timo"))
+                else None)
     out_hard = None if y_hard is None else _packbits_bands(y_hard)
     return to_pcm16(s_est), to_pcm16(n_est), out_soft, out_hard, finite_ok
 
@@ -368,9 +382,9 @@ def _enhance_waveform_sharded(mesh, vae_params, x_pad, s_pad, y_in,
         in_specs.append(data)
         args.append(y_in)
 
-    # extra outputs: dnn -> (y_soft, y_hard); oracle/ones/zeros -> y_hard;
-    # none/host -> nothing (host labels already live on the host)
-    n_extra = 2 if label_mode == "dnn" else (
+    # extra outputs: dnn/timo -> (y_soft, y_hard); oracle/ones/zeros ->
+    # y_hard; none/host -> nothing (host labels already live on the host)
+    n_extra = 2 if label_mode in ("dnn", "timo") else (
         1 if label_mode in ("oracle", "ones", "zeros") else 0)
     fn = jax.shard_map(
         local, mesh=mesh, in_specs=tuple(in_specs),
@@ -519,10 +533,9 @@ def enhance_files(file_paths, processed_dir, output_dir, vae_params,
     PREFETCH = 3        # batches being assembled ahead of the device
     MAX_INFLIGHT = 2    # dispatched-but-unfetched device batches
 
-    if model_type == "m2":
-        label_mode = "host" if classif_type == "timo" else classif_type
-    else:
-        label_mode = "none"
+    # every label source runs on device ('host' remains a supported
+    # label_mode of the jit for precomputed labels)
+    label_mode = classif_type if model_type == "m2" else "none"
     mean_d = None if mean is None else jnp.asarray(
         np.asarray(mean, np.float32))
     std_d = None if std is None else jnp.asarray(np.asarray(std, np.float32))

@@ -193,3 +193,24 @@ def test_enhance_files_mesh_sharded_matches_single_device(tmp_path):
         y1 = np.load(str(out_1 / (rel + "_ibm_hard_est.npy")))
         ym = np.load(str(out_m / (rel + "_ibm_hard_est.npy")))
         np.testing.assert_array_equal(y1, ym)
+
+
+def test_enhance_files_timo_on_device(tmp_path):
+    """The SPP 'timo' label source now runs inside the device program; the
+    saved hard labels must match the host SPP estimator's labels and the
+    soft labels must be the real SPP values (not a copy of hard)."""
+    files = _test_files()[:1]
+    dgm = dgm_init(KEY, [513, 513, 8, [32]])
+    enhance_files(files, PROCESSED, str(tmp_path), dgm, model_type="m2",
+                  classif_type="timo", cfg=FAST_CFG)
+    rel = os.path.splitext(files[0])[0]
+    y_hard = np.load(str(tmp_path / (rel + "_ibm_hard_est.npy")))
+    y_soft = np.load(str(tmp_path / (rel + "_ibm_soft_est.npy")))
+    X = load_mixture(os.path.join(PROCESSED, rel))[2]
+    _, y_host = make_labels("timo", np.abs(X) ** 2)
+    assert y_hard.shape == y_host.shape
+    # f32 scan vs f64 host recurrence: allow a tiny borderline-bin budget
+    mismatch = np.mean(y_hard != y_host)
+    assert mismatch < 5e-3, mismatch
+    assert 0.0 < float(y_soft.astype(np.float32).mean()) < 1.0
+    assert not np.array_equal(y_soft.astype(np.float32), y_hard)
