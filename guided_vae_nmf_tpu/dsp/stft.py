@@ -198,7 +198,13 @@ def stft_jax(x, nfft=1024, hopsamp=256):
 def pad_signal_for_stft(x, fs=16000, wlen_sec=64e-3, hop_percent=0.25):
     """Host-side pre-padding for the on-device batched STFT: applies the
     reference's end-pad rule plus the centered reflect padding, returning
-    (padded float32 signal, n_valid_frames).
+    (padded signal, n_valid_frames). float input comes back float32;
+    int16 PCM comes back int16 (reflect padding copies samples, so raw
+    PCM can ship as-is — the device consumer must then apply the decoder's
+    1/32768 scaling, as `_enhance_waveform_jit` does). Note the padded
+    length can exceed (n_valid_frames-1)*hop + nfft by up to hop-1
+    samples when the end-padded length is not a hop multiple; the excess
+    belongs to no frame and may be truncated.
 
     Frames [0, n_valid) of :func:`stft_batch_padded_jax` over the padded
     signal are sample-identical to :func:`stft` of the raw signal — only

@@ -156,13 +156,12 @@ class _BandTables:
         if fs == 16000:
             thresh_db = _ABS_THRESH_DB_16K
         else:
-            # 8 kHz layout: resample the 16 kHz threshold curve onto the
-            # 8 kHz band centres (same underlying hearing threshold).
-            t16 = _BandTables.__new__(_BandTables)
+            # 8 kHz layout: interpolate the 16 kHz threshold curve (defined
+            # on the 16 kHz band centres, spanning 0..bark(8000)) onto the
+            # narrower 8 kHz centres — same underlying hearing threshold.
+            t16 = _tables(16000)
             thresh_db = np.interp(
-                self.centre_bark,
-                np.linspace(0, z_top, len(_ABS_THRESH_DB_16K)),
-                _ABS_THRESH_DB_16K,
+                self.centre_bark, t16.centre_bark, _ABS_THRESH_DB_16K,
             )
         self.abs_thresh_power = 10.0 ** (np.asarray(thresh_db) / 10.0)
 
@@ -320,9 +319,9 @@ def _fine_align(ref, deg, start, stop, crude_delay, align_nfft):
         peak = float(np.max(corr))
         if peak <= 0.0:
             continue
-        v = corr ** 0.125  # compress: every frame votes, peaked frames more
-        # triangular smoothing of each frame's vote around its max
-        k = int(np.argmax(v))
+        # each window votes at its correlation peak with a compressed
+        # weight; the vote is spread by a small triangular smoother
+        k = int(np.argmax(corr))
         w = peak ** 0.125
         width = 3
         for d in range(-width, width + 1):

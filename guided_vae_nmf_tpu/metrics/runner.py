@@ -28,6 +28,16 @@ METRIC_KEYS_BASE = ["SI-SDR", "SI-SIR", "SI-SAR", "ESTOI"]
 METRIC_KEYS_F1 = ["ACC", "PRECISION", "RECALL", "F1"]
 
 
+def _safe_pesq(s, s_hat):
+    """PESQ-wb, NaN for degenerate inputs (< 250 ms or silent) so one
+    pathological utterance cannot abort the whole metric sweep — the
+    reference's C extension raises on the same inputs."""
+    try:
+        return _pesq(FS, s, s_hat, "wb")
+    except (ValueError, RuntimeError):
+        return float("nan")
+
+
 def compute_metrics_utt(args):
     """One utterance: returns a metric tuple; optionally renders the
     reference's per-utterance inspection figure with the metrics in the
@@ -46,7 +56,7 @@ def compute_metrics_utt(args):
 
     si_sdr, si_sir, si_sar = energy_ratios(s_hat, s, n)
     estoi_v = stoi(s, s_hat, FS, extended=True)
-    pesq_v = _pesq(FS, s, s_hat, "wb")
+    pesq_v = _safe_pesq(s, s_hat)
     row = [si_sdr, si_sir, si_sar, estoi_v, pesq_v]
 
     if make_figures:
@@ -100,8 +110,7 @@ def compute_metrics_mixture_utt(args):
     x, _ = read_wav(base + "_x.wav")
     si_sdr, si_sir, si_sar = energy_ratios(x, s, n)
     estoi_v = stoi(s, x, FS, extended=True)
-    pesq_v = _pesq(FS, s, x, "wb")
-    return (si_sdr, si_sir, si_sar, estoi_v, pesq_v)
+    return (si_sdr, si_sir, si_sar, estoi_v, _safe_pesq(s, x))
 
 
 def run_metrics(input_speech_dir, processed_dir, est_dir=None,

@@ -507,9 +507,10 @@ def enhance_files(file_paths, processed_dir, output_dir, vae_params,
     round-1 "load everything, dispatch everything" design):
 
       1. a header-only length scan buckets utterances without decoding;
-      2. batch assembly (wav decode + pre-pad, host labels only for the
-         SPP 'timo' source) runs in a prefetch thread pool, staying
-         PREFETCH batches ahead of the device;
+      2. batch assembly (wav decode + pre-pad; no label work — every
+         guidance source runs inside the device program) runs in a
+         prefetch thread pool, staying PREFETCH batches ahead of the
+         device;
       3. batches ship as raw waveforms and the whole STFT -> labels ->
          MCEM -> WF -> ISTFT chain runs as one device program
          (`_enhance_waveform_jit`); a bounded in-flight queue caps device
@@ -529,12 +530,15 @@ def enhance_files(file_paths, processed_dir, output_dir, vae_params,
     if noise_model not in ("nmf", "spp"):
         raise ValueError(f"noise_model must be 'nmf' or 'spp', "
                          f"got {noise_model!r}")
+    if model_type == "m2" and classif_type not in (
+            "dnn", "oracle", "timo", "ones", "zeros"):
+        raise ValueError(f"unknown classif_type: {classif_type!r}")
     t_start = time.perf_counter()
     PREFETCH = 3        # batches being assembled ahead of the device
     MAX_INFLIGHT = 2    # dispatched-but-unfetched device batches
 
-    # every label source runs on device ('host' remains a supported
-    # label_mode of the jit for precomputed labels)
+    # every label source runs on device ('host' remains a label_mode of
+    # the jit API for callers with precomputed labels)
     label_mode = classif_type if model_type == "m2" else "none"
     mean_d = None if mean is None else jnp.asarray(
         np.asarray(mean, np.float32))
@@ -573,7 +577,6 @@ def enhance_files(file_paths, processed_dir, output_dir, vae_params,
         x_b = np.zeros((B, L), np.int16)
         s_b = np.zeros((B, L), np.int16) if label_mode == "oracle" else None
         mask_b = np.zeros((B, n_pad), np.float32)
-        y_host = None
         t_origs = []
         from .data import read_wav_int16
 
@@ -587,25 +590,16 @@ def enhance_files(file_paths, processed_dir, output_dir, vae_params,
             x_t = decode(base_in + "_x.wav")
             t_origs.append(len(x_t))
             xp, nf = pad_signal_for_stft(x_t)
-            x_b[j, : len(xp)] = xp
+            # len(xp) can exceed L by up to hop-1 samples when the padded
+            # length is not a hop multiple; those trailing samples belong
+            # to no frame, so truncation is exact
+            x_b[j, : min(len(xp), L)] = xp[:L]
             mask_b[j, :nf] = 1.0
             if label_mode == "oracle":
                 sp, _ = pad_signal_for_stft(decode(base_in + "_s.wav"))
-                s_b[j, : len(sp)] = sp
-            elif label_mode == "host":
-                _, _, X_tf = load_mixture(base_in)
-                _, y_hard = make_labels(
-                    classif_type, np.abs(X_tf) ** 2,
-                    classifier_params=classifier_params, mean=mean,
-                    std=std, target=target,
-                    quantile_fraction=quantile_fraction,
-                    quantile_weight=quantile_weight,
-                )
-                if y_host is None:
-                    y_host = np.zeros((B, y_hard.shape[0], n_pad), np.uint8)
-                y_host[j, :, : y_hard.shape[1]] = y_hard
+                s_b[j, : min(len(sp), L)] = sp[:L]
         return {"paths": paths, "t_origs": t_origs, "x": x_b, "s": s_b,
-                "y": y_host, "mask": mask_b,
+                "y": None, "mask": mask_b,
                 "n_frames": [frame_count(t) for t in t_origs]}
 
     # ---- 3) pipelined dispatch / fetch / write ---------------------------
@@ -680,9 +674,6 @@ def enhance_files(file_paths, processed_dir, output_dir, vae_params,
                     np.asarray(out[3]), axis=1)[:, :y_dim, :]
                 y_soft_b = (np.asarray(out[2]) if out[2] is not None
                             else y_hard_b.astype(np.float16))
-            elif a["y"] is not None:  # host labels (timo)
-                y_hard_b = a["y"]
-                y_soft_b = a["y"].astype(np.float16)
         except Exception as exc:
             print(f"batch of {len(a['paths'])} failed ({exc!r}); "
                   "retrying per-utterance")

@@ -214,3 +214,31 @@ def test_enhance_files_timo_on_device(tmp_path):
     assert mismatch < 5e-3, mismatch
     assert 0.0 < float(y_soft.astype(np.float32).mean()) < 1.0
     assert not np.array_equal(y_soft.astype(np.float32), y_hard)
+
+
+def test_enhance_files_bucket_boundary_length(tmp_path):
+    """Regression: an utterance whose frame count is an exact bucket
+    multiple while its end-padded length is not a hop multiple used to
+    overflow the assembly buffer (len(xp) > L by up to hop-1 samples) and
+    crash the sweep. T=32300 -> 128 frames == one full bucket."""
+    from guided_vae_nmf_tpu.data import write_wav
+
+    proc = tmp_path / "proc"
+    utt_dir = proc / "CSR-1-WSJ-0/WAV/wsj0/si_et_05/440"
+    utt_dir.mkdir(parents=True)
+    rng = np.random.RandomState(0)
+    T = 32300
+    assert T % 256 != 0
+    s = 0.1 * np.sin(2 * np.pi * 200 * np.arange(T) / 16000)
+    x = s + 0.05 * rng.randn(T)
+    write_wav(str(utt_dir / "u_s.wav"), s, 16000)
+    write_wav(str(utt_dir / "u_n.wav"), x - s, 16000)
+    write_wav(str(utt_dir / "u_x.wav"), x, 16000)
+
+    vae = vae_init(KEY, [513, 8, [32]])
+    enhance_files(["CSR-1-WSJ-0/WAV/wsj0/si_et_05/440/u.wav"],
+                  str(proc) + "/", str(tmp_path / "est"), vae,
+                  model_type="m1", cfg=FAST_CFG)
+    out, _ = read_wav(str(tmp_path / "est/CSR-1-WSJ-0/WAV/wsj0/si_et_05/"
+                          "440/u_s_est.wav"))
+    assert len(out) == T and np.all(np.isfinite(out))
