@@ -54,6 +54,17 @@ _WB_IIR_16K = ([2.6657628, -5.3315255, 2.6657628],
 _WB_IIR_8K = ([2.740826, -5.4816519, 2.740826],
               [1.0, -1.9444777, 0.94597794])
 
+# Narrowband receive-side IRS characteristic (Hz, gain dB) applied in the
+# FFT domain, the standard's telephone-handset weighting for 'nb' mode
+_IRS_RECEIVE_DB = np.array([
+    (0, -200.0), (50, -40.0), (100, -20.0), (125, -12.0), (160, -6.0),
+    (200, 0.0), (250, 4.0), (300, 6.0), (350, 8.0), (400, 10.0),
+    (500, 11.0), (600, 12.0), (700, 12.0), (800, 12.0), (1000, 12.0),
+    (1300, 12.0), (1600, 12.0), (2000, 12.0), (2500, 12.0), (3000, 12.0),
+    (3250, 12.0), (3500, 4.0), (4000, -200.0), (5000, -200.0),
+    (6300, -200.0), (8000, -200.0),
+])
+
 # Loudness scaling (power / loudness) per rate
 _SP = {8000: 2.764344e-5, 16000: 6.910853e-6}
 _SL = {8000: 1.866055e-1, 16000: 1.866055e-1}
@@ -220,6 +231,17 @@ def _fix_power_level(x, fs):
     if p <= 0.0:
         return x.astype(np.float64)
     return x.astype(np.float64) * np.sqrt(TARGET_AVG_POWER / p)
+
+
+def _irs_receive_filter(x, fs):
+    """Apply the IRS receive weighting in the FFT domain (gain curve
+    interpolated linearly in dB over frequency) — the 'nb' input filter."""
+    n = len(x)
+    spec = np.fft.rfft(x)
+    f = np.fft.rfftfreq(n, 1.0 / fs)
+    gain_db = np.interp(f, _IRS_RECEIVE_DB[:, 0], _IRS_RECEIVE_DB[:, 1])
+    spec *= 10.0 ** (gain_db / 20.0)
+    return np.fft.irfft(spec, n)
 
 
 # ---------------------------------------------------------------------------
@@ -534,11 +556,14 @@ def _perceptual_model(ref, deg, delays, fs):
 
 def pesq(fs, ref, deg, mode="wb"):
     """MOS-LQO of `deg` against clean `ref` (both 1-D float arrays at
-    `fs` in {8000, 16000}). `mode` must be 'wb' (P.862.2); the reference
-    protocol only uses wideband (reference run_metrics_M1.py:83)."""
-    if mode != "wb":
-        raise ValueError(
-            "first-party PESQ implements P.862.2 wideband only ('wb')")
+    `fs` in {8000, 16000}).
+
+    mode='wb': P.862.2 wideband (the reference protocol's only mode,
+    reference run_metrics_M1.py:83) — wb input biquad + P.862.2 mapping.
+    mode='nb': P.862 narrowband — IRS receive weighting + the P.862.1
+    MOS-LQO mapping."""
+    if mode not in ("wb", "nb"):
+        raise ValueError(f"mode must be 'wb' or 'nb', got {mode!r}")
     ref = np.asarray(ref, dtype=np.float64).ravel()
     deg = np.asarray(deg, dtype=np.float64).ravel()
     if len(ref) < fs // 4 or len(deg) < fs // 4:
@@ -553,16 +578,20 @@ def pesq(fs, ref, deg, mode="wb"):
     ref = _fix_power_level(ref, fs)
     deg = _fix_power_level(deg, fs)
 
-    ba = _WB_IIR_16K if fs == 16000 else _WB_IIR_8K
-    ref = _iir_biquad(ref, ba)
-    deg = _iir_biquad(deg, ba)
+    if mode == "wb":
+        ba = _WB_IIR_16K if fs == 16000 else _WB_IIR_8K
+        ref = _iir_biquad(ref, ba)
+        deg = _iir_biquad(deg, ba)
+    else:
+        ref = _irs_receive_filter(ref, fs)
+        deg = _irs_receive_filter(deg, fs)
 
     delays = _align(ref, deg, fs)
     d_ind, da_ind = _perceptual_model(ref, deg, delays, fs)
 
     raw = 4.5 - D_WEIGHT * d_ind - A_WEIGHT * da_ind
     raw = float(np.clip(raw, -0.5, 4.5))
-    return mos_lqo_wb(raw)
+    return mos_lqo_wb(raw) if mode == "wb" else mos_lqo_nb(raw)
 
 
 def mos_lqo_wb(raw):

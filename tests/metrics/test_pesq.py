@@ -81,11 +81,28 @@ def test_range_and_errors():
     worst = pesq(FS, x, rng.randn(len(x)) * 0.1)
     assert 1.0 <= worst <= 4.644
     with pytest.raises(ValueError):
-        pesq(FS, x, x, mode="nb")
+        pesq(FS, x, x, mode="swb")
     with pytest.raises(ValueError):
         pesq(FS, x[: FS // 8], x[: FS // 8])
     with pytest.raises(ValueError):
         pesq(44100, x, x)
+
+
+def test_narrowband_mode():
+    """P.862 nb: IRS receive weighting + the P.862.1 mapping; identical
+    signals hit that mapping's endpoint (4.549) and noise degrades
+    monotonically at both rates."""
+    for fs in (8000, 16000):
+        n = 3 * fs
+        t = np.arange(n) / fs
+        x = np.sin(2 * np.pi * np.cumsum(
+            120 + 30 * np.sin(2 * np.pi * 0.5 * t)) / fs)
+        x *= 0.1 * np.clip(np.sin(2 * np.pi * 1.7 * t), 0, None)
+        assert pesq(fs, x, x, mode="nb") == pytest.approx(4.549, abs=2e-3)
+        rng = np.random.RandomState(3)
+        noisy = x + rng.randn(n) * np.sqrt(np.mean(x ** 2) * 0.1)
+        v = pesq(fs, x, noisy, mode="nb")
+        assert 1.0 <= v < 4.0
 
 
 def test_band_tables_consistent():
