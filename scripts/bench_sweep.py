@@ -51,6 +51,7 @@ def main(argv=None):
     n_utts = flag(argv, "n", 100, int)
     batch_size = flag(argv, "batch_size", 32, int)
     fast = bool(flag(argv, "fast", 1, int))  # bf16 dumps + approx recip
+    profile_dir = flag(argv, "profile")      # write an XLA trace here
     work = flag(argv, "work", "/tmp/gvnmf_sweep")
     shutil.rmtree(work, ignore_errors=True)
 
@@ -86,10 +87,16 @@ def main(argv=None):
                   batch_size=batch_size, fast=fast)
     cold = time.perf_counter() - t0
 
+    from contextlib import nullcontext
+
+    from guided_vae_nmf_tpu.ops.profiling import profile_trace
+
+    ctx = profile_trace(profile_dir) if profile_dir else nullcontext()
     t0 = time.perf_counter()
-    enhance_files(names, proc, os.path.join(work, "est_warm"), m2,
-                  model_type="m2", classif_type="oracle", cfg=cfg,
-                  batch_size=batch_size, fast=fast)
+    with ctx:
+        enhance_files(names, proc, os.path.join(work, "est_warm"), m2,
+                      model_type="m2", classif_type="oracle", cfg=cfg,
+                      batch_size=batch_size, fast=fast)
     warm = time.perf_counter() - t0
 
     print(json.dumps({
