@@ -190,3 +190,41 @@ def test_create_noisy_and_test_mixtures(tmp_path):
     # pickled snr list round-trips
     back = read_dataset(wav_dir, "test", "snr_db")
     assert back == all_snr
+
+
+def test_wav_num_samples_and_int16(tmp_path):
+    """Header-only length probe + raw-PCM read agree with the float reader
+    on both RIFF wavs and (when bundled) NIST SPHERE files."""
+    from guided_vae_nmf_tpu.data import read_wav_int16, wav_num_samples
+
+    rng = np.random.RandomState(0)
+    x = (rng.rand(12345) * 1.6 - 0.8)
+    p = str(tmp_path / "t.wav")
+    write_wav(p, x, FS)
+    assert wav_num_samples(p) == 12345
+    raw, fs = read_wav_int16(p)
+    assert fs == FS and raw.dtype == np.int16 and len(raw) == 12345
+    flt, _ = read_wav(p)
+    assert_allclose(raw.astype(np.float64) / 32768.0, flt, atol=0)
+
+    # write_wav int16 passthrough is bit-exact
+    p2 = str(tmp_path / "t2.wav")
+    write_wav(p2, raw, FS)
+    raw2, _ = read_wav_int16(p2)
+    np.testing.assert_array_equal(raw, raw2)
+
+    if has_reference_data():
+        import glob
+
+        sphere = [
+            f for f in glob.glob(
+                f"{REFERENCE_DATA}/raw/CSR-1-WSJ-0/**/*.wav",
+                recursive=True)
+            if open(f, "rb").read(8).startswith(b"NIST_1A")
+        ]
+        if sphere:
+            f = sphere[0]
+            flt, _ = read_wav(f)
+            assert wav_num_samples(f) == len(flt)
+            raw, _ = read_wav_int16(f)
+            assert_allclose(raw.astype(np.float64) / 32768.0, flt, atol=0)
