@@ -71,6 +71,13 @@ def _load():
         ctypes.POINTER(ctypes.c_double), ctypes.c_long, ctypes.c_int,
         ctypes.c_double, ctypes.c_double, ctypes.POINTER(ctypes.c_float),
     ]
+    if hasattr(lib, "gvnmf_assemble_utt"):  # present from round 2 on
+        lib.gvnmf_assemble_utt.restype = ctypes.c_int
+        lib.gvnmf_assemble_utt.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_int16), ctypes.c_long,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_long), ctypes.POINTER(ctypes.c_long),
+        ]
     _lib = lib
     return _lib
 
@@ -154,3 +161,28 @@ def load_power_native(path, cut_sec=0.1, fs=16000, wlen_sec=64e-3,
     if frames < 0:
         raise IOError(f"native load failed ({frames}): {path}")
     return np.ascontiguousarray(buf[:frames]).T
+
+
+def has_assemble():
+    lib = _load()
+    return lib is not None and hasattr(lib, "gvnmf_assemble_utt")
+
+
+def assemble_utt_native(path, row, fs=16000, nfft=1024, hop=256):
+    """Decode + end-pad + reflect-pad + PCM16-quantize one utterance into
+    the pre-zeroed int16 `row` (a view into the sweep's (B, L) transport
+    batch), entirely in C++ with the GIL released — a thread pool
+    assembles whole batches in parallel. Returns (n_frames, t_orig)."""
+    lib = _load()
+    assert row.dtype == np.int16 and row.flags.c_contiguous, \
+        "row must be a contiguous int16 view into the batch"
+    n_frames = ctypes.c_long()
+    t_orig = ctypes.c_long()
+    rc = lib.gvnmf_assemble_utt(
+        path.encode(), row.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        row.shape[0], fs, nfft, hop,
+        ctypes.byref(n_frames), ctypes.byref(t_orig),
+    )
+    if rc != 0:
+        raise IOError(f"native assemble failed ({rc}) for {path}")
+    return int(n_frames.value), int(t_orig.value)

@@ -578,26 +578,31 @@ def enhance_files(file_paths, processed_dir, output_dir, vae_params,
         s_b = np.zeros((B, L), np.int16) if label_mode == "oracle" else None
         mask_b = np.zeros((B, n_pad), np.float32)
         t_origs = []
-        from .data import read_wav_int16
+        from .data import native_loader, read_wav_int16
 
-        def decode(path):
-            x, fs = read_wav_int16(path)
+        use_native = native_loader.has_assemble()
+
+        def fill_row(path, row):
+            """decode + end-pad + reflect-pad + PCM16 into `row`; the C++
+            assembler (bit-exact vs the Python path, GIL-free) when built."""
+            if use_native:
+                return native_loader.assemble_utt_native(path, row)
+            x_t, fs = read_wav_int16(path)
             assert fs == FS
-            return x
-
-        for j, path in enumerate(paths):
-            base_in = os.path.join(processed_dir, os.path.splitext(path)[0])
-            x_t = decode(base_in + "_x.wav")
-            t_origs.append(len(x_t))
             xp, nf = pad_signal_for_stft(x_t)
             # len(xp) can exceed L by up to hop-1 samples when the padded
             # length is not a hop multiple; those trailing samples belong
             # to no frame, so truncation is exact
-            x_b[j, : min(len(xp), L)] = xp[:L]
+            row[: min(len(xp), L)] = xp[:L]
+            return nf, len(x_t)
+
+        for j, path in enumerate(paths):
+            base_in = os.path.join(processed_dir, os.path.splitext(path)[0])
+            nf, T = fill_row(base_in + "_x.wav", x_b[j])
+            t_origs.append(T)
             mask_b[j, :nf] = 1.0
             if label_mode == "oracle":
-                sp, _ = pad_signal_for_stft(decode(base_in + "_s.wav"))
-                s_b[j, : min(len(sp), L)] = sp[:L]
+                fill_row(base_in + "_s.wav", s_b[j])
         return {"paths": paths, "t_origs": t_origs, "x": x_b, "s": s_b,
                 "y": None, "mask": mask_b,
                 "n_frames": [frame_count(t) for t in t_origs]}

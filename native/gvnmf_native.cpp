@@ -280,6 +280,52 @@ long gvnmf_frame_count(long n, int fs, double wlen_sec, double hop_percent) {
   return frame_count(n, fs, wlen_sec, hop_percent, p);
 }
 
+// Assemble one utterance into a pre-zeroed int16 row of the sweep's
+// device-transport batch: decode, apply the end-pad rule (same
+// float-seconds divisibility test as dsp.stft._maybe_end_pad), center
+// reflect-pad by nfft/2, quantize to PCM16, and truncate to the row
+// capacity L (samples past (n_frames-1)*hop + nfft belong to no frame).
+// Fills *n_frames (valid STFT frames) and *t_orig (decoded sample count).
+// Thread-safe per row: a Python thread pool assembles a whole batch in
+// parallel with the GIL released. Returns 0, or <0 on decode/rate errors.
+int gvnmf_assemble_utt(const char* path, int16_t* row, long L,
+                       int fs_expected, int nfft, int hop,
+                       long* n_frames, long* t_orig) {
+  Audio a;
+  if (!decode(path, &a)) return -1;
+  if (a.fs != fs_expected) return -2;
+  const long T = static_cast<long>(a.samples.size());
+  *t_orig = T;
+
+  // end-pad rule, bit-identical double arithmetic to the Python host path
+  const double wlen_sec = static_cast<double>(nfft) / fs_expected;
+  const double hop_percent = static_cast<double>(hop) / nfft;
+  const double utt_len = static_cast<double>(T) / fs_expected;
+  const double q = utt_len / wlen_sec / hop_percent;
+  const long T2 = (std::ceil(q) != std::floor(q)) ? T + hop : T;
+  *n_frames = 1 + T2 / hop;
+
+  const long half = nfft / 2;
+  auto x2_at = [&](long i) -> double {  // end-padded signal x2[0..T2)
+    return (i < T) ? a.samples[i] : 0.0;
+  };
+  auto pcm16 = [](double v) -> int16_t {
+    double s = std::nearbyint(v * 32768.0);
+    if (s > 32767.0) s = 32767.0;
+    if (s < -32768.0) s = -32768.0;
+    return static_cast<int16_t>(s);
+  };
+  const long P = T2 + 2 * half;  // reflect-padded length
+  const long n_out = std::min(P, L);
+  for (long i = 0; i < n_out; ++i) {
+    long j = i - half;  // index into x2 with reflect boundary
+    if (j < 0) j = -j;
+    if (j >= T2) j = 2 * (T2 - 1) - j;
+    row[i] = pcm16(x2_at(j));
+  }
+  return 0;
+}
+
 int gvnmf_bins(int fs, double wlen_sec) {
   return static_cast<int>(wlen_sec * fs) / 2 + 1;
 }

@@ -77,3 +77,32 @@ def test_fused_load_power_matches_pipeline():
     nat = load_power_native(path)
     assert nat.shape == ref.shape
     assert_allclose(nat, ref, rtol=1e-5, atol=1e-7 * ref.max())
+
+
+def test_native_assemble_utt_exact():
+    """The C++ batch assembler (decode + end-pad + reflect-pad + PCM16)
+    must be bit-exact vs the Python path on both RIFF and SPHERE files."""
+    import glob
+
+    from guided_vae_nmf_tpu.data import native_loader as nl
+    from guided_vae_nmf_tpu.data import read_wav_int16
+    from guided_vae_nmf_tpu.dsp import pad_signal_for_stft
+
+    if not nl.has_assemble():
+        pytest.skip("native assembler not built")
+    paths = sorted(glob.glob(
+        f"{REFERENCE_DATA}/processed/CSR-1-WSJ-0/**/*_x.wav",
+        recursive=True))[:2]
+    paths += sorted(glob.glob(
+        f"{REFERENCE_DATA}/raw/CSR-1-WSJ-0/**/*.wav", recursive=True))[:1]
+    assert paths
+    for p in paths:
+        x, _ = read_wav_int16(p)
+        xp, nf_py = pad_signal_for_stft(x)
+        L = (((nf_py + 127) // 128) * 128 - 1) * 256 + 1024
+        row_py = np.zeros(L, np.int16)
+        row_py[: min(len(xp), L)] = xp[:L]
+        row_c = np.zeros(L, np.int16)
+        nf_c, t_c = nl.assemble_utt_native(p, row_c)
+        assert nf_c == nf_py and t_c == len(x)
+        np.testing.assert_array_equal(row_c, row_py)
