@@ -211,14 +211,18 @@ def classifier_apply(params, x, train=False):
     train, updated params with fresh running stats)."""
     h = x
     new_bns = []
+    # batch-norm presence is decided by tree STRUCTURE ('bn' subtree), not
+    # the 'batch_norm' bool leaf: a bool leaf is traced under jit and
+    # cannot drive Python control flow (the structure check is static)
+    has_bn = "bn" in params
     for i, layer in enumerate(params["hidden"]):
         h = linear_apply(layer, h)
-        if params.get("batch_norm"):
+        if has_bn:
             h, nb = _bn_apply(params["bn"][i], h, train)
             new_bns.append(nb)
         h = jax.nn.relu(h)
     y = jax.nn.sigmoid(linear_apply(params["out"], h))
-    if params.get("batch_norm") and train:
+    if has_bn and train:
         return y, {**params, "bn": new_bns}
     return y
 
@@ -229,7 +233,7 @@ def classifier_apply_logits(params, x):
     h = x
     for i, layer in enumerate(params["hidden"]):
         h = linear_apply(layer, h)
-        if params.get("batch_norm"):
+        if "bn" in params:  # static structure check (see classifier_apply)
             h, _ = _bn_apply(params["bn"][i], h, False)
         h = jax.nn.relu(h)
     return linear_apply(params["out"], h)
@@ -249,7 +253,7 @@ def classifier2_apply(params, x, train=False):
     h = x
     for i, layer in enumerate(params["hidden"]):
         h = linear_apply(layer, h)
-        if params.get("batch_norm"):
+        if "bn" in params:  # static structure check (see classifier_apply)
             h, _ = _bn_apply(params["bn"][i], h, train)
         h = jax.nn.relu(h)
     logits = linear_apply(params["out"], h)

@@ -769,31 +769,91 @@ def enhance_files(file_paths, processed_dir, output_dir, vae_params,
     return time.perf_counter() - t_start
 
 
+@partial(jax.jit, static_argnames=())
+def _wiener_waveform_jit(wiener_params, x_pad, mean, std, mask, eps=1e-8):
+    """Batched Wiener-DNN baseline device program: STFT -> normalized
+    power -> mask = classifier -> S = mask * X -> masked ISTFT -> PCM16.
+    Same int16 transport contract as the MCEM sweep."""
+    from .dsp import stft_batch_padded_jax
+
+    if x_pad.dtype != jnp.float32:
+        x_pad = x_pad.astype(jnp.float32) / 32768.0
+    X = stft_batch_padded_jax(x_pad)
+    X_re, X_im = jnp.real(X), jnp.imag(X)
+    xn = (X_re**2 + X_im**2).transpose(0, 2, 1)  # (B, N, F)
+    if mean is not None:
+        xn = (xn - mean.reshape(1, 1, -1)) / (std.reshape(1, 1, -1) + eps)
+    m = classifier_apply(wiener_params, xn.reshape(-1, xn.shape[-1]))
+    m = m.reshape(xn.shape[0], xn.shape[1], -1).transpose(0, 2, 1)
+    s_est = jax.vmap(istft_masked_ri_jax)(m * X_re, m * X_im, mask)
+    s_i16 = jnp.clip(jnp.round(s_est * 32768.0), -32768, 32767).astype(
+        jnp.int16)
+    return s_i16, m.astype(jnp.float16)
+
+
 def enhance_files_wiener(file_paths, processed_dir, output_dir,
                          wiener_params, mean=None, std=None, eps=1e-8,
-                         verbose=False):
+                         verbose=False, batch_size=32, bucket_multiple=128):
     """DNN Wiener-mask baseline sweep (reference
     evaluate_wiener_filter.py:88-101): mask = model(x_norm);
-    S_hat = mask * X; single ISTFT; writes `<utt>_s_est.wav`."""
+    S_hat = mask * X; single ISTFT; writes `<utt>_s_est.wav` and the
+    soft mask. Round 2: length-bucketed batches through one device
+    program (int16 transport) instead of a per-utterance host loop."""
+    from .data import wav_num_samples
+    from .dsp import pad_signal_for_stft
+    from .dsp.stft import frame_count
+
     t_start = time.perf_counter()
+    mean_d = None if mean is None else jnp.asarray(
+        np.asarray(mean, np.float32))
+    std_d = None if std is None else jnp.asarray(
+        np.asarray(std, np.float32))
+
+    groups = defaultdict(list)
     for path in file_paths:
         base_in = os.path.join(processed_dir, os.path.splitext(path)[0])
-        x_t, T_orig, X_tf = load_mixture(base_in)
-        x = (np.abs(X_tf) ** 2).T
-        if mean is not None:
-            x = (x - mean.reshape(1, -1)) / (std.reshape(1, -1) + eps)
-        mask = np.asarray(classifier_apply(wiener_params, jnp.asarray(
-            x.astype(np.float32)))).T
-        S_hat = mask * X_tf
-        n = X_tf.shape[1]
-        s_hat = np.asarray(istft_masked_ri_jax(
-            jnp.asarray(np.real(S_hat).astype(np.float32)),
-            jnp.asarray(np.imag(S_hat).astype(np.float32)),
-            jnp.ones((n,), jnp.float32)))[:T_orig]
-        base_out = os.path.join(output_dir, os.path.splitext(path)[0])
-        os.makedirs(os.path.dirname(base_out), exist_ok=True)
-        write_wav(base_out + "_s_est.wav", s_hat, FS)
-        np.save(base_out + "_wiener_mask.npy", mask)
-        if verbose:
-            print(f"wiener: {path}")
+        nf = frame_count(wav_num_samples(base_in + "_x.wav"))
+        groups[bucket_frames(nf, bucket_multiple)].append(path)
+
+    from .data import native_loader, read_wav_int16
+
+    for n_pad, paths in sorted(groups.items()):
+        L = (n_pad - 1) * HOP + NFFT
+        for lo in range(0, len(paths), batch_size):
+            sel = paths[lo: lo + batch_size]
+            B = len(sel)
+            x_b = np.zeros((B, L), np.int16)
+            mask_b = np.zeros((B, n_pad), np.float32)
+            t_origs = []
+            n_frames = []
+            for j, path in enumerate(sel):
+                base_in = os.path.join(processed_dir,
+                                       os.path.splitext(path)[0])
+                if native_loader.has_assemble():
+                    nf, T = native_loader.assemble_utt_native(
+                        base_in + "_x.wav", x_b[j])
+                else:
+                    x_t, fs = read_wav_int16(base_in + "_x.wav")
+                    assert fs == FS
+                    xp, nf = pad_signal_for_stft(x_t)
+                    x_b[j, : min(len(xp), L)] = xp[:L]
+                    T = len(x_t)
+                t_origs.append(T)
+                n_frames.append(nf)
+                mask_b[j, :nf] = 1.0
+            s_i16, m = _wiener_waveform_jit(
+                wiener_params, jnp.asarray(x_b), mean_d, std_d,
+                jnp.asarray(mask_b), eps=eps)
+            s_i16 = np.asarray(s_i16)
+            m = np.asarray(m)
+            for j, path in enumerate(sel):
+                base_out = os.path.join(output_dir,
+                                        os.path.splitext(path)[0])
+                os.makedirs(os.path.dirname(base_out), exist_ok=True)
+                write_wav(base_out + "_s_est.wav",
+                          s_i16[j][: t_origs[j]], FS)
+                np.save(base_out + "_wiener_mask.npy",
+                        m[j][:, : n_frames[j]].astype(np.float32))
+                if verbose:
+                    print(f"wiener: {path}")
     return time.perf_counter() - t_start

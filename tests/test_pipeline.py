@@ -242,3 +242,20 @@ def test_enhance_files_bucket_boundary_length(tmp_path):
     out, _ = read_wav(str(tmp_path / "est/CSR-1-WSJ-0/WAV/wsj0/si_et_05/"
                           "440/u_s_est.wav"))
     assert len(out) == T and np.all(np.isfinite(out))
+
+
+def test_dnn_label_device_path_no_fallback(capsys):
+    """Guard: classifier params (including their bool 'batch_norm' leaf)
+    must trace through the waveform device program — a TracerBoolConversion
+    here used to be silently absorbed by the fault-tolerant retry, running
+    every dnn batch on the slow host path."""
+    files = _test_files()[:1]
+    dgm = dgm_init(KEY, [513, 513, 8, [32]])
+    cls = classifier_init(KEY, [513, [32], 513])
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as out:
+        enhance_files(files, PROCESSED, out, dgm, model_type="m2",
+                      classif_type="dnn", classifier_params=cls,
+                      cfg=FAST_CFG)
+    assert "retrying per-utterance" not in capsys.readouterr().out
