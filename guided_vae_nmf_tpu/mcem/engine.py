@@ -214,7 +214,7 @@ def nmf_m_step(X_abs2, mask, W, H, g, Vs_samples, update_nmf=True,
     def vx(Vb):
         return jnp.maximum(g * Vs_samples + Vb, VX_FLOOR)  # (R, F, N)
 
-    Vb = (W @ H) if update_nmf else Vb_fixed
+    Vb = _noise_var(W, H, update_nmf, Vb_fixed)
     if update_nmf:
         Vx = vx(Vb)
         sum_inv2 = jnp.sum(Vx**-2, axis=0)
@@ -223,7 +223,7 @@ def nmf_m_step(X_abs2, mask, W, H, g, Vs_samples, update_nmf=True,
         den = fsum((sum_inv1 * mask) @ H.T)
         W = W * (num / den) ** 0.5
 
-        Vb = W @ H
+        Vb = _noise_var(W, H, True, Vb_fixed)
         Vx = vx(Vb)
         sum_inv2 = jnp.sum(Vx**-2, axis=0)
         sum_inv1 = jnp.sum(Vx**-1, axis=0)
@@ -231,10 +231,10 @@ def nmf_m_step(X_abs2, mask, W, H, g, Vs_samples, update_nmf=True,
         den = W.T @ sum_inv1
         H = H * (num / den) ** 0.5
 
-        Vb = W @ H
         norm_col_W = jnp.sum(jnp.abs(W), axis=0)
         W = W / norm_col_W[None, :]
         H = H * norm_col_W[:, None]
+        Vb = _noise_var(W, H, True, Vb_fixed)
 
     Vx = vx(Vb)
     num = jnp.sum(X_abs2 * jnp.sum(Vs_samples * Vx**-2, axis=0), axis=0)
@@ -246,6 +246,18 @@ def nmf_m_step(X_abs2, mask, W, H, g, Vs_samples, update_nmf=True,
 # ---------------------------------------------------------------------------
 # Full EM loop (single utterance; vmap over a batch)
 # ---------------------------------------------------------------------------
+
+
+def _noise_var(W, H, update_nmf, Vb_fixed):
+    """Noise variance under the three noise models: NMF (W@H), fixed
+    external PSD (Vb_fixed, the *_noNMF variants), or HYBRID — a fixed
+    floor (e.g. the SPP track) plus a learned low-rank NMF residual:
+    Vb = W@H + Vb_fixed. The multiplicative updates stay valid with the
+    additive floor inside Vx."""
+    if not update_nmf:
+        return Vb_fixed
+    Vb = W @ H
+    return Vb if Vb_fixed is None else Vb + Vb_fixed
 
 
 def _masked_cost(X_abs2, mask, Vb, g, Vs_samples, axis_name=None):
@@ -316,7 +328,7 @@ def mcem_run(vae_params, X_abs2, mask, y, key, cfg: MCEMConfig,
 
     def em_iter(carry, _):
         W, H, g, Z, Vs, key = carry
-        Vb = (W @ H) if update_nmf else Vb_fixed
+        Vb = _noise_var(W, H, update_nmf, Vb_fixed)
         Z, Vs, key, Vs_samples = mh_sample_posterior(
             dec_params, y_pre, X_abs2, Vb, g, Z, Vs, key,
             cfg.nsamples_E_step, cfg.burnin_E_step, cfg.var_RW,
@@ -325,7 +337,7 @@ def mcem_run(vae_params, X_abs2, mask, y, key, cfg: MCEMConfig,
             X_abs2, mask, W, H, g, Vs_samples, update_nmf=update_nmf,
             Vb_fixed=Vb_fixed, axis_name=axis_name,
         )
-        Vb2 = (W2 @ H2) if update_nmf else Vb_fixed
+        Vb2 = _noise_var(W2, H2, update_nmf, Vb_fixed)
         cost = _masked_cost(X_abs2, mask, Vb2, g2, Vs_samples,
                             axis_name=axis_name)
         return (W2, H2, g2, Z, Vs, key), cost
@@ -334,7 +346,7 @@ def mcem_run(vae_params, X_abs2, mask, y, key, cfg: MCEMConfig,
         em_iter, (W, H, g, Z, Vs, key), None, length=cfg.niter
     )
 
-    Vb = (W @ H) if update_nmf else Vb_fixed
+    Vb = _noise_var(W, H, update_nmf, Vb_fixed)
     WFs, WFn, Z, Vs, key = mh_wiener_filter(
         dec_params, y_pre, X_abs2, Vb, g, Z, Vs, key,
         cfg.nsamples_WF, cfg.burnin_WF, cfg.var_RW,
@@ -376,7 +388,7 @@ def mcem_run_converged(vae_params, X_abs2, mask, y, key,
 
         def em_iter(carry, _):
             W, H, g, Z, Vs, k = carry
-            Vb = (W @ H) if update_nmf else Vb_fixed
+            Vb = _noise_var(W, H, update_nmf, Vb_fixed)
             Z, Vs, k, samples = mh_sample_posterior(
                 dec, y_pre, X_abs2, Vb, g, Z, Vs, k,
                 chunk_cfg.nsamples_E_step, chunk_cfg.burnin_E_step,
@@ -431,7 +443,7 @@ def mcem_run_converged(vae_params, X_abs2, mask, y, key,
         prev = cur
 
     W, H, g, Z, Vs, key = state
-    Vb = (W @ H) if update_nmf else Vb_fixed
+    Vb = _noise_var(W, H, update_nmf, Vb_fixed)
     WFs, WFn, Z, Vs, key = mh_wiener_filter(
         dec_params, y_pre, X_abs2, Vb, g, Z, Vs, key,
         cfg.nsamples_WF, cfg.burnin_WF, cfg.var_RW,

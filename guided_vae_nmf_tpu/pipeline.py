@@ -147,14 +147,20 @@ def _pad_batch(X_tfs, ys, n_pad):
 def _mcem_wf_istft(vae_params, X_re, X_im, X_p, mask, y, keys, cfg,
                    use_fused, noise_model, fast):
     """Shared traced core: engine selection -> MCEM -> Wiener filtering ->
-    masked batched ISTFT. Called from inside the jitted entry points."""
+    masked batched ISTFT. Called from inside the jitted entry points.
+
+    noise_model: 'nmf' (reference default), 'spp' (fixed SPP-tracked noise
+    variance, the *_noNMF variants), or 'hybrid' (SPP floor + learned
+    low-rank NMF residual: Vb = W@H + Vb_spp; runs on the XLA engine)."""
     update_nmf = noise_model != "spp"
     Vb_fixed = None
-    if not update_nmf:
+    if noise_model in ("spp", "hybrid"):
         from .mcem import spp_track_jax
 
         psd, _ = jax.vmap(spp_track_jax)(X_p)
         Vb_fixed = jnp.maximum(psd, 1e-6)
+    if noise_model == "hybrid":
+        use_fused = False  # the fused kernel models Vb = W@H xor fixed
 
     if isinstance(cfg, PEEMConfig):
         fn = peem_m1_batch if y is None else peem_m2_batch
@@ -404,8 +410,8 @@ def enhance_to_audio(vae_params, X_tfs, t_origs, ys=None, keys=None,
     """Batched wav-domain enhancement: complex spectrograms in, trimmed
     time-domain (s_est, n_est) lists out — engine, Wiener filtering and
     ISTFT all inside one jit (no host round-trips between stages)."""
-    if noise_model not in ("nmf", "spp"):
-        raise ValueError(f"noise_model must be 'nmf' or 'spp', "
+    if noise_model not in ("nmf", "spp", "hybrid"):
+        raise ValueError(f"noise_model must be 'nmf', 'spp' or 'hybrid', "
                          f"got {noise_model!r}")
     n_pad = bucket_frames(max(X.shape[1] for X in X_tfs), bucket_multiple)
     X_c, X_p, mask, y_b = _pad_batch(X_tfs, ys, n_pad)
@@ -450,11 +456,15 @@ def enhance_batch(vae_params, X_tfs, ys=None, keys=None,
     one padded batch). Returns lists of (F, N_i) S_hat / N_hat complex
     arrays (+ the WF masks when requested).
 
-    noise_model: 'nmf' (the reference default) or 'spp' — a fixed noise
-    variance from the SPP tracker instead of NMF; the M-step then updates
-    only the gain g (the reference's *_noNMF variants, mcem.py:493-760 fed
-    by spp_estimation's noise PSD).
+    noise_model: 'nmf' (the reference default), 'spp' — a fixed noise
+    variance from the SPP tracker instead of NMF with only the gain g
+    updated (the reference's *_noNMF variants, mcem.py:493-760 fed by
+    spp_estimation's noise PSD) — or 'hybrid' (SPP floor + learned NMF
+    residual; XLA engine).
     """
+    if noise_model not in ("nmf", "spp", "hybrid"):
+        raise ValueError(f"noise_model must be 'nmf', 'spp' or 'hybrid', "
+                         f"got {noise_model!r}")
     n_pad = bucket_frames(max(X.shape[1] for X in X_tfs), bucket_multiple)
     X_c, X_p, mask, y_b = _pad_batch(X_tfs, ys, n_pad)
     B = len(X_tfs)
@@ -463,13 +473,13 @@ def enhance_batch(vae_params, X_tfs, ys=None, keys=None,
 
     update_nmf = noise_model != "spp"
     Vb_fixed = None
-    if not update_nmf:
+    if noise_model in ("spp", "hybrid"):
         from .mcem import spp_track_jax
 
         psd, _ = jax.vmap(spp_track_jax)(jnp.asarray(X_p))
         Vb_fixed = jnp.maximum(psd, 1e-6)  # SPP noise PSD, floored
 
-    if _use_fused(engine, vae_params, n_pad):
+    if _use_fused(engine, vae_params, n_pad) and noise_model != "hybrid":
         y_arg = None if ys is None else jnp.asarray(y_b)
         out = mcem_batch_fused(vae_params, jnp.asarray(X_p),
                                jnp.asarray(mask), y_arg, keys, cfg,
@@ -527,8 +537,8 @@ def enhance_files(file_paths, processed_dir, output_dir, vae_params,
     from .dsp import pad_signal_for_stft
     from .dsp.stft import frame_count
 
-    if noise_model not in ("nmf", "spp"):
-        raise ValueError(f"noise_model must be 'nmf' or 'spp', "
+    if noise_model not in ("nmf", "spp", "hybrid"):
+        raise ValueError(f"noise_model must be 'nmf', 'spp' or 'hybrid', "
                          f"got {noise_model!r}")
     if model_type == "m2" and classif_type not in (
             "dnn", "oracle", "timo", "ones", "zeros"):

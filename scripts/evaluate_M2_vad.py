@@ -46,6 +46,9 @@ def main(argv=None):
     dgm = load_model(model_path, kind="dgm", y_dim=1)
     classifier, mean, std = None, None, None
     if classif_type == "dnn":
+        if classifier_path is None:
+            raise SystemExit("--classifier <ckpt-or-dir> is required with "
+                             "--classif_type dnn")
         classifier = load_model(classifier_path, kind="classifier")
         cdir = (classifier_path if os.path.isdir(classifier_path)
                 else os.path.dirname(classifier_path))

@@ -259,3 +259,19 @@ def test_dnn_label_device_path_no_fallback(capsys):
                       classif_type="dnn", classifier_params=cls,
                       cfg=FAST_CFG)
     assert "retrying per-utterance" not in capsys.readouterr().out
+
+
+def test_enhance_batch_hybrid_noise_model():
+    """Hybrid noise model (SPP floor + learned NMF residual,
+    Vb = W@H + Vb_spp): reconstruction invariant holds; on the subset the
+    pure SPP model remains the recommended real-noise configuration
+    (VALIDATION.md)."""
+    files = _test_files()[:2]
+    X_tfs = [load_mixture(
+        os.path.join(PROCESSED, os.path.splitext(p)[0]))[2] for p in files]
+    vae = vae_init(KEY, [513, 8, [32]])
+    S_hat, N_hat = enhance_batch(vae, X_tfs, cfg=FAST_CFG,
+                                 noise_model="hybrid")
+    for S, N, X in zip(S_hat, N_hat, X_tfs):
+        assert np.all(np.isfinite(S)) and np.all(np.isfinite(N))
+        assert_allclose(S + N, X, atol=2e-4 * np.abs(X).max())
