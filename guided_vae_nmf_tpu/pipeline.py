@@ -213,12 +213,12 @@ def _enhance_to_audio_jit(vae_params, X_re, X_im, X_p, mask, y, keys,
 @partial(jax.jit,
          static_argnames=("cfg", "use_fused", "noise_model", "fast",
                           "label_mode", "target", "quantile_fraction",
-                          "quantile_weight"))
+                          "quantile_weight", "return_noise"))
 def _enhance_waveform_jit(vae_params, x_pad, s_pad, y_in, classifier_params,
                           mean, std, mask, keys, cfg, use_fused=True,
                           noise_model="nmf", fast=False, label_mode="none",
                           target="ibm", quantile_fraction=0.98,
-                          quantile_weight=0.999):
+                          quantile_weight=0.999, return_noise=True):
     """Whole-pipeline device program fed RAW WAVEFORMS: batched STFT ->
     guidance labels -> MCEM -> Wiener filtering -> masked ISTFT.
 
@@ -298,7 +298,9 @@ def _enhance_waveform_jit(vae_params, x_pad, s_pad, y_in, classifier_params,
     s_est, n_est, _, _ = _mcem_wf_istft(
         vae_params, X_re, X_im, X_p, mask, y, keys, cfg, use_fused,
         noise_model, fast)
-    finite_ok = jnp.all(jnp.isfinite(s_est)) & jnp.all(jnp.isfinite(n_est))
+    finite_ok = jnp.all(jnp.isfinite(s_est))
+    if return_noise:
+        finite_ok = finite_ok & jnp.all(jnp.isfinite(n_est))
 
     def to_pcm16(w):
         return jnp.clip(jnp.round(w * 32768.0), -32768, 32767).astype(
@@ -308,7 +310,11 @@ def _enhance_waveform_jit(vae_params, x_pad, s_pad, y_in, classifier_params,
                 if (y_soft is not None and label_mode in ("dnn", "timo"))
                 else None)
     out_hard = None if y_hard is None else _packbits_bands(y_hard)
-    return to_pcm16(s_est), to_pcm16(n_est), out_soft, out_hard, finite_ok
+    # return_noise=False halves the PCM device->host transfer: the Wiener
+    # gains sum to one, so the host reconstructs n = x - s exactly
+    # (mixture-consistent by construction; the sources were PCM16)
+    out_n = to_pcm16(n_est) if return_noise else None
+    return to_pcm16(s_est), out_n, out_soft, out_hard, finite_ok
 
 
 def _packbits_bands(y):
@@ -326,7 +332,8 @@ def _enhance_waveform_sharded(mesh, vae_params, x_pad, s_pad, y_in,
                               classifier_params, mean, std, mask, keys,
                               cfg, use_fused, noise_model, fast,
                               label_mode, target, quantile_fraction,
-                              quantile_weight, axis="data"):
+                              quantile_weight, return_noise=True,
+                              axis="data"):
     """shard_map wrapper of the whole waveform device program over the
     mesh's data axis (multi-chip sweep): every stage — STFT, labels, MCEM,
     Wiener filter, ISTFT — is per-utterance independent, so each device
@@ -360,9 +367,11 @@ def _enhance_waveform_sharded(mesh, vae_params, x_pad, s_pad, y_in,
             use_fused=use_fused, noise_model=noise_model, fast=fast,
             label_mode=label_mode, target=target,
             quantile_fraction=quantile_fraction,
-            quantile_weight=quantile_weight,
+            quantile_weight=quantile_weight, return_noise=return_noise,
         )
-        outs = [s_e, n_e]
+        outs = [s_e]
+        if return_noise:
+            outs.append(n_e)
         if ys is not None:
             outs.append(ys)
         if yh is not None:
@@ -392,15 +401,17 @@ def _enhance_waveform_sharded(mesh, vae_params, x_pad, s_pad, y_in,
     # y_hard; none/host -> nothing (host labels already live on the host)
     n_extra = 2 if label_mode in ("dnn", "timo") else (
         1 if label_mode in ("oracle", "ones", "zeros") else 0)
+    n_pcm = 2 if return_noise else 1
     fn = jax.shard_map(
         local, mesh=mesh, in_specs=tuple(in_specs),
-        out_specs=tuple([data] * (3 + n_extra)), check_vma=False,
+        out_specs=tuple([data] * (1 + n_pcm + n_extra)), check_vma=False,
     )
     outs = list(fn(*args))
     ok = outs.pop()
-    s_e, n_e = outs[0], outs[1]
-    ys = outs[2] if n_extra == 2 else None
-    yh = outs[2 + (n_extra == 2)] if n_extra else None
+    s_e = outs[0]
+    n_e = outs[1] if return_noise else None
+    ys = outs[n_pcm] if n_extra == 2 else None
+    yh = outs[n_pcm + (n_extra == 2)] if n_extra else None
     return s_e, n_e, ys, yh, ok
 
 
@@ -546,6 +557,8 @@ def enhance_files(file_paths, processed_dir, output_dir, vae_params,
     t_start = time.perf_counter()
     PREFETCH = 3        # batches being assembled ahead of the device
     MAX_INFLIGHT = 2    # dispatched-but-unfetched device batches
+    from .ops.profiling import StageTimer
+    timer = StageTimer()
 
     # every label source runs on device ('host' remains a label_mode of
     # the jit API for callers with precomputed labels)
@@ -623,7 +636,8 @@ def enhance_files(file_paths, processed_dir, output_dir, vae_params,
         common = dict(use_fused=use_fused, noise_model=noise_model,
                       fast=fast, label_mode=label_mode, target=target,
                       quantile_fraction=quantile_fraction,
-                      quantile_weight=quantile_weight)
+                      quantile_weight=quantile_weight,
+                      return_noise=False)
         if mesh is None:
             return _enhance_waveform_jit(
                 vae_params, jnp.asarray(a["x"]),
@@ -678,12 +692,28 @@ def enhance_files(file_paths, processed_dir, output_dir, vae_params,
         try:
             if isinstance(out, Exception):
                 raise out
-            if not np.all(np.asarray(out[4])):  # scalar or per-shard flags
+            with timer.stage("d2h_fetch"):
+                out = tuple(None if o is None else np.asarray(o)
+                            for o in out)
+            if not np.all(out[4]):  # scalar or per-shard flags
                 raise FloatingPointError("non-finite enhancement output")
             s_pad = np.asarray(out[0])  # int16 PCM, quantized on device
-            n_pad_arr = np.asarray(out[1])
             s_est = [s_pad[j][:t] for j, t in enumerate(t_origs)]
-            n_est = [n_pad_arr[j][:t] for j, t in enumerate(t_origs)]
+            if out[1] is not None:
+                n_pad_arr = np.asarray(out[1])
+                n_est = [n_pad_arr[j][:t] for j, t in enumerate(t_origs)]
+            else:
+                # the device ships s only; Wiener gains sum to one, so the
+                # mixture-consistent noise track is n = x - s (the source
+                # wavs are PCM16; a["x"] rows carry the exact mixture after
+                # the nfft//2 reflect lead-in)
+                off = NFFT // 2
+                n_est = [
+                    np.clip(a["x"][j][off:off + t].astype(np.int32)
+                            - s_est[j].astype(np.int32),
+                            -32768, 32767).astype(np.int16)
+                    for j, t in enumerate(t_origs)
+                ]
             if out[3] is not None:
                 y_hard_b = np.unpackbits(
                     np.asarray(out[3]), axis=1)[:, :y_dim, :]
@@ -754,28 +784,41 @@ def enhance_files(file_paths, processed_dir, output_dir, vae_params,
         loader.submit(assemble, paths, n_pad)
         for paths, n_pad, _ in batches[: PREFETCH]
     )
+    # finish() (device->host fetch + write handoff) runs on a dedicated
+    # fetch thread so the D2H transfer of batch i overlaps the device
+    # compute of batches i+1.. — the main thread only assembles and
+    # dispatches, blocking just for MAX_INFLIGHT backpressure
+    fetcher = ThreadPoolExecutor(max_workers=1)
     in_flight = deque()
     n_done = 0
     for i, (paths, n_pad, keys) in enumerate(batches):
-        a = assemble_futs.popleft().result()
+        with timer.stage("assemble_wait"):
+            a = assemble_futs.popleft().result()
         if i + PREFETCH < len(batches):
             nxt = batches[i + PREFETCH]
             assemble_futs.append(loader.submit(assemble, nxt[0], nxt[1]))
         try:
-            out = dispatch(a, n_pad, keys)
+            with timer.stage("dispatch"):
+                out = dispatch(a, n_pad, keys)
         except Exception as exc:
             out = exc
-        in_flight.append((a, keys, out))
+        in_flight.append(fetcher.submit(finish, (a, keys, out), i))
         while len(in_flight) > MAX_INFLIGHT:
-            finish(in_flight.popleft(), n_done)
+            with timer.stage("finish_wait"):
+                in_flight.popleft().result()
             n_done += 1
     while in_flight:
-        finish(in_flight.popleft(), n_done)
+        with timer.stage("finish_wait"):
+            in_flight.popleft().result()
         n_done += 1
     loader.shutdown(wait=True)
-    for f in write_futs:
-        f.result()  # surface writer exceptions
-    writer.shutdown(wait=True)
+    fetcher.shutdown(wait=True)
+    with timer.stage("writer_drain"):
+        for f in write_futs:
+            f.result()  # surface writer exceptions
+        writer.shutdown(wait=True)
+    if verbose:
+        print(timer.report())
     return time.perf_counter() - t_start
 
 
