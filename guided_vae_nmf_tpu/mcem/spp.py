@@ -44,56 +44,56 @@ class SPPNoiseEstimator:
         self._prior = prior
         self._snr_opt_lin = 10.0 ** (snr_opt_db / 10.0)
         self._num_frames_init = num_frames_init
-        self._inv_glr_factor = (1 - prior) / prior * (1.0 + self._snr_opt_lin)
-        self._inv_glr_exp_factor = self._snr_opt_lin / (1.0 + self._snr_opt_lin)
+        self._glr_inv_scale = (1 - prior) / prior * (1.0 + self._snr_opt_lin)
+        self._glr_exp_scale = self._snr_opt_lin / (1.0 + self._snr_opt_lin)
         self.reset()
 
     def reset(self):
         n_bins = self._frame_length // 2 + 1
-        self._v_old_psd = np.zeros(n_bins)
-        self._v_smooth_prob = np.zeros(n_bins)
+        self._psd = np.zeros(n_bins)
+        self._spp_smoothed = np.zeros(n_bins)
         self._num_frames_processed = 0
 
-    def update(self, v_noisy_per, v_spp_in=None):
+    def update(self, periodogram, spp_external=None):
         """One frame update -> (noise_psd, spp) or noise_psd when an external
         SPP is supplied (reference spp_estimation.py:86-146)."""
-        if v_spp_in is not None:
-            v_noise_per = (1.0 - v_spp_in) * v_noisy_per + \
-                v_spp_in * self._v_old_psd
-            v_noise_psd = (1.0 - self._fixed_smooth) * v_noise_per + \
-                self._fixed_smooth * self._v_old_psd
-            return v_noise_psd
+        if spp_external is not None:
+            blended_per = (1.0 - spp_external) * periodogram + \
+                spp_external * self._psd
+            noise_psd = (1.0 - self._fixed_smooth) * blended_per + \
+                self._fixed_smooth * self._psd
+            return noise_psd
 
         if self._num_frames_processed < self._num_frames_init:
-            v_noise_psd = self._v_old_psd + v_noisy_per / self._num_frames_init
-            self._v_old_psd = v_noise_psd
+            noise_psd = self._psd + periodogram / self._num_frames_init
+            self._psd = noise_psd
             self._num_frames_processed += 1
-            return v_noisy_per, np.zeros_like(self._v_old_psd)
+            return periodogram, np.zeros_like(self._psd)
 
-        v_inv_glr = self._inv_glr_factor * np.exp(
-            -v_noisy_per / (self._v_old_psd + 1e-8) * self._inv_glr_exp_factor
+        inv_glr = self._glr_inv_scale * np.exp(
+            -periodogram / (self._psd + 1e-8) * self._glr_exp_scale
         )
-        v_spp = 1.0 / (1.0 + v_inv_glr)
+        spp = 1.0 / (1.0 + inv_glr)
 
-        self._v_smooth_prob = (1 - self._prob_smooth) * v_spp + \
-            self._prob_smooth * self._v_smooth_prob
-        v_mask = self._v_smooth_prob > 0.99
-        v_spp = np.where(v_mask, np.minimum(v_spp, 0.99), v_spp)
+        self._spp_smoothed = (1 - self._prob_smooth) * spp + \
+            self._prob_smooth * self._spp_smoothed
+        stuck = self._spp_smoothed > 0.99
+        spp = np.where(stuck, np.minimum(spp, 0.99), spp)
 
-        v_noise_per = (1.0 - v_spp) * v_noisy_per + v_spp * self._v_old_psd
-        v_noise_psd = (1.0 - self._fixed_smooth) * v_noise_per + \
-            self._fixed_smooth * self._v_old_psd
-        self._v_old_psd = v_noise_psd
-        return v_noise_psd, v_spp
+        blended_per = (1.0 - spp) * periodogram + spp * self._psd
+        noise_psd = (1.0 - self._fixed_smooth) * blended_per + \
+            self._fixed_smooth * self._psd
+        self._psd = noise_psd
+        return noise_psd, spp
 
-    def from_stft(self, mat_per):
+    def from_stft(self, per_frames):
         """Noise PSD track for a (frames, bins) periodogram matrix, resetting
         afterwards (reference spp_estimation.py:156-172)."""
-        mat_psd = np.zeros(mat_per.shape)
-        for frame, per in enumerate(mat_per):
-            mat_psd[frame] = self.update(per)[0]
+        psd_frames = np.zeros(per_frames.shape)
+        for frame, per in enumerate(per_frames):
+            psd_frames[frame] = self.update(per)[0]
         self.reset()
-        return mat_psd
+        return psd_frames
 
 
 def timo_mask_estimation(spectrogram):
@@ -103,8 +103,8 @@ def timo_mask_estimation(spectrogram):
     est = SPPNoiseEstimator(frame_length=(freq_bins - 1) * 2)
     mask = np.zeros_like(spectrogram)
     for i, frame in enumerate(spectrogram.T):
-        _, v_spp = est.update(frame)
-        mask[:, i] = v_spp
+        _, spp = est.update(frame)
+        mask[:, i] = spp
     return mask
 
 
@@ -115,8 +115,8 @@ def timo_vad_estimation(spectrogram):
     est = SPPNoiseEstimator(frame_length=0)
     vad = np.zeros_like(frame_power)
     for i, p in enumerate(frame_power):
-        _, v_spp = est.update(np.atleast_1d(p))
-        vad[i] = v_spp[0]
+        _, spp = est.update(np.atleast_1d(p))
+        vad[i] = spp[0]
     return vad
 
 
@@ -125,13 +125,12 @@ def timo_noise_estimation(spectrogram, mask):
     spp_estimation.py:217-235)."""
     freq_bins, _ = spectrogram.shape
     est = SPPNoiseEstimator(frame_length=(freq_bins - 1) * 2)
-    noise_psd = np.zeros_like(spectrogram)
+    psd_track = np.zeros_like(spectrogram)
     for i, (frame, spp_in) in enumerate(zip(spectrogram.T, mask.T)):
-        v_noise_psd = est.update(frame, spp_in)
-        noise_psd[:, i] = v_noise_psd
-        # NOTE: the reference's external-SPP path never advances _v_old_psd
+        psd_track[:, i] = est.update(frame, spp_in)
+        # NOTE: the reference's external-SPP path never advances _psd
         # (spp_estimation.py:137-146); behavior preserved for parity.
-    return noise_psd
+    return psd_track
 
 
 # ---------------------------------------------------------------------------
