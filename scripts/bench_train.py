@@ -1,0 +1,101 @@
+"""Training-throughput benchmark (the L4 training half of the framework:
+reference training_M2.py ran one CUDA GPU; here the jitted data-parallel
+trainer on TPU).
+
+Builds the same diverse-noise labeled frame set the shipped checkpoints
+use (scripts/pretrain_subset.py), times `train_m2` for --epochs epochs at
+the reference batch size, and prints one JSON line with frames/s and
+epoch wall-clock. `--torch_baseline 1` additionally times the reference's
+own torch model + SVI loop (loaded from /root/reference, CPU) on the same
+frames for a same-machine comparison.
+
+Usage: python scripts/bench_train.py [--epochs 20] [--batch_size 256]
+       [--torch_baseline 0]
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+from guided_vae_nmf_tpu.train import TrainConfig, train_m2
+from _common import flag
+from pretrain_subset import build_dataset
+
+
+def main(argv=None):
+    argv = argv or sys.argv[1:]
+    epochs = flag(argv, "epochs", 20, int)
+    batch_size = flag(argv, "batch_size", 256, int)
+    torch_baseline = flag(argv, "torch_baseline", 0, int)
+    work = flag(argv, "work", "/tmp/gvnmf_bench_train")
+
+    (Xtr, Ytr), (Xva, Yva) = build_dataset()
+    n_frames = len(Xtr)
+
+    cfg = TrainConfig(end_epoch=epochs, batch_size=batch_size)
+    t0 = time.perf_counter()
+    train_m2((Xtr, Ytr), (Xva, Yva), cfg=cfg,
+             model_dir=os.path.join(work, "M2"), name="M2")
+    wall = time.perf_counter() - t0
+    # first epoch carries the jit compile; report steady state too
+    cfg2 = TrainConfig(end_epoch=1, batch_size=batch_size)
+    t0 = time.perf_counter()
+    train_m2((Xtr, Ytr), (Xva, Yva), cfg=cfg2,
+             model_dir=os.path.join(work, "M2_warm"), name="M2")
+    warm_epoch = time.perf_counter() - t0
+
+    result = {
+        "epochs": epochs,
+        "train_frames": n_frames,
+        "batch_size": batch_size,
+        "wall_s": round(wall, 2),
+        "warm_epoch_s": round(warm_epoch, 3),
+        "frames_per_s": round(n_frames * epochs / wall, 0),
+        "warm_frames_per_s": round(n_frames / warm_epoch, 0),
+    }
+
+    if torch_baseline and os.path.isdir("/root/reference/python"):
+        result["torch_epoch_s"] = round(
+            _torch_epoch((Xtr, Ytr), batch_size), 3)
+        result["torch_frames_per_s"] = round(
+            n_frames / result["torch_epoch_s"], 0)
+
+    print(json.dumps(result))
+
+
+def _torch_epoch(train_data, batch_size):
+    """One epoch of the reference's own training step (torch CPU):
+    `r, mu, logvar = model(x, y); loss = elbo(...); backward; Adam` —
+    reference scripts/training_M2.py:114-118, run on the same frames for
+    a same-machine number."""
+    import torch
+
+    sys.path.insert(0, "/root/reference")
+    from python.models.models import DeepGenerativeModel
+    from python.models.utils import elbo
+
+    X, Y = train_data
+    model = DeepGenerativeModel([513, 513, 32, [128, 128]], None)
+    opt = torch.optim.Adam(model.parameters(), lr=1e-3, betas=(0.9, 0.999))
+    model.train()
+    t0 = time.perf_counter()
+    for lo in range(0, len(X) - batch_size + 1, batch_size):
+        xb = torch.from_numpy(X[lo:lo + batch_size])
+        yb = torch.from_numpy(Y[lo:lo + batch_size])
+        r, mu, logvar = model(xb, yb)
+        loss, recon, kl = elbo(xb, r, mu, logvar, 1e-8)
+        loss.backward()
+        opt.step()
+        opt.zero_grad()
+        float(loss.item())
+    return time.perf_counter() - t0
+
+
+if __name__ == "__main__":
+    main()

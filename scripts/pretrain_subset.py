@@ -66,12 +66,8 @@ def build(clean, noise, seed, n_mix=4,
     return cat(X), cat(Yibm), cat(Yvad), cat(Ywf)
 
 
-def main(argv=None):
-    argv = argv or sys.argv[1:]
-    out = flag(argv, "out", "artifacts/pretrained")
-    epochs = flag(argv, "epochs", 300, int)
-    work = flag(argv, "work", "/tmp/gvnmf_pretrain")
-
+def load_subset_clean():
+    """(clean_train, clean_valid) waveform lists from the bundled subset."""
     wsj = sorted(glob.glob(
         f"{SUB}/raw/CSR-1-WSJ-0/WAV/wsj0/si_tr_s/**/*.wav", recursive=True))
     wsj_dt = sorted(glob.glob(
@@ -80,6 +76,26 @@ def main(argv=None):
         f"{SUB}/raw/ntcd_timit/**/*.wav", recursive=True))
     clean_tr = [load_clean(p) for p in wsj + ntcd[:10]]
     clean_va = [load_clean(p) for p in wsj_dt + ntcd[10:]]
+    return clean_tr, clean_va
+
+
+def build_dataset():
+    """((Xtr, Yibm_tr), (Xva, Yibm_va)) — the M2-IBM frame set the shipped
+    checkpoints were trained on (for reuse by bench_train.py)."""
+    clean_tr, clean_va = load_subset_clean()
+    noise = synthetic_noise_bank(clean_tr)
+    Xtr, Yibm_tr, _, _ = build(clean_tr, noise, 0)
+    Xva, Yibm_va, _, _ = build(clean_va, noise, 1)
+    return (Xtr, Yibm_tr), (Xva, Yibm_va)
+
+
+def main(argv=None):
+    argv = argv or sys.argv[1:]
+    out = flag(argv, "out", "artifacts/pretrained")
+    epochs = flag(argv, "epochs", 300, int)
+    work = flag(argv, "work", "/tmp/gvnmf_pretrain")
+
+    clean_tr, clean_va = load_subset_clean()
 
     noise = synthetic_noise_bank(clean_tr)
     Xtr, Yibm_tr, Yvad_tr, Ywf_tr = build(clean_tr, noise, 0)

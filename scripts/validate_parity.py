@@ -47,6 +47,18 @@ def make_noise(seed, kind):
     return n / np.abs(n).max()
 
 
+def collect_metrics(bp, s_hat):
+    """(si_sdr, estoi, pesq_wb) of an enhanced track vs the sources."""
+    from guided_vae_nmf_tpu.metrics import pesq
+
+    s, _ = read_wav(bp + "_s.wav")
+    n, _ = read_wav(bp + "_n.wav")
+    L = min(len(s), len(s_hat))
+    s, n, sh = s[:L], n[:L], s_hat[:L]
+    return (energy_ratios(sh, s, n)[0], stoi(s, sh, FS, True),
+            pesq(FS, s, sh, "wb"))
+
+
 def metrics_line(tag, name, bp, s_hat):
     from guided_vae_nmf_tpu.metrics import pesq
 
@@ -94,6 +106,9 @@ def main(argv=None):
 
     files = speech_list(f"{SUB}/raw/", "test")
     mc = MCEMConfig(niter=niter)
+    seeds = flag(argv, "seeds", 0, int)
+    if seeds:
+        return seed_averaged(work, files, m2, mc, seeds)
 
     t0 = time.time()
     enhance_files(files, f"{work}/proc/", f"{work}/est/", m2,
@@ -137,6 +152,77 @@ def main(argv=None):
         sh = istft(mcem.S_hat, max_len=len(x_t))
         metrics_line(f"REF ({time.time() - t0:.0f}s)",
                      os.path.basename(name), bp, sh)
+
+
+def seed_averaged(work, files, m2, mc, seeds):
+    """BASELINE.json quality gate: the MH trajectories are stochastic, so a
+    single run's PESQ/ESTOI carries MH sampling noise ~0.05. Averaging K
+    independent seeds on BOTH engines isolates the systematic
+    engine-vs-engine delta, which is the quantity the gate bounds
+    (|Δmean| ≤ 0.01)."""
+    import torch
+
+    sys.path.insert(0, "/root/reference")
+    from python.models.mcem import MCEM_M2
+    from python.models.models import DeepGenerativeModel
+
+    tm = DeepGenerativeModel([513, 513, 32, [128, 128]], None)
+    sd = {k: torch.from_numpy(np.asarray(v).copy())
+          for k, v in export_vae(m2).items()}
+    tm.load_state_dict(sd)
+    tm.eval()
+    for p in tm.parameters():
+        p.requires_grad = False
+
+    ours = {n: [] for n in files}   # per-utt list of (sisdr, estoi, pesq)
+    refs = {n: [] for n in files}
+    for k in range(seeds):
+        enhance_files(files, f"{work}/proc/", f"{work}/est_s{k}/", m2,
+                      model_type="m2", classif_type="oracle", cfg=mc,
+                      batch_size=4, seed=k)
+        for name in files:
+            bp = os.path.join(f"{work}/proc/", os.path.splitext(name)[0])
+            be = os.path.join(f"{work}/est_s{k}/",
+                              os.path.splitext(name)[0])
+            sh, _ = read_wav(be + "_s_est.wav")
+            ours[name].append(collect_metrics(bp, sh))
+        print(f"[ours] seed {k} done", flush=True)
+
+    for k in range(seeds):
+        torch.manual_seed(k)
+        for name in files:
+            bp = os.path.join(f"{work}/proc/", os.path.splitext(name)[0])
+            x_t, _ = read_wav(bp + "_x.wav")
+            s_t, _ = read_wav(bp + "_s.wav")
+            X = stft(x_t).T
+            y = clean_speech_IBM(stft(s_t), 0.98, 0.999)
+            mcem = MCEM_M2(niter=mc.niter)
+            mcem.init_parameters(X=X, y=torch.from_numpy(y.T.copy()),
+                                 vae=tm, nmf_rank=10, eps=1e-8,
+                                 device="cpu")
+            mcem.run()
+            sh = istft(mcem.S_hat, max_len=len(x_t))
+            refs[name].append(collect_metrics(bp, sh))
+        print(f"[ref] seed {k} done", flush=True)
+
+    print(f"\nSeed-averaged engine-vs-engine deltas ({seeds} seeds, "
+          f"niter={mc.niter}):")
+    hdr = ("utterance", "metric", "ours mean±sd", "ref mean±sd", "Δmean")
+    print("{:<14} {:<7} {:>14} {:>14} {:>8}".format(*hdr))
+    agg = {"SI-SDR": [], "ESTOI": [], "PESQ": []}
+    for name in files:
+        o = np.asarray(ours[name])
+        r = np.asarray(refs[name])
+        for i, met in enumerate(("SI-SDR", "ESTOI", "PESQ")):
+            d = o[:, i].mean() - r[:, i].mean()
+            agg[met].append(d)
+            print("{:<14} {:<7} {:>7.3f}±{:<5.3f} {:>7.3f}±{:<5.3f} "
+                  "{:>+8.3f}".format(os.path.basename(name), met,
+                                     o[:, i].mean(), o[:, i].std(),
+                                     r[:, i].mean(), r[:, i].std(), d))
+    for met, ds in agg.items():
+        print(f"mean |Δ{met}| over utterances: "
+              f"{np.abs(np.asarray(ds)).mean():.4f}")
 
 
 if __name__ == "__main__":
