@@ -315,7 +315,8 @@ def fit(params, family, train_data, valid_data, cfg: TrainConfig, model_dir,
         full = _merge(params, tparams)
         save_params(model_dir, name, epoch, va_loss, full)
         save_resume_state(model_dir, epoch, tparams, opt_state)
-        history.append({"epoch": epoch, "train": tr_loss, "valid": va_loss})
+        history.append({"epoch": epoch, "train": tr_loss, "valid": va_loss,
+                        "time_s": time.time() - t0})
 
     return _merge(params, tparams), history
 

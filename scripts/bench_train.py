@@ -21,6 +21,10 @@ import time
 sys.path.insert(0, ".")
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+os.environ.setdefault(
+    "GVNMF_CACHE_DIR", os.path.expanduser("~/.cache/gvnmf_xla")
+)
+
 import numpy as np
 
 from guided_vae_nmf_tpu.train import TrainConfig, train_m2
@@ -40,24 +44,22 @@ def main(argv=None):
 
     cfg = TrainConfig(end_epoch=epochs, batch_size=batch_size)
     t0 = time.perf_counter()
-    train_m2((Xtr, Ytr), (Xva, Yva), cfg=cfg,
-             model_dir=os.path.join(work, "M2"), name="M2")
+    _, hist = train_m2((Xtr, Ytr), (Xva, Yva), cfg=cfg,
+                       model_dir=os.path.join(work, "M2"), name="M2")
     wall = time.perf_counter() - t0
-    # first epoch carries the jit compile; report steady state too
-    cfg2 = TrainConfig(end_epoch=1, batch_size=batch_size)
-    t0 = time.perf_counter()
-    train_m2((Xtr, Ytr), (Xva, Yva), cfg=cfg2,
-             model_dir=os.path.join(work, "M2_warm"), name="M2")
-    warm_epoch = time.perf_counter() - t0
+    # the first epoch carries the whole-epoch program compile (persistent
+    # XLA cache absorbs it across runs); epochs 2.. are steady state
+    steady = [h["time_s"] for h in hist[1:]] or [hist[0]["time_s"]]
+    steady_epoch = sum(steady) / len(steady)
 
     result = {
         "epochs": epochs,
         "train_frames": n_frames,
         "batch_size": batch_size,
         "wall_s": round(wall, 2),
-        "warm_epoch_s": round(warm_epoch, 3),
-        "frames_per_s": round(n_frames * epochs / wall, 0),
-        "warm_frames_per_s": round(n_frames / warm_epoch, 0),
+        "first_epoch_s": round(hist[0]["time_s"], 3),
+        "steady_epoch_s": round(steady_epoch, 3),
+        "steady_frames_per_s": round(n_frames / steady_epoch, 0),
     }
 
     if torch_baseline and os.path.isdir("/root/reference/python"):
