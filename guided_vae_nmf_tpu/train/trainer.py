@@ -145,8 +145,8 @@ def make_eval_step(loss_fn, eps, mesh=None):
                    out_shardings=(rep, rep))
 
 
-def make_epoch_steps(loss_fn, optimizer, eps, has_y):
-    """Whole-epoch device programs (single-device fit path).
+def make_epoch_steps(loss_fn, optimizer, eps, has_y, mesh=None):
+    """Whole-epoch device programs (the fit path).
 
     The reference loops Python over ~70 tiny batches per epoch with a
     host sync on every `loss.item()` (training_M2.py:110-122); at these
@@ -155,7 +155,16 @@ def make_epoch_steps(loss_fn, optimizer, eps, has_y):
     device across the whole run and each epoch is ONE compiled program:
     `lax.scan` over the shuffled batch index matrix carrying
     (params, opt_state). Only the epoch-mean loss returns to the host.
+
+    With a mesh, each scanned batch is constrained to shard over the
+    `data` axis (frames replicated in HBM, compute split, gradient psums
+    induced by the constraint) — the parameters stay replicated.
     """
+    constrain = (lambda b: b)
+    if mesh is not None:
+        def constrain(b):
+            return jax.lax.with_sharding_constraint(
+                b, batch_sharding(mesh, ndim=b.ndim))
 
     def train_epoch(tparams, opt_state, X, Y, perm, key):
         keys = jax.random.split(key, perm.shape[0])
@@ -163,7 +172,8 @@ def make_epoch_steps(loss_fn, optimizer, eps, has_y):
         def body(carry, inp):
             tp, os_ = carry
             idx, k = inp
-            batch = (X[idx], Y[idx] if has_y else None)
+            batch = (constrain(X[idx]),
+                     constrain(Y[idx]) if has_y else None)
             (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 tp, batch, k, eps
             )
@@ -180,7 +190,7 @@ def make_epoch_steps(loss_fn, optimizer, eps, has_y):
 
         def body(_, inp):
             i, k = inp
-            batch = (X[i], Y[i] if has_y else None)
+            batch = (constrain(X[i]), constrain(Y[i]) if has_y else None)
             return None, loss_fn(tparams, batch, k, eps)
 
         _, (losses, auxs) = lax.scan(body, None, (idx, keys))
@@ -234,11 +244,14 @@ def fit(params, family, train_data, valid_data, cfg: TrainConfig, model_dir,
 
     Xtr, Ytr = train_data
     Xva, Yva = valid_data
-    use_epoch_scan = mesh is None and len(Xtr) >= cfg.batch_size
+    # epoch-as-scan needs at least one full batch; with a mesh the batch
+    # must also split evenly over the data axis
+    use_epoch_scan = len(Xtr) >= cfg.batch_size and (
+        mesh is None or cfg.batch_size % mesh.shape["data"] == 0)
     if use_epoch_scan:
         train_ep, eval_ep = make_epoch_steps(
             lambda p, b, k, e: loss_fn(_merge(params, p), b, k, e),
-            optimizer, cfg.eps, has_y=Ytr is not None,
+            optimizer, cfg.eps, has_y=Ytr is not None, mesh=mesh,
         )
         X_tr_d = jnp.asarray(Xtr)
         Y_tr_d = None if Ytr is None else jnp.asarray(Ytr)

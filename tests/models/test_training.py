@@ -131,3 +131,23 @@ def test_data_parallel_step_matches_single_device():
     for a, b in zip(jax.tree_util.tree_leaves(p1),
                     jax.tree_util.tree_leaves(p2)):
         assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_epoch_scan_mesh_fit_matches_single_device(tmp_path):
+    """fit() on a mesh (epoch-as-scan with data-axis sharding constraints)
+    must track the single-device fit: same seeds -> same shuffles/keys, so
+    histories agree up to reduction-order float noise."""
+    from guided_vae_nmf_tpu.train import train_m2
+
+    mesh = make_mesh(axis_names=("data",))
+    X = _frames(256, 20, 3)
+    Y = (X > np.median(X)).astype(np.float32)
+    cfg = TrainConfig(end_epoch=3, batch_size=64)
+    _, h1 = train_m2((X, Y), (X, Y), dims=(20, 20, 4, (16,)), cfg=cfg,
+                     model_dir=str(tmp_path / "single"), name="M2")
+    _, h2 = train_m2((X, Y), (X, Y), dims=(20, 20, 4, (16,)), cfg=cfg,
+                     model_dir=str(tmp_path / "mesh"), name="M2",
+                     mesh=mesh)
+    for a, b in zip(h1, h2):
+        assert_allclose(a["train"], b["train"], rtol=1e-4)
+        assert_allclose(a["valid"], b["valid"], rtol=1e-4)
