@@ -100,3 +100,24 @@ def test_create_test_set_cli(tmp_path):
     for dirpath, _, files in os.walk(subset / "processed"):
         pickles.extend(f for f in files if f.endswith("snr_db.p"))
     assert pickles, "no snr_db pickle written"
+
+
+def test_bench_train_cli(tmp_path):
+    """bench_train prints one JSON line with throughput fields (tiny run,
+    no torch half)."""
+    import json
+
+    out = run_script("bench_train.py", "--epochs", "2",
+                     "--work", str(tmp_path / "bt"))
+    rec = json.loads(out.strip().splitlines()[-1])
+    assert rec["epochs"] == 2 and rec["steady_frames_per_s"] > 0
+
+
+def test_bench_long_cli(tmp_path):
+    """bench_long enhances a 1-minute continuous recording end to end."""
+    import json
+
+    out = run_script("bench_long.py", "--minutes", "1", "--niter", "2",
+                     "--work", str(tmp_path / "bl"))
+    rec = json.loads(out.strip().splitlines()[-1])
+    assert rec["minutes"] == 1 and rec["rtf_warm"] > 0
