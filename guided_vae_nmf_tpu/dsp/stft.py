@@ -253,6 +253,33 @@ def istft_masked_ri_jax(S_re, S_im, frame_mask, nfft=1024, hopsamp=256):
                             hopsamp=hopsamp)
 
 
+def _overlap_add(frames, nfft, hopsamp):
+    """Overlap-add of (n_frames, nfft) windowed frames at hop `hopsamp`
+    WITHOUT a scatter: when hopsamp divides nfft, frames taken every
+    nfft//hopsamp rows land at non-overlapping, contiguous output
+    positions, so the OLA is `ratio` reshapes + shifted pads + one sum.
+    A TPU scatter-add serializes (measured ~0.5 s at 16k frames, growing
+    superlinearly); this form is pure data movement and stays ~ms at
+    100k+ frames. Each output sample still sums exactly its `ratio`
+    contributing frames — only the f32 summation order differs from the
+    scatter (≤1 ulp per sample)."""
+    n_frames = frames.shape[0]
+    expected_len = nfft + hopsamp * (n_frames - 1)
+    ratio = nfft // hopsamp
+    if ratio * hopsamp != nfft:  # fallback: exact scatter
+        idx = (jnp.arange(n_frames)[:, None] * hopsamp
+               + jnp.arange(nfft)[None, :])
+        return jnp.zeros(expected_len, jnp.float32).at[
+            idx.reshape(-1)].add(frames.reshape(-1))
+    y = jnp.zeros(expected_len, jnp.float32)
+    for p in range(ratio):
+        rows = frames[p::ratio]              # rows nfft apart in output
+        flat = rows.reshape(-1)
+        start = p * hopsamp
+        y = y + jnp.pad(flat, (start, expected_len - start - flat.size))
+    return y
+
+
 @partial(jax.jit, static_argnames=("nfft", "hopsamp"))
 def istft_masked_jax(Sxx, frame_mask, nfft=1024, hopsamp=256):
     """Inverse STFT of a frame-padded spectrogram: only frames with
@@ -268,14 +295,10 @@ def istft_masked_jax(Sxx, frame_mask, nfft=1024, hopsamp=256):
 
     frames = jnp.fft.irfft(Sxx.T, n=nfft, axis=-1).astype(jnp.float32)
     frames = frames * window * frame_mask[:, None]
-    idx = jnp.arange(n_frames)[:, None] * hopsamp + jnp.arange(nfft)[None, :]
-    y = jnp.zeros(expected_len, jnp.float32).at[idx.reshape(-1)].add(
-        frames.reshape(-1)
-    )
-    wsq = (window**2)[None, :] * frame_mask[:, None]
-    wss = jnp.zeros(expected_len, jnp.float32).at[idx.reshape(-1)].add(
-        wsq.reshape(-1)
-    )
+    y = _overlap_add(frames, nfft, hopsamp)
+    wsq = jnp.broadcast_to((window**2)[None, :],
+                           (n_frames, nfft)) * frame_mask[:, None]
+    wss = _overlap_add(wsq, nfft, hopsamp)
     y = jnp.where(wss > jnp.finfo(jnp.float32).tiny, y / wss, y)
     return y[nfft // 2 : expected_len - nfft // 2]
 
@@ -291,13 +314,9 @@ def istft_jax(Sxx, nfft=1024, hopsamp=256, max_len=None):
     window = jnp.asarray(periodic_hann(nfft), jnp.float32)
 
     frames = jnp.fft.irfft(Sxx.T, n=nfft, axis=-1).astype(jnp.float32) * window
-    idx = jnp.arange(n_frames)[:, None] * hopsamp + jnp.arange(nfft)[None, :]
-    y = jnp.zeros(expected_len, jnp.float32).at[idx.reshape(-1)].add(
-        frames.reshape(-1)
-    )
-    wss = jnp.zeros(expected_len, jnp.float32).at[idx.reshape(-1)].add(
-        jnp.broadcast_to(window**2, frames.shape).reshape(-1)
-    )
+    y = _overlap_add(frames, nfft, hopsamp)
+    wss = _overlap_add(
+        jnp.broadcast_to(window**2, frames.shape), nfft, hopsamp)
     y = jnp.where(wss > jnp.finfo(jnp.float32).tiny, y / wss, y)
 
     y = y[nfft // 2 : expected_len - nfft // 2]

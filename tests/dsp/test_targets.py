@@ -134,3 +134,24 @@ def test_golden_parity_labels(dataset_type):
             read_dataset(f"{REFERENCE_DATA}/pickle/", dataset_type,
                          "vad_labels"),
         )
+
+
+def test_lorenz_bisect_matches_sort():
+    """The sort-free bisection threshold (used beyond 1M elements) must
+    reproduce the sort-based Lorenz threshold; mask disagreement is
+    bounded to the single f32 cumsum-rounding boundary element."""
+    import jax.numpy as jnp
+
+    from guided_vae_nmf_tpu.dsp.targets import (
+        _lorenz_threshold_bisect, _lorenz_threshold_sort,
+    )
+
+    rng = np.random.RandomState(3)
+    for q in (0.98, 0.999, 0.5):
+        for scale in (1.0, 1e-6, 1e6):
+            x = (rng.rand(200_000) ** 4 * scale).astype(np.float32)
+            x[rng.rand(200_000) < 0.3] = 0.0  # pad-frame style ties
+            ts = float(_lorenz_threshold_sort(jnp.asarray(x), q))
+            tb = float(_lorenz_threshold_bisect(jnp.asarray(x), q))
+            n_diff = int(np.sum((x > ts) != (x > tb)))
+            assert n_diff <= 1, (q, scale, ts, tb, n_diff)
