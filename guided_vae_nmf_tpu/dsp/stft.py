@@ -234,11 +234,36 @@ def stft_batch_padded_jax(x_pad, nfft=1024, hopsamp=256):
     2 * 513 * T/256 floats) and moves the FFT onto the accelerator."""
     B, L = x_pad.shape
     n_frames = 1 + (L - nfft) // hopsamp
-    idx = jnp.arange(n_frames)[:, None] * hopsamp + jnp.arange(nfft)[None, :]
     window = jnp.asarray(periodic_hann(nfft), jnp.float32)
-    frames = x_pad[:, idx] * window
+    frames = _frame_signal(x_pad, n_frames, nfft, hopsamp) * window
     return jnp.fft.rfft(frames, axis=-1).transpose(0, 2, 1).astype(
         jnp.complex64)
+
+
+def _frame_signal(x_pad, n_frames, nfft, hopsamp):
+    """(B, L) -> (B, n_frames, nfft) sliding frames WITHOUT a gather: the
+    inverse of :func:`_overlap_add`'s phase-split — frames whose index is
+    congruent mod nfft//hopsamp tile the signal contiguously, so framing
+    is `ratio` static slices + reshapes interleaved by a stack (a TPU
+    gather with a (n_frames, nfft) index matrix measured ~144 ms at 16k
+    frames; this form is ~ms and exact)."""
+    B, L = x_pad.shape
+    ratio = nfft // hopsamp
+    if ratio * hopsamp != nfft:  # fallback: gather
+        idx = (jnp.arange(n_frames)[:, None] * hopsamp
+               + jnp.arange(nfft)[None, :])
+        return x_pad[:, idx]
+    phases = []
+    for p in range(ratio):
+        start = p * hopsamp
+        n_p = (L - start - nfft) // nfft + 1
+        phases.append(
+            x_pad[:, start:start + n_p * nfft].reshape(B, n_p, nfft))
+    n_min = min(ph.shape[1] for ph in phases)
+    head = jnp.stack([ph[:, :n_min] for ph in phases], axis=2).reshape(
+        B, n_min * ratio, nfft)
+    tail = [ph[:, n_min:] for ph in phases if ph.shape[1] > n_min]
+    return jnp.concatenate([head] + tail, axis=1)[:, :n_frames]
 
 
 @partial(jax.jit, static_argnames=("nfft", "hopsamp"))
