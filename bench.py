@@ -15,6 +15,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 import json
 import os
+os.environ.setdefault("GVNMF_CACHE_DIR", os.path.expanduser("~/.cache/gvnmf_xla"))
 import time
 
 import numpy as np
