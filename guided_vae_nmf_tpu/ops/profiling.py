@@ -60,3 +60,63 @@ def stage(name):
     """Module-level convenience: `with stage('mcem'):` on the shared
     timer."""
     return _GLOBAL.stage(name)
+
+
+# ---------------------------------------------------------------------------
+# Device-op microbenchmark (profiler-trace based)
+# ---------------------------------------------------------------------------
+#
+# On a tunneled dev TPU every wall-clock scalar fetch pays a ~40 ms HTTP
+# round trip, so device-op trace durations are the only reliable
+# microbenchmark signal; this helper is how all VALIDATION.md kernel
+# numbers were measured.
+
+
+def _sync(out):
+    """Force completion: a scalar D2H fetch (block_until_ready is not a
+    reliable barrier on the tunneled axon backend)."""
+    import numpy as np
+
+    leaves = jax.tree_util.tree_leaves(out)
+    if leaves:
+        np.asarray(jax.tree_util.tree_map(
+            lambda a: a.ravel()[0] if hasattr(a, "ravel") else a, leaves[0]))
+
+
+def device_time_ms(fn, trace_dir="/tmp/_devtime", top=0):
+    """Run fn() under the jax profiler; return (total_device_ms, op_table).
+
+    fn should RETURN its jax outputs so they can be synced. op_table is a
+    list of (ms, count, name) sorted desc; `top` > 0 prints that many rows.
+    """
+    import collections
+    import glob
+    import gzip
+    import json
+    import shutil
+
+    shutil.rmtree(trace_dir, ignore_errors=True)
+    _sync(fn())  # warm
+    with jax.profiler.trace(trace_dir):
+        _sync(fn())
+    files = sorted(glob.glob(f"{trace_dir}/**/*.trace.json.gz",
+                             recursive=True))
+    ev = json.load(gzip.open(files[-1]))["traceEvents"]
+    pidname = {}
+    for e in ev:
+        if e.get("ph") == "M" and e.get("name") == "process_name":
+            pidname[e["pid"]] = e["args"].get("name", "")
+    dev_pids = {p for p, n in pidname.items() if "TPU" in n.upper()}
+    agg = collections.Counter()
+    cnt = collections.Counter()
+    for e in ev:
+        if e.get("ph") == "X" and e.get("pid") in dev_pids:
+            agg[e["name"]] += e.get("dur", 0)
+            cnt[e["name"]] += 1
+    table = sorted(((d / 1e3, cnt[n], n) for n, d in agg.items()),
+                   reverse=True)
+    total = table[0][0] if table else 0.0  # the top-level jit module event
+    if top:
+        for ms, c, n in table[:top]:
+            print(f"{ms:9.2f} ms x{c:5d}  {n[:100]}")
+    return total, table

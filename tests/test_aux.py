@@ -58,3 +58,15 @@ def test_misc_utils():
     assert count_parameters(params) > 0
     assert get_key(2, {"x": 1, "y": 2}) == "y"
     assert get_key(9, {"x": 1}) == "key doesn't exist"
+
+
+def test_device_time_ms_cpu():
+    """The profiler-trace microbenchmark helper returns a (total, table)
+    pair; on CPU there are no TPU device pids, so total degrades to 0 and
+    the call must not raise."""
+    import jax.numpy as jnp
+
+    from guided_vae_nmf_tpu.ops.profiling import device_time_ms
+
+    total, table = device_time_ms(lambda: jnp.ones((8, 8)) @ jnp.ones((8, 8)))
+    assert total >= 0.0 and isinstance(table, list)
