@@ -161,7 +161,10 @@ _LORENZ_BISECT_MIN_SIZE = 1 << 20
 
 
 def _lorenz_threshold(flat, quantile_fraction):
-    if flat.size >= _LORENZ_BISECT_MIN_SIZE:
+    # the bisection walks the float32 bit order; any other dtype (e.g.
+    # f64 under jax_enable_x64) takes the dtype-agnostic sort path
+    if (flat.size >= _LORENZ_BISECT_MIN_SIZE
+            and flat.dtype == jnp.float32):
         return _lorenz_threshold_bisect(flat, quantile_fraction)
     return _lorenz_threshold_sort(flat, quantile_fraction)
 

@@ -77,10 +77,8 @@ def _sync(out):
     reliable barrier on the tunneled axon backend)."""
     import numpy as np
 
-    leaves = jax.tree_util.tree_leaves(out)
-    if leaves:
-        np.asarray(jax.tree_util.tree_map(
-            lambda a: a.ravel()[0] if hasattr(a, "ravel") else a, leaves[0]))
+    for leaf in jax.tree_util.tree_leaves(out):
+        np.asarray(leaf.ravel()[0] if hasattr(leaf, "ravel") else leaf)
 
 
 def device_time_ms(fn, trace_dir="/tmp/_devtime", top=0):
@@ -101,6 +99,10 @@ def device_time_ms(fn, trace_dir="/tmp/_devtime", top=0):
         _sync(fn())
     files = sorted(glob.glob(f"{trace_dir}/**/*.trace.json.gz",
                              recursive=True))
+    if not files:
+        raise RuntimeError(
+            f"jax profiler wrote no trace under {trace_dir}; is a device "
+            "backend attached?")
     ev = json.load(gzip.open(files[-1]))["traceEvents"]
     pidname = {}
     for e in ev:
@@ -115,7 +117,12 @@ def device_time_ms(fn, trace_dir="/tmp/_devtime", top=0):
             cnt[e["name"]] += 1
     table = sorted(((d / 1e3, cnt[n], n) for n, d in agg.items()),
                    reverse=True)
-    total = table[0][0] if table else 0.0  # the top-level jit module event
+    # total = sum of top-level dispatched XLA modules ("jit_*" events);
+    # nested while/fusion/custom-call events are contained within them.
+    # Falls back to the largest event when nothing matches the prefix.
+    total = sum(ms * 1.0 for ms, c, n in table if n.startswith("jit"))
+    if not total and table:
+        total = table[0][0]
     if top:
         for ms, c, n in table[:top]:
             print(f"{ms:9.2f} ms x{c:5d}  {n[:100]}")

@@ -633,11 +633,15 @@ def enhance_files(file_paths, processed_dir, output_dir, vae_params,
     # ---- 3) pipelined dispatch / fetch / write ---------------------------
     def dispatch(a, n_pad, keys):
         use_fused = _use_fused(engine, vae_params, n_pad)
+        # host-side n = x - s relies on WFs + WFn = 1, which the fused
+        # kernel enforces by construction (shared accumulator samples);
+        # the XLA engine's VX_FLOOR clamp can break the identity in
+        # degenerate near-silent bins, so those paths keep the device n
         common = dict(use_fused=use_fused, noise_model=noise_model,
                       fast=fast, label_mode=label_mode, target=target,
                       quantile_fraction=quantile_fraction,
                       quantile_weight=quantile_weight,
-                      return_noise=False)
+                      return_noise=not use_fused)
         if mesh is None:
             return _enhance_waveform_jit(
                 vae_params, jnp.asarray(a["x"]),
@@ -697,11 +701,10 @@ def enhance_files(file_paths, processed_dir, output_dir, vae_params,
                             for o in out)
             if not np.all(out[4]):  # scalar or per-shard flags
                 raise FloatingPointError("non-finite enhancement output")
-            s_pad = np.asarray(out[0])  # int16 PCM, quantized on device
+            s_pad = out[0]  # int16 PCM, quantized on device
             s_est = [s_pad[j][:t] for j, t in enumerate(t_origs)]
             if out[1] is not None:
-                n_pad_arr = np.asarray(out[1])
-                n_est = [n_pad_arr[j][:t] for j, t in enumerate(t_origs)]
+                n_est = [out[1][j][:t] for j, t in enumerate(t_origs)]
             else:
                 # the device ships s only; Wiener gains sum to one, so the
                 # mixture-consistent noise track is n = x - s (the source
@@ -715,9 +718,8 @@ def enhance_files(file_paths, processed_dir, output_dir, vae_params,
                     for j, t in enumerate(t_origs)
                 ]
             if out[3] is not None:
-                y_hard_b = np.unpackbits(
-                    np.asarray(out[3]), axis=1)[:, :y_dim, :]
-                y_soft_b = (np.asarray(out[2]) if out[2] is not None
+                y_hard_b = np.unpackbits(out[3], axis=1)[:, :y_dim, :]
+                y_soft_b = (out[2] if out[2] is not None
                             else y_hard_b.astype(np.float16))
         except Exception as exc:
             print(f"batch of {len(a['paths'])} failed ({exc!r}); "

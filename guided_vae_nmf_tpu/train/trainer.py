@@ -262,6 +262,9 @@ def fit(params, family, train_data, valid_data, cfg: TrainConfig, model_dir,
         nb_tr = len(Xtr) // cfg.batch_size
         nb_va = max(len(Xva) // cfg.batch_size, 1)
         bs_va = min(cfg.batch_size, len(Xva))
+        # empty validation set: scanning a zero-row batch would make
+        # jnp.mean return NaN and poison best-checkpoint selection
+        has_valid = bs_va > 0
         idx_va = jnp.asarray(
             np.arange(nb_va * bs_va, dtype=np.int32).reshape(nb_va, bs_va))
 
@@ -285,11 +288,14 @@ def fit(params, family, train_data, valid_data, cfg: TrainConfig, model_dir,
             key, k_tr, k_va = jax.random.split(key, 3)
             tparams, opt_state, tr_loss_d = train_ep(
                 tparams, opt_state, X_tr_d, Y_tr_d, perm, k_tr)
-            va_loss_d, aux_sums = eval_ep(
-                tparams, X_va_d, Y_va_d, idx_va, k_va)
             tr_loss = float(tr_loss_d)
-            va_loss = float(va_loss_d)
-            agg = {k: float(v) for k, v in aux_sums.items()}
+            if has_valid:
+                va_loss_d, aux_sums = eval_ep(
+                    tparams, X_va_d, Y_va_d, idx_va, k_va)
+                va_loss = float(va_loss_d)
+                agg = {k: float(v) for k, v in aux_sums.items()}
+            else:
+                va_loss, agg = 0.0, {}
             _log(batch_log,
                  f"Epoch: {epoch} Train loss: {tr_loss:.6f} "
                  f"time: {time.time() - t0:.2f}s")
@@ -341,7 +347,12 @@ def fit(params, family, train_data, valid_data, cfg: TrainConfig, model_dir,
                         _merge(params, tparams))
             save_resume_state(model_dir, epoch, tparams, opt_state)
 
+        # fail fast on saver errors (don't train for hours with no
+        # checkpoints) and bound the queue so slow saves can't pin an
+        # unbounded backlog of parameter copies
         save_futs.append(saver.submit(_save))
+        while len(save_futs) > 4 or (save_futs and save_futs[0].done()):
+            save_futs.pop(0).result()
         history.append({"epoch": epoch, "train": tr_loss, "valid": va_loss,
                         "time_s": time.time() - t0})
 

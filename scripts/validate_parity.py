@@ -66,12 +66,32 @@ def metrics_line(tag, name, bp, s_hat):
     n, _ = read_wav(bp + "_n.wav")
     x, _ = read_wav(bp + "_x.wav")
     L = min(len(s), len(s_hat))
-    s, n, x, sh = s[:L], n[:L], x[:L], s_hat[:L]
+    s, n, x = s[:L], n[:L], x[:L]
+    sdr, est, psq = collect_metrics(bp, s_hat)
     print(f"{name} {tag}: SI-SDR {energy_ratios(x, s, n)[0]:.1f} -> "
-          f"{energy_ratios(sh, s, n)[0]:.1f} dB | "
-          f"ESTOI {stoi(s, x, FS, True):.3f} -> {stoi(s, sh, FS, True):.3f}"
-          f" | PESQ {pesq(FS, s, x, 'wb'):.2f} -> "
-          f"{pesq(FS, s, sh, 'wb'):.2f}")
+          f"{sdr:.1f} dB | "
+          f"ESTOI {stoi(s, x, FS, True):.3f} -> {est:.3f}"
+          f" | PESQ {pesq(FS, s, x, 'wb'):.2f} -> {psq:.2f}")
+
+
+def reference_model(m2):
+    """The reference's torch `DeepGenerativeModel` loaded with this
+    framework's M2 weights (via export_vae), frozen for inference — the
+    engine-vs-engine comparison half used by both `main` and
+    `seed_averaged`."""
+    import torch
+
+    sys.path.insert(0, "/root/reference")
+    from python.models.models import DeepGenerativeModel
+
+    tm = DeepGenerativeModel([513, 513, 32, [128, 128]], None)
+    sd = {k: torch.from_numpy(np.asarray(v).copy())
+          for k, v in export_vae(m2).items()}
+    tm.load_state_dict(sd)
+    tm.eval()
+    for p in tm.parameters():
+        p.requires_grad = False
+    return tm
 
 
 def main(argv=None):
@@ -124,34 +144,30 @@ def main(argv=None):
     if not os.path.isdir("/root/reference/python"):
         print("reference tree absent; skipping torch half")
         return
-    import torch
-
-    sys.path.insert(0, "/root/reference")
-    from python.models.mcem import MCEM_M2
-    from python.models.models import DeepGenerativeModel
-
-    tm = DeepGenerativeModel([513, 513, 32, [128, 128]], None)
-    sd = {k: torch.from_numpy(np.asarray(v).copy())
-          for k, v in export_vae(m2).items()}
-    tm.load_state_dict(sd)
-    tm.eval()
-    for p in tm.parameters():
-        p.requires_grad = False
-
+    tm = reference_model(m2)
     for name in files:
         bp = os.path.join(f"{work}/proc/", os.path.splitext(name)[0])
-        x_t, _ = read_wav(bp + "_x.wav")
-        s_t, _ = read_wav(bp + "_s.wav")
-        X = stft(x_t).T
-        y = clean_speech_IBM(stft(s_t), 0.98, 0.999)
-        mcem = MCEM_M2(niter=niter)
-        mcem.init_parameters(X=X, y=torch.from_numpy(y.T.copy()), vae=tm,
-                             nmf_rank=10, eps=1e-8, device="cpu")
         t0 = time.time()
-        mcem.run()
-        sh = istft(mcem.S_hat, max_len=len(x_t))
+        sh = run_reference_engine(tm, bp, niter)
         metrics_line(f"REF ({time.time() - t0:.0f}s)",
                      os.path.basename(name), bp, sh)
+
+
+def run_reference_engine(tm, bp, niter):
+    """One utterance through the reference's torch MCEM_M2 (oracle IBM)."""
+    import torch
+
+    from python.models.mcem import MCEM_M2
+
+    x_t, _ = read_wav(bp + "_x.wav")
+    s_t, _ = read_wav(bp + "_s.wav")
+    X = stft(x_t).T
+    y = clean_speech_IBM(stft(s_t), 0.98, 0.999)
+    mcem = MCEM_M2(niter=niter)
+    mcem.init_parameters(X=X, y=torch.from_numpy(y.T.copy()), vae=tm,
+                         nmf_rank=10, eps=1e-8, device="cpu")
+    mcem.run()
+    return istft(mcem.S_hat, max_len=len(x_t))
 
 
 def seed_averaged(work, files, m2, mc, seeds):
@@ -162,18 +178,7 @@ def seed_averaged(work, files, m2, mc, seeds):
     (|Δmean| ≤ 0.01)."""
     import torch
 
-    sys.path.insert(0, "/root/reference")
-    from python.models.mcem import MCEM_M2
-    from python.models.models import DeepGenerativeModel
-
-    tm = DeepGenerativeModel([513, 513, 32, [128, 128]], None)
-    sd = {k: torch.from_numpy(np.asarray(v).copy())
-          for k, v in export_vae(m2).items()}
-    tm.load_state_dict(sd)
-    tm.eval()
-    for p in tm.parameters():
-        p.requires_grad = False
-
+    tm = reference_model(m2)
     ours = {n: [] for n in files}   # per-utt list of (sisdr, estoi, pesq)
     refs = {n: [] for n in files}
     for k in range(seeds):
@@ -192,16 +197,7 @@ def seed_averaged(work, files, m2, mc, seeds):
         torch.manual_seed(k)
         for name in files:
             bp = os.path.join(f"{work}/proc/", os.path.splitext(name)[0])
-            x_t, _ = read_wav(bp + "_x.wav")
-            s_t, _ = read_wav(bp + "_s.wav")
-            X = stft(x_t).T
-            y = clean_speech_IBM(stft(s_t), 0.98, 0.999)
-            mcem = MCEM_M2(niter=mc.niter)
-            mcem.init_parameters(X=X, y=torch.from_numpy(y.T.copy()),
-                                 vae=tm, nmf_rank=10, eps=1e-8,
-                                 device="cpu")
-            mcem.run()
-            sh = istft(mcem.S_hat, max_len=len(x_t))
+            sh = run_reference_engine(tm, bp, mc.niter)
             refs[name].append(collect_metrics(bp, sh))
         print(f"[ref] seed {k} done", flush=True)
 

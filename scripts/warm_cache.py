@@ -71,7 +71,7 @@ def main(argv=None):
                     std if label_mode == "dnn" else None,
                     mask, keys, cfg, use_fused=use_fused,
                     noise_model=nm, fast=fast, label_mode=label_mode,
-                    return_noise=False,  # the sweep's transport contract
+                    return_noise=not use_fused,  # the sweep's contract
                 )
                 np.asarray(out[0])
                 n_done += 1
