@@ -121,3 +121,24 @@ def test_bench_long_cli(tmp_path):
                      "--work", str(tmp_path / "bl"))
     rec = json.loads(out.strip().splitlines()[-1])
     assert rec["minutes"] == 1 and rec["rtf_warm"] > 0
+
+
+def test_notebook_tours(tmp_path):
+    """examples/notebook_tours.py covers the reference's three jupyter
+    notebooks (inspection/training/visualization) as plain scripts."""
+    import subprocess
+    import sys as _sys
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["GVNMF_PLATFORM"] = "cpu"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo + ":" + env.get("PYTHONPATH", "")
+    out = subprocess.run(
+        [_sys.executable, os.path.join(repo, "examples",
+                                       "notebook_tours.py")],
+        capture_output=True, text=True, cwd=repo, env=env, timeout=600,
+    )
+    assert out.returncode == 0, out.stderr
+    for tag in ("[inspection]", "[training]", "[visualization]"):
+        assert tag in out.stdout
