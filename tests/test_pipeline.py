@@ -275,3 +275,27 @@ def test_enhance_batch_hybrid_noise_model():
     for S, N, X in zip(S_hat, N_hat, X_tfs):
         assert np.all(np.isfinite(S)) and np.all(np.isfinite(N))
         assert_allclose(S + N, X, atol=2e-4 * np.abs(X).max())
+
+
+def test_silent_input_degrades_not_nan(tmp_path):
+    """An all-silent mixture (total power 0) breaks the Lorenz quantile
+    and the MCEM math in BOTH implementations (division by the total);
+    the sweep must catch the non-finite output and write passthrough
+    audio, never NaN wavs."""
+    from guided_vae_nmf_tpu.data import write_wav
+
+    rel = "CSR-1-WSJ-0/WAV/wsj0/si_et_05/440/silent00.wav"
+    proc = tmp_path / "proc"
+    bp = proc / os.path.splitext(rel)[0]
+    os.makedirs(os.path.dirname(str(bp)), exist_ok=True)
+    silence = np.zeros(16000, np.float32)
+    write_wav(str(bp) + "_x.wav", silence, 16000)
+    write_wav(str(bp) + "_s.wav", silence, 16000)
+
+    dgm = dgm_init(KEY, [513, 513, 8, [32]])
+    enhance_files([rel], str(proc) + "/", str(tmp_path / "est"), dgm,
+                  model_type="m2", classif_type="oracle", cfg=FAST_CFG)
+    base = str(tmp_path / "est" / os.path.splitext(rel)[0])
+    s_est, _ = read_wav(base + "_s_est.wav")
+    assert np.all(np.isfinite(s_est))
+    assert_allclose(s_est, silence, atol=2.0 / 32768)
