@@ -1,0 +1,177 @@
+"""Streaming (online) enhancement — a serving-mode capability beyond the
+reference's offline scripts.
+
+The Wiener-DNN baseline and the SPP mask sources are frame-causal (the
+classifier is frame-wise, reference evaluate_wiener_filter.py:88-101; the
+SPP recurrence is causal), so enhancement can run on a live stream:
+`StreamingWienerEnhancer` consumes arbitrary-size sample chunks and emits
+enhanced samples with one STFT window (64 ms) of algorithmic latency,
+producing OUTPUT IDENTICAL to the offline `enhance_files_wiener` sweep
+(same framing, same reflect/end padding applied causally, same masked
+overlap-add normalization — verified to float tolerance in
+tests/test_streaming.py).
+
+Causality notes: the reflect lead-in of the centered STFT needs only the
+FIRST nfft//2+1 samples, so it is available ~32 ms into the stream; the
+reflect tail and the reference's end-pad rule need the stream end and are
+applied in `flush()`. A sample is emitted once every frame overlapping it
+has been processed.
+
+The per-chunk device program has a fixed frame-batch shape (`chunk_frames`)
+so the stream triggers exactly one compile.
+"""
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .dsp.stft import periodic_hann, stft_params, _maybe_end_pad
+from .models import classifier_apply
+
+FS = 16000
+NFFT, HOP = stft_params()
+
+
+@partial(jax.jit, static_argnames=("eps",))
+def _wiener_frames_jit(params, frames, mean, std, eps=1e-8):
+    """(k, nfft) raw frames -> (k, nfft) enhanced windowed frames + (k, F)
+    masks: window -> rfft -> normalized power -> classifier mask ->
+    masked spectrum -> irfft -> window. Numerically the per-frame slice of
+    the offline `_wiener_waveform_jit` program."""
+    window = jnp.asarray(periodic_hann(NFFT), jnp.float32)
+    fw = frames * window
+    X = jnp.fft.rfft(fw, axis=-1)
+    p = (jnp.real(X) ** 2 + jnp.imag(X) ** 2).astype(jnp.float32)
+    if mean is not None:
+        p = (p - mean[None, :]) / (std[None, :] + eps)
+    m = classifier_apply(params, p)
+    S = m.astype(jnp.complex64) * X
+    y = jnp.fft.irfft(S, n=NFFT, axis=-1).astype(jnp.float32) * window
+    return y, m.astype(jnp.float16)
+
+
+class StreamingWienerEnhancer:
+    """Chunked real-time Wiener-DNN enhancement with offline-identical
+    output. Usage::
+
+        enh = StreamingWienerEnhancer(params, mean, std)
+        for chunk in stream:           # float32 samples, any size
+            out.append(enh.push(chunk))
+        out.append(enh.flush())        # drains the tail
+
+    `np.concatenate(out)` equals the offline sweep's `_s_est` track for
+    the same input (float tolerance; the offline path additionally
+    PCM16-quantizes on device).
+    """
+
+    def __init__(self, params, mean=None, std=None, chunk_frames=64,
+                 eps=1e-8):
+        self.params = params
+        self.mean = None if mean is None else jnp.asarray(
+            np.asarray(mean, np.float32))
+        self.std = None if std is None else jnp.asarray(
+            np.asarray(std, np.float32))
+        self.eps = eps
+        self.chunk_frames = chunk_frames
+        self._win_sq = periodic_hann(NFFT).astype(np.float32) ** 2
+        self.reset()
+
+    def reset(self):
+        self._raw = np.zeros(0, np.float32)   # all original samples seen
+        self._pad = None                      # padded signal (lead known)
+        self._t_done = 0                      # frames processed
+        self._emitted = 0                     # original samples emitted
+        self._y = np.zeros(NFFT, np.float32)  # OLA accumulators (grown)
+        self._w = np.zeros(NFFT, np.float32)
+        self._masks = []
+
+    # -- internals --------------------------------------------------------
+
+    def _ensure_acc(self, n):
+        if self._y.size < n:
+            grow = max(n, 2 * self._y.size)
+            self._y = np.concatenate(
+                [self._y, np.zeros(grow - self._y.size, np.float32)])
+            self._w = np.concatenate(
+                [self._w, np.zeros(grow - self._w.size, np.float32)])
+
+    def _process_frames(self, padded, t_end):
+        """Run frames [self._t_done, t_end) through the device program and
+        overlap-add them into the accumulators."""
+        while self._t_done < t_end:
+            k = min(self.chunk_frames, t_end - self._t_done)
+            t0 = self._t_done
+            frames = np.stack([
+                padded[(t0 + i) * HOP:(t0 + i) * HOP + NFFT]
+                for i in range(k)
+            ])
+            if k < self.chunk_frames:  # fixed compile shape
+                frames = np.pad(frames, ((0, self.chunk_frames - k),
+                                         (0, 0)))
+            y, m = _wiener_frames_jit(
+                self.params, jnp.asarray(frames), self.mean, self.std,
+                eps=self.eps)
+            y = np.asarray(y)[:k]
+            self._masks.append(np.asarray(m)[:k])
+            self._ensure_acc((t0 + k - 1) * HOP + NFFT)
+            for i in range(k):
+                lo = (t0 + i) * HOP
+                self._y[lo:lo + NFFT] += y[i]
+                self._w[lo:lo + NFFT] += self._win_sq
+            self._t_done += k
+
+    def _emit_upto(self, orig_end):
+        """Return finalized original samples [self._emitted, orig_end)."""
+        orig_end = min(orig_end, len(self._raw))
+        if orig_end <= self._emitted:
+            return np.zeros(0, np.float32)
+        lo = self._emitted + NFFT // 2     # padded coords
+        hi = orig_end + NFFT // 2
+        w = self._w[lo:hi]
+        y = self._y[lo:hi]
+        out = np.where(w > np.finfo(np.float32).tiny, y / w, y)
+        self._emitted = orig_end
+        return out.astype(np.float32)
+
+    # -- public API -------------------------------------------------------
+
+    def push(self, samples):
+        """Feed a chunk; returns the newly-finalized enhanced samples."""
+        self._raw = np.concatenate(
+            [self._raw, np.asarray(samples, np.float32)])
+        if self._pad is None:
+            if len(self._raw) < NFFT // 2 + 1:
+                return np.zeros(0, np.float32)
+            # reflect lead-in, available causally
+            self._pad = np.concatenate(
+                [self._raw[NFFT // 2:0:-1], self._raw])
+        else:
+            new = len(self._raw) + NFFT // 2 - len(self._pad)
+            if new > 0:
+                self._pad = np.concatenate([self._pad, self._raw[-new:]])
+        # frames fully inside the causally-known padded prefix
+        t_avail = max(0, (len(self._pad) - NFFT) // HOP + 1)
+        self._process_frames(self._pad, t_avail)
+        # a sample is final once the next unprocessed frame starts after it
+        return self._emit_upto(self._t_done * HOP - NFFT // 2)
+
+    def flush(self):
+        """Apply the reference end-pad rule + reflect tail, process the
+        remaining frames and return the rest of the enhanced signal."""
+        x = _maybe_end_pad(self._raw, FS, 64e-3, 0.25, HOP)
+        n_frames = 1 + len(x) // HOP
+        padded = np.pad(x, NFFT // 2, mode="reflect").astype(np.float32)
+        need = (n_frames - 1) * HOP + NFFT
+        if len(padded) < need:  # hop-remainder: frames may overrun; pad
+            padded = np.pad(padded, (0, need - len(padded)))
+        self._process_frames(padded, n_frames)
+        return self._emit_upto(len(self._raw))
+
+    @property
+    def masks(self):
+        """(F, frames) float16 soft masks of everything processed so far."""
+        if not self._masks:
+            return np.zeros((NFFT // 2 + 1, 0), np.float16)
+        return np.concatenate(self._masks, axis=0).T

@@ -1,0 +1,82 @@
+"""Streaming enhancement: chunked output must equal the offline sweep."""
+
+import os
+
+import numpy as np
+import jax
+import pytest
+from numpy.testing import assert_allclose
+
+from conftest import REFERENCE_DATA, has_reference_data
+from guided_vae_nmf_tpu.data import read_wav
+from guided_vae_nmf_tpu.models import classifier_init
+from guided_vae_nmf_tpu.pipeline import enhance_files_wiener
+from guided_vae_nmf_tpu.streaming import StreamingWienerEnhancer
+
+pytestmark = pytest.mark.skipif(
+    not has_reference_data(), reason="reference subset absent")
+
+PROCESSED = f"{REFERENCE_DATA}/processed/"
+UTT = "CSR-1-WSJ-0/WAV/wsj0/si_et_05/440/440c020a.wav"
+
+
+def _params():
+    return classifier_init(jax.random.PRNGKey(3), [513, [32, 32], 513])
+
+
+def test_streaming_matches_offline_sweep(tmp_path):
+    """Chunk-by-chunk streaming output == the offline enhance_files_wiener
+    track (same framing/padding/normalization, applied causally)."""
+    w = _params()
+    rng = np.random.RandomState(0)
+    mean = rng.rand(513).astype(np.float32)
+    std = (rng.rand(513) + 0.5).astype(np.float32)
+
+    enhance_files_wiener([UTT], PROCESSED, str(tmp_path), w,
+                         mean=mean, std=std)
+    offline, _ = read_wav(
+        str(tmp_path / os.path.splitext(UTT)[0]) + "_s_est.wav")
+
+    x, fs = read_wav(os.path.join(PROCESSED, os.path.splitext(UTT)[0])
+                     + "_x.wav")
+    enh = StreamingWienerEnhancer(w, mean=mean, std=std)
+    out = []
+    lo = 0
+    rng2 = np.random.RandomState(1)
+    while lo < len(x):
+        n = int(rng2.randint(160, 4000))  # ragged 10-250 ms chunks
+        out.append(enh.push(x[lo:lo + n]))
+        lo += n
+    out.append(enh.flush())
+    stream = np.concatenate(out)
+
+    assert len(stream) == len(x) == len(offline)
+    # offline additionally PCM16-quantizes on device -> +-1 LSB
+    assert_allclose(stream, offline, atol=2.0 / 32768)
+
+
+def test_streaming_incremental_latency():
+    """push() emits samples as soon as one window of future audio exists —
+    streaming, not batch-at-flush."""
+    w = _params()
+    enh = StreamingWienerEnhancer(w)
+    rng = np.random.RandomState(2)
+    emitted = 0
+    for _ in range(8):
+        emitted += len(enh.push(rng.randn(4000).astype(np.float32)))
+    # 32000 samples in; all but ~one window's worth must already be out
+    assert emitted >= 8 * 4000 - 2 * 1024
+
+
+def test_streaming_masks_shape():
+    w = _params()
+    enh = StreamingWienerEnhancer(w)
+    rng = np.random.RandomState(4)
+    x = rng.randn(16000).astype(np.float32)
+    enh.push(x)
+    enh.flush()
+    from guided_vae_nmf_tpu.dsp.stft import _maybe_end_pad
+
+    n_exp = 1 + len(_maybe_end_pad(x, 16000, 64e-3, 0.25, 256)) // 256
+    F, T = enh.masks.shape
+    assert F == 513 and T == n_exp
