@@ -52,28 +52,18 @@ def _wiener_frames_jit(params, frames, mean, std, eps=1e-8):
     return y, m.astype(jnp.float16)
 
 
-class StreamingWienerEnhancer:
-    """Chunked real-time Wiener-DNN enhancement with offline-identical
-    output. Usage::
-
-        enh = StreamingWienerEnhancer(params, mean, std)
-        for chunk in stream:           # float32 samples, any size
-            out.append(enh.push(chunk))
-        out.append(enh.flush())        # drains the tail
-
-    `np.concatenate(out)` equals the offline sweep's `_s_est` track for
-    the same input (float tolerance; the offline path additionally
-    PCM16-quantizes on device).
+class _StreamingOLA:
+    """Shared machinery for chunked causal STFT-mask-ISTFT enhancement:
+    causal reflect lead-in, frame batching at a fixed compile shape,
+    masked overlap-add with the offline normalization, lazy emission
+    (a sample leaves once every frame overlapping it is processed), and
+    the reference end-pad rule at flush. Subclasses implement
+    `_enhance_frame_batch(frames, k) -> (enhanced windowed frames,
+    masks)` — `k` is the count of valid rows (the rest are compile-shape
+    zero padding and must not advance any recurrent state).
     """
 
-    def __init__(self, params, mean=None, std=None, chunk_frames=64,
-                 eps=1e-8):
-        self.params = params
-        self.mean = None if mean is None else jnp.asarray(
-            np.asarray(mean, np.float32))
-        self.std = None if std is None else jnp.asarray(
-            np.asarray(std, np.float32))
-        self.eps = eps
+    def __init__(self, chunk_frames=64):
         self.chunk_frames = chunk_frames
         self._win_sq = periodic_hann(NFFT).astype(np.float32) ** 2
         self.reset()
@@ -110,9 +100,7 @@ class StreamingWienerEnhancer:
             if k < self.chunk_frames:  # fixed compile shape
                 frames = np.pad(frames, ((0, self.chunk_frames - k),
                                          (0, 0)))
-            y, m = _wiener_frames_jit(
-                self.params, jnp.asarray(frames), self.mean, self.std,
-                eps=self.eps)
+            y, m = self._enhance_frame_batch(frames, k)
             y = np.asarray(y)[:k]
             self._masks.append(np.asarray(m)[:k])
             self._ensure_acc((t0 + k - 1) * HOP + NFFT)
@@ -175,3 +163,77 @@ class StreamingWienerEnhancer:
         if not self._masks:
             return np.zeros((NFFT // 2 + 1, 0), np.float16)
         return np.concatenate(self._masks, axis=0).T
+
+
+class StreamingWienerEnhancer(_StreamingOLA):
+    """Chunked real-time Wiener-DNN enhancement with offline-identical
+    output. Usage::
+
+        enh = StreamingWienerEnhancer(params, mean, std)
+        for chunk in stream:           # float32 samples, any size
+            out.append(enh.push(chunk))
+        out.append(enh.flush())        # drains the tail
+
+    `np.concatenate(out)` equals the offline sweep's `_s_est` track for
+    the same input (float tolerance; the offline path additionally
+    PCM16-quantizes on device).
+    """
+
+    def __init__(self, params, mean=None, std=None, chunk_frames=64,
+                 eps=1e-8):
+        self.params = params
+        self.mean = None if mean is None else jnp.asarray(
+            np.asarray(mean, np.float32))
+        self.std = None if std is None else jnp.asarray(
+            np.asarray(std, np.float32))
+        self.eps = eps
+        super().__init__(chunk_frames)
+
+    def _enhance_frame_batch(self, frames, k):
+        return _wiener_frames_jit(self.params, jnp.asarray(frames),
+                                  self.mean, self.std, eps=self.eps)
+
+
+@jax.jit
+def _analyze_frames_jit(frames):
+    """(k, nfft) raw frames -> split-complex spectra + power."""
+    window = jnp.asarray(periodic_hann(NFFT), jnp.float32)
+    X = jnp.fft.rfft(frames * window, axis=-1)
+    re, im = jnp.real(X).astype(jnp.float32), jnp.imag(X).astype(jnp.float32)
+    return re, im, re**2 + im**2
+
+
+@jax.jit
+def _synth_frames_jit(re, im, m):
+    """Masked synthesis: (k, F) spectra + masks -> windowed frames."""
+    window = jnp.asarray(periodic_hann(NFFT), jnp.float32)
+    S = m.astype(jnp.complex64) * (re + 1j * im)
+    return jnp.fft.irfft(S, n=NFFT, axis=-1).astype(jnp.float32) * window
+
+
+class StreamingSPPEnhancer(_StreamingOLA):
+    """Model-free streaming enhancement: the soft mask is the per-frame
+    speech presence probability of the causal Gerkmann SPP tracker (the
+    reference's "timo" source, mcem/spp.py) — no trained network, no
+    oracle. The SPP recurrence state persists across chunks, so the mask
+    track equals `timo_mask_estimation` of the whole spectrogram."""
+
+    def __init__(self, chunk_frames=64):
+        from .mcem.spp import SPPNoiseEstimator
+
+        self._est = SPPNoiseEstimator(frame_length=NFFT)
+        super().__init__(chunk_frames)
+
+    def reset(self):
+        super().reset()
+        if hasattr(self, "_est"):
+            self._est.reset()
+
+    def _enhance_frame_batch(self, frames, k):
+        re, im, power = _analyze_frames_jit(jnp.asarray(frames))
+        power = np.asarray(power)
+        m = np.zeros_like(power)
+        for i in range(k):  # causal recurrence, frame order; NEVER feed
+            _, m[i] = self._est.update(power[i])  # the zero pad rows
+        y = _synth_frames_jit(re, im, jnp.asarray(m))
+        return y, m.astype(np.float16)

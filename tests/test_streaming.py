@@ -80,3 +80,49 @@ def test_streaming_masks_shape():
     n_exp = 1 + len(_maybe_end_pad(x, 16000, 64e-3, 0.25, 256)) // 256
     F, T = enh.masks.shape
     assert F == 513 and T == n_exp
+
+
+def test_streaming_spp_matches_timo_masks():
+    """The streaming SPP mask track equals the offline `timo` source
+    (same causal recurrence over the same frames; f32 device power vs the
+    host f64 STFT gives only tiny drift)."""
+    from guided_vae_nmf_tpu.dsp import stft
+    from guided_vae_nmf_tpu.mcem import timo_mask_estimation
+    from guided_vae_nmf_tpu.streaming import StreamingSPPEnhancer
+
+    x, _ = read_wav(os.path.join(PROCESSED, os.path.splitext(UTT)[0])
+                    + "_x.wav")
+    x = x[:32000]
+    enh = StreamingSPPEnhancer()
+    out = [enh.push(c) for c in np.array_split(x, 13)]
+    out.append(enh.flush())
+    stream = np.concatenate(out)
+    assert len(stream) == len(x) and np.all(np.isfinite(stream))
+
+    from guided_vae_nmf_tpu.dsp.stft import _maybe_end_pad
+
+    ref_masks = timo_mask_estimation(
+        np.abs(stft(x)) ** 2)[:, : enh.masks.shape[1]]
+    got = enh.masks.astype(np.float32)[:, : ref_masks.shape[1]]
+    assert got.shape == ref_masks.shape
+    assert np.mean(np.abs(got - ref_masks)) < 5e-3
+
+
+def test_streaming_spp_improves_stationary_noise():
+    """Model-free SPP streaming must improve SI-SDR on stationary noise."""
+    from guided_vae_nmf_tpu.metrics import energy_ratios
+    from guided_vae_nmf_tpu.streaming import StreamingSPPEnhancer
+
+    s, _ = read_wav(os.path.join(PROCESSED, os.path.splitext(UTT)[0])
+                    + "_s.wav")
+    s = s[:48000]
+    rng = np.random.RandomState(0)
+    n = (rng.randn(len(s)) * np.sqrt(np.mean(s**2))).astype(np.float32)
+    x = s + n
+    enh = StreamingSPPEnhancer()
+    out = [enh.push(c) for c in np.array_split(x, 9)]
+    out.append(enh.flush())
+    sh = np.concatenate(out)
+    before = energy_ratios(x, s, n)[0]
+    after = energy_ratios(sh, s, n)[0]
+    assert after > before + 1.0  # at least +1 dB on white noise
