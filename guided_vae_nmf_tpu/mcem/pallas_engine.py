@@ -285,7 +285,11 @@ def mh_chain_pallas(dec_w, X2, Vb, g, ypre, Z, Vs, seeds, mode="e",
         decoder's first layer), mid = [(w_i, b_i), ...] for hidden layers
         2..depth, wo (H_last, F), bo (F,).
       X2, Vb, Vs: (B, N, F); g: (B, N); ypre: (B, N, H1); Z: (B, N, L);
-      seeds: (B, N//tile) int32.
+      seeds: (B, N//tile) int32. `Vs` MUST be the decode of `Z` (every
+      in-repo caller satisfies this): the kernel re-derives Vs = decode(Z)
+      at the burn-in boundary while the initial MH data term comes from
+      the caller's Vs, so an inconsistent pair would skew the accept
+      ratio until the first acceptance.
       noise: optional (Zn (B, n_steps, N, L), U (B, n_steps, N)) recorded
         noise streams replacing the on-core PRNG (fixed-randomness test
         mode — lets CPU CI bit-check var_RW>0 chains against the XLA

@@ -21,16 +21,30 @@ standard so the metric protocol's PESQ column can always be produced:
   6. L6-over-syllables / L2-over-time aggregation and the P.862.2
      mapping  MOS-LQO = 0.999 + 4/(1 + exp(-1.3669 x + 3.8224)).
 
-Provenance / conformance caveat: the normative Bark-band tables of the
-standard are not redistributable-from-memory at full precision; this
-module uses the published loudness constants (Sp, Sl, Zwicker exponent,
-absolute-threshold curve, mapping polynomials, WB filter coefficients)
-and generates the FFT-bin->Bark-band assignment from a Zwicker-warped
-frequency scale calibrated to the standard's band layout. The identical-
-signal endpoint (MOS-LQO 4.6436) and the mapping are exact; mid-scale
-scores are expected to track the ITU implementation closely but are not
-bit-conformant. `scripts/validate_pesq.py` computes per-utterance deltas
-against the `pesq` wheel whenever that package is importable.
+Provenance / conformance status: the perceptual model's band layout now
+uses the standard's published constants directly —
+`CENTRE_OF_BAND_BARK` below is the normative 49-entry
+`centre_of_band_bark_16k` table of the P.862 reference code (the 8 kHz
+layout is its 42-band prefix, as in the standard), and the per-band
+widths/edges are derived from it by the tiling identity
+`width[k] = 2*(centre[k] - edge[k])` that the table satisfies by
+construction. The absolute-threshold curve, Sp/Sl loudness scalings,
+Zwicker exponent, WB filter coefficients and both output mappings are
+likewise the published constants. The one remaining non-normative
+element is the FFT-bin -> band assignment: the standard ships it as an
+integer `nr_of_hz_bands_per_bark_band` table, which is reconstructed
+here from a C1 frequency warp (exactly `z = f/100` below 500 Hz — the
+relation the published tables themselves satisfy, centre_hz = 100 *
+centre_bark for every band below 500 Hz — continued by a quadratic-in-
+log(f) segment pinned to the layout's top edge at Nyquist). Residual
+nonconformance is therefore confined to boundary FFT bins (31.25 Hz
+wide at 16 kHz) possibly landing one band off in the upper range, a
+second-order effect on band powers that the coverage-based power-
+density correction further damps. The identical-signal endpoint
+(MOS-LQO 4.6439) and the mappings are exact. `scripts/validate_pesq.py`
+computes per-utterance deltas against the ITU `pesq` wheel whenever it
+is importable (it is not in this environment); tests/metrics/
+test_pesq.py pins the degradation-family behaviour instead.
 """
 
 import numpy as np
@@ -69,8 +83,42 @@ _IRS_RECEIVE_DB = np.array([
 _SP = {8000: 2.764344e-5, 16000: 6.910853e-6}
 _SL = {8000: 1.866055e-1, 16000: 1.866055e-1}
 
+# The standard's Bark-band centres (P.862 reference code
+# `centre_of_band_bark_16k`, 49 bands tiling [0, 21.335656] contiguously;
+# the 8 kHz mode uses the first 42 bands, as in the reference code). Band
+# widths/edges follow from the tiling identity width[k] = 2*(centre[k] -
+# edge[k]) with edge[0] = 0, which this table satisfies by construction
+# (first band is half-width: it starts at 0 Bark).
+CENTRE_OF_BAND_BARK = np.array([
+    0.078672, 0.316341, 0.636559, 0.961246, 1.290450,
+    1.624217, 1.962597, 2.305636, 2.653383, 3.005889,
+    3.363201, 3.725371, 4.092449, 4.464486, 4.841533,
+    5.223642, 5.610866, 6.003256, 6.400869, 6.803755,
+    7.211971, 7.625571, 8.044611, 8.469146, 8.899232,
+    9.334927, 9.776288, 10.223374, 10.676242, 11.134952,
+    11.599563, 12.070135, 12.546731, 13.029408, 13.518232,
+    14.013264, 14.514566, 15.022202, 15.536238, 16.056736,
+    16.583761, 17.117382, 17.657663, 18.204674, 18.758478,
+    19.319147, 19.886751, 20.461355, 21.043034,
+])
+
+
+def _band_layout(nb):
+    """(widths, edges, centres) of the first `nb` bands of the standard's
+    layout, derived from CENTRE_OF_BAND_BARK by the tiling identity."""
+    centres = CENTRE_OF_BAND_BARK[:nb]
+    edges = np.empty(nb + 1)
+    widths = np.empty(nb)
+    edges[0] = 0.0
+    for k in range(nb):
+        widths[k] = 2.0 * (centres[k] - edges[k])
+        edges[k + 1] = edges[k] + widths[k]
+    return widths, edges, centres
+
+
 # Absolute hearing threshold per Bark band, as band power on the internal
-# scale (0.1 dB-quantised threshold curve of the standard).
+# scale (0.1 dB-quantised threshold curve of the standard; the 8 kHz mode
+# uses the first 42 entries, matching its 42-band prefix layout).
 _ABS_THRESH_DB_16K = np.array([
     77.1, 63.9, 48.5, 36.9, 30.7, 25.9, 20.2, 16.6, 12.5, 9.9,
     6.9, 4.9, 2.8, 1.0, -0.1, -1.4, -2.5, -3.4, -4.1, -4.8,
@@ -80,33 +128,46 @@ _ABS_THRESH_DB_16K = np.array([
 ])
 
 
-def _zwicker_bark(f):
-    """Zwicker/Terhardt critical-band rate (Bark) of frequency f [Hz]."""
-    f = np.asarray(f, dtype=np.float64)
-    return 13.0 * np.arctan(0.00076 * f) + 3.5 * np.arctan((f / 7500.0) ** 2)
+_WARP_BREAK_HZ = 500.0     # below this the standard's scale is exactly f/100
 
 
-def _inv_zwicker_bark(z, f_hi=20000.0):
-    """Inverse of `_zwicker_bark` by bisection (vectorised)."""
-    z = np.atleast_1d(np.asarray(z, dtype=np.float64))
-    lo = np.zeros_like(z)
-    hi = np.full_like(z, f_hi)
-    for _ in range(60):
-        mid = 0.5 * (lo + hi)
-        below = _zwicker_bark(mid) < z
-        lo = np.where(below, mid, lo)
-        hi = np.where(below, hi, mid)
-    return 0.5 * (lo + hi)
+class _Warp:
+    """C1 frequency warp Hz -> band scale, consistent with the published
+    band tables: exactly `z = f/100` below 500 Hz (the published tables
+    satisfy centre_hz == 100*centre_bark there), continued above by a
+    quadratic in log(f/500) with matching value (5) and slope (1/100 Hz)
+    at the break, with the quadratic coefficient pinned so z(f_top) equals
+    the band layout's top edge."""
+
+    def __init__(self, f_top, z_top):
+        self.fb = _WARP_BREAK_HZ
+        self.zb = self.fb / 100.0                     # 5 Bark at the break
+        self.slope = self.fb / 100.0                  # d z / d ln f at break
+        xt = np.log(f_top / self.fb)
+        self.c2 = (z_top - self.zb - self.slope * xt) / (xt * xt)
+
+    def __call__(self, f):
+        f = np.asarray(f, dtype=np.float64)
+        x = np.log(np.maximum(f, 1e-12) / self.fb)
+        hi = self.zb + self.slope * x + self.c2 * x * x
+        return np.where(f <= self.fb, f / 100.0, hi)
+
+    def inverse(self, z):
+        z = np.asarray(z, dtype=np.float64)
+        # quadratic c2*x^2 + slope*x + (zb - z) = 0, monotone branch
+        disc = np.maximum(
+            self.slope ** 2 - 4.0 * self.c2 * (self.zb - z), 0.0)
+        x = (-self.slope + np.sqrt(disc)) / (2.0 * self.c2)
+        return np.where(z <= self.zb, 100.0 * z, self.fb * np.exp(x))
 
 
 class _BandTables:
     """Bark-band layout for the perceptual model at one sample rate.
 
-    The band widths follow the standard's layout: 49 bands at 16 kHz
-    (42 at 8 kHz) tiling [0, bark(fs/2)] contiguously with widths growing
-    from ~0.157 to ~0.585 Bark. The widths are generated from a smooth
-    parametric fit of that layout; FFT-bin assignment and power-density
-    corrections follow from the calibrated Zwicker warp.
+    49 bands at 16 kHz / the 42-band prefix at 8 kHz, using the
+    standard's published band centres (CENTRE_OF_BAND_BARK) with widths
+    and edges derived by the tiling identity. FFT-bin assignment and
+    power-density corrections follow from the `_Warp` frequency scale.
     """
 
     def __init__(self, fs):
@@ -124,28 +185,14 @@ class _BandTables:
         self.Sp = _SP[fs]
         self.Sl = _SL[fs]
 
-        z_top = float(_zwicker_bark(fs / 2.0))
-        # Band widths: linear ramp in band index reproduces the standard's
-        # 0.157..0.585 progression at 16 kHz (first band is half-width: it
-        # starts at 0 Bark). Solve w0, slope s.t. sum == z_top.
-        idx = np.arange(nb, dtype=np.float64)
-        ramp = idx / (nb - 1)
-        w0 = 0.157344 if fs == 16000 else 0.286
-        # widths = w0/2 for band 0 then w0 + slope*i; calibrate slope so the
-        # bands tile exactly to z_top.
-        base = np.full(nb, w0)
-        base[0] = w0 / 2.0
-        slope_unit = ramp.copy()
-        slope_unit[0] = 0.0
-        rem = z_top - base.sum()
-        widths = base + slope_unit * (rem / slope_unit.sum())
-        edges = np.concatenate([[0.0], np.cumsum(widths)])
+        widths, edges, centres = _band_layout(nb)
         self.width_bark = widths
-        self.centre_bark = 0.5 * (edges[:-1] + edges[1:])
+        self.centre_bark = centres
+        self.warp = _Warp(fs / 2.0, edges[-1])
 
-        # FFT bin -> band assignment via the Zwicker warp (bins 1..n_bins-1)
+        # FFT bin -> band assignment via the warp (bins 1..n_bins-1)
         bins = np.arange(1, self.n_bins)
-        bark_of_bin = _zwicker_bark(bins * self.bin_hz)
+        bark_of_bin = self.warp(bins * self.bin_hz)
         self.band_of_bin = np.clip(
             np.searchsorted(edges, bark_of_bin, side="right") - 1, 0, nb - 1
         )
@@ -154,7 +201,7 @@ class _BandTables:
         # Power-density correction: nominal band Hz width over the Hz width
         # actually covered by its integer bins (x100, the scale Sp was
         # calibrated with).
-        hz_edges = np.concatenate([[0.0], _inv_zwicker_bark(edges[1:], fs)])
+        hz_edges = self.warp.inverse(edges)
         nominal_hz = np.diff(hz_edges)
         covered_hz = self.nr_bins * self.bin_hz
         with np.errstate(divide="ignore", invalid="ignore"):
@@ -164,16 +211,9 @@ class _BandTables:
             )
         self.pow_dens_correction = 100.0 * np.clip(corr, 0.25, 4.0)
 
-        if fs == 16000:
-            thresh_db = _ABS_THRESH_DB_16K
-        else:
-            # 8 kHz layout: interpolate the 16 kHz threshold curve (defined
-            # on the 16 kHz band centres, spanning 0..bark(8000)) onto the
-            # narrower 8 kHz centres — same underlying hearing threshold.
-            t16 = _tables(16000)
-            thresh_db = np.interp(
-                self.centre_bark, t16.centre_bark, _ABS_THRESH_DB_16K,
-            )
+        # 8 kHz mode: first 42 entries of the 16 kHz threshold curve — the
+        # 8 kHz layout is the 42-band prefix, so the thresholds are exact.
+        thresh_db = _ABS_THRESH_DB_16K[:nb]
         self.abs_thresh_power = 10.0 ** (np.asarray(thresh_db) / 10.0)
 
         self.window = 0.5 * (1.0 - np.cos(

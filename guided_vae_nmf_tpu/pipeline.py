@@ -311,8 +311,10 @@ def _enhance_waveform_jit(vae_params, x_pad, s_pad, y_in, classifier_params,
                 else None)
     out_hard = None if y_hard is None else _packbits_bands(y_hard)
     # return_noise=False halves the PCM device->host transfer: the Wiener
-    # gains sum to one, so the host reconstructs n = x - s exactly
-    # (mixture-consistent by construction; the sources were PCM16)
+    # gains sum to one, so the host reconstructs the mixture-consistent
+    # n = x - s. Not bit-identical to the device-quantized n_est: round-
+    # half-to-even ties and clipping of s at full scale can shift samples
+    # by +-1 LSB (use return_noise=True when a bit-exact track is needed)
     out_n = to_pcm16(n_est) if return_noise else None
     return to_pcm16(s_est), out_n, out_soft, out_hard, finite_ok
 
@@ -709,7 +711,9 @@ def enhance_files(file_paths, processed_dir, output_dir, vae_params,
                 # the device ships s only; Wiener gains sum to one, so the
                 # mixture-consistent noise track is n = x - s (the source
                 # wavs are PCM16; a["x"] rows carry the exact mixture after
-                # the nfft//2 reflect lead-in)
+                # the nfft//2 reflect lead-in). May differ from the device-
+                # quantized track by +-1 LSB (rounding ties / clipping of
+                # s); pass return_noise=True for a bit-exact _n_est.wav
                 off = NFFT // 2
                 n_est = [
                     np.clip(a["x"][j][off:off + t].astype(np.int32)

@@ -76,6 +76,7 @@ class _StreamingOLA:
         self._y = np.zeros(NFFT, np.float32)  # OLA accumulators (grown)
         self._w = np.zeros(NFFT, np.float32)
         self._masks = []
+        self._flushed = False
 
     # -- internals --------------------------------------------------------
 
@@ -127,6 +128,10 @@ class _StreamingOLA:
 
     def push(self, samples):
         """Feed a chunk; returns the newly-finalized enhanced samples."""
+        if self._flushed:
+            raise RuntimeError(
+                "push() after flush(): the stream was finalized with the "
+                "end-pad rule; call reset() to start a new stream")
         self._raw = np.concatenate(
             [self._raw, np.asarray(samples, np.float32)])
         if self._pad is None:
@@ -147,7 +152,9 @@ class _StreamingOLA:
 
     def flush(self):
         """Apply the reference end-pad rule + reflect tail, process the
-        remaining frames and return the rest of the enhanced signal."""
+        remaining frames and return the rest of the enhanced signal.
+        The stream is finalized afterwards: push() raises until reset()."""
+        self._flushed = True
         x = _maybe_end_pad(self._raw, FS, 64e-3, 0.25, HOP)
         n_frames = 1 + len(x) // HOP
         padded = np.pad(x, NFFT // 2, mode="reflect").astype(np.float32)

@@ -127,8 +127,11 @@ def main(argv=None):
     files = speech_list(f"{SUB}/raw/", "test")
     mc = MCEMConfig(niter=niter)
     seeds = flag(argv, "seeds", 0, int)
+    engine = flag(argv, "engine", "both")
+    if engine == "report":
+        return gate_report(work, files, niter)
     if seeds:
-        return seed_averaged(work, files, m2, mc, seeds)
+        return seed_averaged(work, files, m2, mc, seeds, engine)
 
     t0 = time.time()
     enhance_files(files, f"{work}/proc/", f"{work}/est/", m2,
@@ -170,55 +173,161 @@ def run_reference_engine(tm, bp, niter):
     return istft(mcem.S_hat, max_len=len(x_t))
 
 
-def seed_averaged(work, files, m2, mc, seeds):
+def _gate_store(work, engine, niter):
+    return os.path.join(work, f"gate_{engine}_niter{niter}.json")
+
+
+def _load_gate(path):
+    import json
+
+    if os.path.exists(path):
+        with open(path) as f:
+            return json.load(f)
+    return {}
+
+
+def _save_gate(path, data):
+    import json
+
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(data, f)
+    os.replace(tmp, path)
+
+
+def seed_averaged(work, files, m2, mc, seeds, engine="both"):
     """BASELINE.json quality gate: the MH trajectories are stochastic, so a
     single run's PESQ/ESTOI carries MH sampling noise ~0.05. Averaging K
     independent seeds on BOTH engines isolates the systematic
     engine-vs-engine delta, which is the quantity the gate bounds
-    (|Δmean| ≤ 0.01)."""
-    import torch
+    (|Δmean| ≤ 0.01).
 
-    tm = reference_model(m2)
-    ours = {n: [] for n in files}   # per-utt list of (sisdr, estoi, pesq)
-    refs = {n: [] for n in files}
-    for k in range(seeds):
-        enhance_files(files, f"{work}/proc/", f"{work}/est_s{k}/", m2,
-                      model_type="m2", classif_type="oracle", cfg=mc,
-                      batch_size=4, seed=k)
-        for name in files:
-            bp = os.path.join(f"{work}/proc/", os.path.splitext(name)[0])
-            be = os.path.join(f"{work}/est_s{k}/",
-                              os.path.splitext(name)[0])
-            sh, _ = read_wav(be + "_s_est.wav")
-            ours[name].append(collect_metrics(bp, sh))
-        print(f"[ours] seed {k} done", flush=True)
+    Per-seed metrics persist to gate_{ours,ref}_niter{N}.json in `work`,
+    so long runs resume where they stopped and the two engine halves can
+    run as concurrent processes (`--engine ours` on the chip while
+    `--engine ref` burns CPU). `--engine report` prints the table with
+    95% t-CIs on every Δmean from whatever has accumulated."""
+    if engine in ("both", "ours", "peem"):
+        tag = "ours" if engine != "peem" else "peem"
+        cfg = mc
+        if tag == "peem":
+            from guided_vae_nmf_tpu.mcem import PEEMConfig
 
-    for k in range(seeds):
-        torch.manual_seed(k)
-        for name in files:
-            bp = os.path.join(f"{work}/proc/", os.path.splitext(name)[0])
-            sh = run_reference_engine(tm, bp, mc.niter)
-            refs[name].append(collect_metrics(bp, sh))
-        print(f"[ref] seed {k} done", flush=True)
+            cfg = PEEMConfig(niter=mc.niter)
+        path = _gate_store(work, tag, mc.niter)
+        done = _load_gate(path)
+        for k in range(seeds):
+            if str(k) in done:
+                continue
+            est = f"{work}/est_{tag}_s{k}/"
+            t0 = time.time()
+            enhance_files(files, f"{work}/proc/", est, m2,
+                          model_type="m2", classif_type="oracle", cfg=cfg,
+                          batch_size=4, seed=k)
+            wall = time.time() - t0
+            row = {}
+            for name in files:
+                bp = os.path.join(f"{work}/proc/",
+                                  os.path.splitext(name)[0])
+                be = os.path.join(est, os.path.splitext(name)[0])
+                sh, _ = read_wav(be + "_s_est.wav")
+                row[name] = collect_metrics(bp, sh)
+            row["_wall_s"] = wall
+            done[str(k)] = row
+            _save_gate(path, done)
+            print(f"[{tag}] seed {k} done ({wall:.1f}s)", flush=True)
 
-    print(f"\nSeed-averaged engine-vs-engine deltas ({seeds} seeds, "
-          f"niter={mc.niter}):")
-    hdr = ("utterance", "metric", "ours mean±sd", "ref mean±sd", "Δmean")
-    print("{:<14} {:<7} {:>14} {:>14} {:>8}".format(*hdr))
+    if engine in ("both", "ref"):
+        import torch
+
+        tm = reference_model(m2)
+        path = _gate_store(work, "ref", mc.niter)
+        done = _load_gate(path)
+        for k in range(seeds):
+            if str(k) in done:
+                continue
+            torch.manual_seed(k)
+            row = {}
+            for name in files:
+                bp = os.path.join(f"{work}/proc/",
+                                  os.path.splitext(name)[0])
+                sh = run_reference_engine(tm, bp, mc.niter)
+                row[name] = collect_metrics(bp, sh)
+            done[str(k)] = row
+            _save_gate(path, done)
+            print(f"[ref] seed {k} done", flush=True)
+
+    gate_report(work, files, mc.niter)
+
+
+def gate_report(work, files, niter):
+    """Seed-averaged delta table with 95% t-CIs from the persisted
+    per-seed stores (uses the seeds present in BOTH engines' stores)."""
+    from scipy import stats as sps
+
+    o_all = _load_gate(_gate_store(work, "ours", niter))
+    r_all = _load_gate(_gate_store(work, "ref", niter))
+    common = sorted(set(o_all) & set(r_all), key=int)
+    if not common:
+        print("no common seeds recorded yet")
+        return
+    K = len(common)
+    print(f"\nSeed-averaged engine-vs-engine deltas ({K} seeds, "
+          f"niter={niter}):")
+    hdr = ("utterance", "metric", "ours mean±sd", "ref mean±sd",
+           "Δmean", "95% CI")
+    print("{:<14} {:<7} {:>14} {:>14} {:>8} {:>18}".format(*hdr))
+    tcrit = sps.t.ppf(0.975, K - 1)
     agg = {"SI-SDR": [], "ESTOI": [], "PESQ": []}
     for name in files:
-        o = np.asarray(ours[name])
-        r = np.asarray(refs[name])
+        o = np.asarray([o_all[s][name] for s in common])
+        r = np.asarray([r_all[s][name] for s in common])
         for i, met in enumerate(("SI-SDR", "ESTOI", "PESQ")):
+            # paired-by-seed differences: seeds are independent draws of
+            # the same MH process, so the unpaired Welch CI is the right
+            # bound on the mean difference
             d = o[:, i].mean() - r[:, i].mean()
+            se = np.sqrt(o[:, i].var(ddof=1) / K + r[:, i].var(ddof=1) / K)
             agg[met].append(d)
             print("{:<14} {:<7} {:>7.3f}±{:<5.3f} {:>7.3f}±{:<5.3f} "
-                  "{:>+8.3f}".format(os.path.basename(name), met,
-                                     o[:, i].mean(), o[:, i].std(),
-                                     r[:, i].mean(), r[:, i].std(), d))
+                  "{:>+8.3f} [{:+.3f}, {:+.3f}]".format(
+                      os.path.basename(name), met,
+                      o[:, i].mean(), o[:, i].std(ddof=1),
+                      r[:, i].mean(), r[:, i].std(ddof=1), d,
+                      d - tcrit * se, d + tcrit * se))
     for met, ds in agg.items():
         print(f"mean |Δ{met}| over utterances: "
               f"{np.abs(np.asarray(ds)).mean():.4f}")
+
+    p_all = _load_gate(_gate_store(work, "peem", niter))
+    if p_all:
+        pk = sorted(p_all, key=int)
+        Kp = len(pk)
+        print(f"\nPEEM (gradient E-step) vs MCEM ours, {Kp} seeds, "
+              f"niter={niter}:")
+        print("{:<14} {:<7} {:>14} {:>14} {:>8}".format(
+            "utterance", "metric", "peem mean±sd", "mcem mean±sd",
+            "Δ(peem-mcem)"))
+        for name in files:
+            p = np.asarray([p_all[s][name] for s in pk])
+            o = np.asarray([o_all[s][name] for s in common])
+            for i, met in enumerate(("SI-SDR", "ESTOI", "PESQ")):
+                print("{:<14} {:<7} {:>7.3f}±{:<5.3f} {:>7.3f}±{:<5.3f} "
+                      "{:>+8.3f}".format(
+                          os.path.basename(name), met,
+                          p[:, i].mean(), p[:, i].std(ddof=1),
+                          o[:, i].mean(), o[:, i].std(ddof=1),
+                          p[:, i].mean() - o[:, i].mean()))
+        pw = [p_all[s].get("_wall_s") for s in pk]
+        ow = [o_all[s].get("_wall_s") for s in common]
+        pw = [w for w in pw if w]
+        ow = [w for w in ow if w]
+        if pw and ow:
+            # steady-state walls (skip each store's first seed: compile)
+            ps = np.median(pw[1:] or pw)
+            osd = np.median(ow[1:] or ow)
+            print(f"wall/seed (3-utt batch, median): peem {ps:.1f}s, "
+                  f"mcem {osd:.1f}s -> speedup x{osd / ps:.1f}")
 
 
 if __name__ == "__main__":

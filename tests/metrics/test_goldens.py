@@ -1,13 +1,15 @@
-"""Golden-value regression tests for the reimplemented metrics.
+"""Drift-pin regression tests for the reimplemented metrics.
+
+These are NOT conformance goldens: the pinned values were computed from
+the implementation under test and guard against silent drift only.
 
 The canonical implementations (pystoi, Hu & Loizou's MATLAB, the ITU pesq
-wheel) are not importable in this environment, so these goldens pin the
-*current* implementations against silent drift: the values were computed
-once from the audited implementation (framing/resampler matched line-by-
-line to pystoi's conventions — exclusive final frame, Octave-style Kaiser
-resampler) and any future change that shifts them fails here.
-Cross-implementation deltas are measured by scripts/validate_stoi.py /
-scripts/validate_pesq.py in environments that have the canonical packages.
+wheel) are not importable in this environment. Correctness (as opposed to
+drift) is covered by tests/metrics/test_crosscheck.py, which re-derives
+every measure as a second, naive, loop-level implementation straight from
+the papers and matches the library to ~1e-9; cross-implementation deltas
+against the canonical packages are measured by scripts/validate_stoi.py /
+scripts/validate_pesq.py wherever those are importable.
 """
 
 import glob
@@ -26,7 +28,7 @@ SUBSET_GLOB = ("/root/reference/data/subset/processed/CSR-1-WSJ-0/"
                "**/*_x.wav")
 
 # utterance -> (ESTOI, STOI, fwSegSNR, LLR, WSS) of mixture vs clean
-SUBSET_GOLDENS = {
+SUBSET_PINS = {
     "050a050a": (0.7330106523, 0.8168327042, 14.99883784, 0.18524091,
                  8.10828785),
     "050a050b": (0.8976870277, 0.9564697260, 26.11447080, 0.05931375,
@@ -47,7 +49,7 @@ def _synthetic_pair():
     return x, x + noise
 
 
-def test_stoi_synthetic_goldens():
+def test_stoi_synthetic_pins():
     x, y = _synthetic_pair()
     assert stoi(x, y, FS) == pytest.approx(0.2280849027, abs=1e-8)
     assert stoi(x, y, FS, extended=True) == pytest.approx(
@@ -56,13 +58,13 @@ def test_stoi_synthetic_goldens():
 
 @pytest.mark.skipif(not has_reference_data(),
                     reason="reference subset absent")
-def test_subset_mixture_goldens():
+def test_subset_mixture_pins():
     bases = {
         os.path.basename(p)[:-6]: p[:-6]
         for p in glob.glob(SUBSET_GLOB, recursive=True)
     }
     checked = 0
-    for utt, (g_estoi, g_stoi, g_fw, g_llr, g_wss) in SUBSET_GOLDENS.items():
+    for utt, (g_estoi, g_stoi, g_fw, g_llr, g_wss) in SUBSET_PINS.items():
         if utt not in bases:
             continue
         b = bases[utt]
@@ -77,4 +79,4 @@ def test_subset_mixture_goldens():
         assert llr(s, x, FS) == pytest.approx(g_llr, abs=1e-5), utt
         assert wss(s, x, FS) == pytest.approx(g_wss, abs=1e-4), utt
         checked += 1
-    assert checked == len(SUBSET_GOLDENS)
+    assert checked == len(SUBSET_PINS)

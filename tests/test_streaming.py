@@ -126,3 +126,18 @@ def test_streaming_spp_improves_stationary_noise():
     before = energy_ratios(x, s, n)[0]
     after = energy_ratios(sh, s, n)[0]
     assert after > before + 1.0  # at least +1 dB on white noise
+
+
+def test_push_after_flush_raises():
+    import pytest as _pytest
+    from guided_vae_nmf_tpu.streaming import StreamingSPPEnhancer
+    enh = StreamingSPPEnhancer(chunk_frames=8)
+    rng = np.random.RandomState(0)
+    x = rng.randn(16000).astype(np.float32) * 0.05
+    enh.push(x)
+    enh.flush()
+    with _pytest.raises(RuntimeError):
+        enh.push(x)
+    enh.reset()                      # reset clears the flushed state
+    out = enh.push(x)
+    assert out.dtype == np.float32
