@@ -122,13 +122,15 @@ def write_preprocessed_noise(output_noise_dir, dataset_type, noise_type,
 
 
 def synthetic_noise_bank(clean_streams=None, seed=11, duration_sec=60,
-                         fs=FS):
+                         fs=FS, rich=False):
     """Six-family synthetic noise bank for training when the DEMAND/QUT
     corpora are unavailable: white, three AR(1)-colored spectra, an
     amplitude-modulated colored noise (nonstationary), and — when clean
     speech is supplied — a 6-talker babble built by overlap-summing random
     stretches of the given utterances. Peak-normalized 60 s recordings,
-    deterministic under `seed`.
+    deterministic under `seed`. `rich=True` adds four more families
+    (car/clatter/tonal/cafe, `_rich_noise_families`) without changing the
+    base six, so the shipped round-1 bank stays reproducible.
 
     This bank is what the shipped pretrained checkpoints were trained with
     (scripts/pretrain_subset.py); diversity here is what makes the
@@ -162,6 +164,63 @@ def synthetic_noise_bank(clean_streams=None, seed=11, duration_sec=60,
             seg = stream[off: off + n_samp]
             bab[: len(seg)] += seg
         bank["babble"] = bab / np.abs(bab).max()
+    if rich:
+        bank.update(_rich_noise_families(r, n_samp, fs, clean_streams))
+    return bank
+
+
+def _rich_noise_families(r, n_samp, fs, clean_streams=None):
+    """Additional families targeting the real-noise failure modes
+    (VALIDATION.md round-2 real-QUT table): car-cabin rumble (strong
+    resonant low-frequency energy like QUT CAR-WINDOWNB), impulsive
+    clatter (kitchen/cafe transients), narrowband drifting tonal noise
+    (machinery), and a cafe composite (babble + clatter + colored floor).
+    """
+    from scipy.signal import lfilter
+
+    t = np.arange(n_samp) / fs
+    bank = {}
+    # car: AR(2) resonance ~45 Hz over brown rumble + slow gusting
+    rho, f0 = 0.997, 45.0
+    a = [1.0, -2 * rho * np.cos(2 * np.pi * f0 / fs), rho * rho]
+    car = lfilter([1.0], a, r.randn(n_samp))
+    car += 0.4 * lfilter([1.0], [1.0, -0.995], r.randn(n_samp))
+    car *= 0.7 + 0.3 * np.abs(np.sin(2 * np.pi * 0.13 * t + 0.7))
+    bank["car"] = car / np.abs(car).max()
+    # clatter: sparse impulses convolved with a decaying ring + floor
+    imp = np.zeros(n_samp)
+    n_hits = max(1, int(n_samp / fs * 3.0))
+    pos = r.randint(0, n_samp, n_hits)
+    imp[pos] = r.randn(n_hits) * (1.0 + r.rand(n_hits) * 3.0)
+    ring_t = np.arange(int(0.05 * fs))
+    ring = np.exp(-ring_t / (0.008 * fs)) * np.cos(
+        2 * np.pi * (1200 + 800 * r.rand()) * ring_t / fs)
+    clat = np.convolve(imp, ring)[:n_samp]
+    clat += 0.05 * lfilter([1.0], [1.0, -0.6], r.randn(n_samp))
+    bank["clatter"] = clat / np.abs(clat).max()
+    # tonal: narrowband noise whose centre drifts (machinery whine)
+    fc = 300.0 + 500.0 * (1 + np.sin(2 * np.pi * 0.05 * t)) / 2
+    phase = 2 * np.pi * np.cumsum(fc) / fs
+    ton = np.cos(phase) * lfilter(
+        [1.0], [1.0, -0.9], r.randn(n_samp)) * 0.5
+    ton += 0.1 * r.randn(n_samp)
+    bank["tonal"] = ton / np.abs(ton).max()
+    if clean_streams:
+        # cafe composite: babble bed + clatter + mid-colored floor
+        bab = np.zeros(n_samp)
+        for _ in range(8):
+            stream = np.concatenate(
+                [clean_streams[r.randint(len(clean_streams))]
+                 for _ in range(40)]
+            )
+            off = (r.randint(len(stream) - n_samp)
+                   if len(stream) > n_samp else 0)
+            seg = stream[off: off + n_samp]
+            bab[: len(seg)] += seg
+        cafe = bab / np.abs(bab).max()
+        cafe = cafe + 0.35 * bank["clatter"] + 0.15 * lfilter(
+            [1.0], [1.0, -0.7], r.randn(n_samp)) / 3.0
+        bank["cafe"] = cafe / np.abs(cafe).max()
     return bank
 
 

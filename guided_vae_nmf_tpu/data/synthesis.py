@@ -32,6 +32,41 @@ from ..dsp import (
 FS = 16000
 
 
+def speed_perturb(x, factor):
+    """Kaldi-style speed perturbation: resample by 1/factor so the
+    utterance plays `factor`x faster — shifts both tempo and pitch,
+    the standard small-corpus augmentation. Rational-factor polyphase
+    resampling; factor 1.0 returns the input."""
+    if factor == 1.0:
+        return np.asarray(x, np.float64)
+    from fractions import Fraction
+
+    from scipy.signal import resample_poly
+
+    fr = Fraction(factor).limit_denominator(100)
+    return resample_poly(np.asarray(x, np.float64),
+                         fr.denominator, fr.numerator)
+
+
+def augment_clean(streams, factors=(0.9, 1.1), gains=(0.7, 1.4), seed=17):
+    """Augmented copies of clean utterances for small-corpus training
+    (VERDICT round-2 item 3): speed perturbation at each factor plus
+    random-gain copies. Returns originals + augmented (originals first);
+    every stream is peak-normalized like the originals, gain copies are
+    scaled afterwards so the frame distribution sees level diversity
+    (MCEM's per-frame gain g must generalize over levels)."""
+    r = np.random.RandomState(seed)
+    out = list(streams)
+    for x in streams:
+        for f in factors:
+            y = speed_perturb(x, f)
+            out.append(y / (np.abs(y).max() + 1e-12))
+    for x in streams:
+        g = gains[0] + (gains[1] - gains[0]) * r.rand()
+        out.append(np.asarray(x) * g)
+    return out
+
+
 def _load_speech(path, fs=FS, cut_burst=True):
     x, fs_x = read_wav(path)
     if fs_x != fs:

@@ -2,6 +2,7 @@ from .engine import (
     MCEMConfig,
     mcem_run,
     mcem_run_converged,
+    mcem_run_converged_batch,
     mcem_m1_batch,
     mcem_m2_batch,
     nmf_m_step,

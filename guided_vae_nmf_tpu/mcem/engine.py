@@ -90,6 +90,18 @@ def _decode_cond(dec_params, y_pre, Z):
 # ---------------------------------------------------------------------------
 
 
+def framewise_uniform(key, rows, N, dtype=jnp.float32):
+    """(rows, N) uniforms whose column n depends only on (key, n): per-frame
+    fold_in instead of one (rows, N) draw, so NMF inits — and therefore
+    whole XLA-engine MCEM trajectories — are invariant to how far the
+    frame axis is padded (a pooled-bucket batch and the utterance's own
+    bucket produce identical results; tests/test_pipeline.py mesh test)."""
+    return jax.vmap(
+        lambda n: jax.random.uniform(jax.random.fold_in(key, n), (rows,),
+                                     dtype)
+    )(jnp.arange(N)).T
+
+
 def _mh_scan(dec_params, y_pre, X_abs2, Vb, g, Z0, Vs0, key, n_steps, var_RW,
              step_extra, noise=None):
     """Run `n_steps` of the random-walk MH chain (reference mcem.py:218-294).
@@ -100,19 +112,28 @@ def _mh_scan(dec_params, y_pre, X_abs2, Vb, g, Z0, Vs0, key, n_steps, var_RW,
     replacing the PRNG draws — the fixed-randomness test mode shared with
     the Pallas kernel (mh_chain_pallas(noise=...)), making var_RW>0
     trajectories bit-comparable across engines.
-    Returns (Z, Vs, key, carry_extra).
+
+    PRNG layout: one chain-level split advances `key`; the draws derive
+    from per-frame keys folded with the step index, so a frame's noise
+    stream depends only on (key, frame, step) — never on the padded
+    length N. Returns (Z, Vs, key, carry_extra).
     """
     L, N = Z0.shape
     gVb = Vb  # alias for clarity; Vb fixed during a chain
     sqrt_var = jnp.sqrt(jnp.asarray(var_RW, X_abs2.dtype))
+    key, sub = jax.random.split(key)
+    frame_keys = jax.vmap(jax.random.fold_in, (None, 0))(
+        sub, jnp.arange(N))
 
     def step(carry, m):
-        Z, Vs, key, extra = carry
-        key, k_prop, k_acc = jax.random.split(key, 3)
+        Z, Vs, extra = carry
         if noise is not None:
             zn_m = noise[0][m]
         else:
-            zn_m = jax.random.normal(k_prop, (L, N), Z.dtype)
+            zn_m = jax.vmap(
+                lambda k: jax.random.normal(
+                    jax.random.fold_in(k, m), (L,), Z0.dtype)
+            )(frame_keys).T
         Z_prime = Z + sqrt_var * zn_m
         Vs_prime = _decode_cond(dec_params, y_pre, Z_prime)
         Vx = jnp.maximum(g * Vs + gVb, VX_FLOOR)
@@ -126,18 +147,21 @@ def _mh_scan(dec_params, y_pre, X_abs2, Vb, g, Z0, Vs0, key, n_steps, var_RW,
         if noise is not None:
             u_m = noise[1][m]
         else:
-            u_m = jax.random.uniform(k_acc, (N,))
+            u_m = jax.vmap(
+                lambda k: jax.random.uniform(
+                    jax.random.fold_in(jax.random.fold_in(k, m), 1), ())
+            )(frame_keys)
         is_acc = jnp.log(u_m) < acc_prob
         Z = jnp.where(is_acc[None, :], Z_prime, Z)
         # selective update == the reference's post-accept re-decode
         Vs = jnp.where(is_acc[None, :], Vs_prime, Vs)
         Vx = jnp.maximum(g * Vs + gVb, VX_FLOOR)
         extra = step_extra(extra, m, Z, Vs, Vx)
-        return (Z, Vs, key, extra), None
+        return (Z, Vs, extra), None
 
     init_extra = step_extra(None, None, None, None, None)  # sentinel init
-    (Z, Vs, key, extra), _ = lax.scan(
-        step, (Z0, Vs0, key, init_extra), jnp.arange(n_steps)
+    (Z, Vs, extra), _ = lax.scan(
+        step, (Z0, Vs0, init_extra), jnp.arange(n_steps)
     )
     return Z, Vs, key, extra
 
@@ -308,7 +332,7 @@ def mcem_run(vae_params, X_abs2, mask, y, key, cfg: MCEMConfig,
         W, H, g = init_nmf
     elif update_nmf:
         W = jnp.maximum(jax.random.uniform(k_w, (F, cfg.nmf_rank)), cfg.eps)
-        H = jnp.maximum(jax.random.uniform(k_h, (cfg.nmf_rank, N)), cfg.eps)
+        H = jnp.maximum(framewise_uniform(k_h, cfg.nmf_rank, N), cfg.eps)
         g = jnp.ones((N,), X_abs2.dtype)
     else:
         # Fixed external noise model: spread Vb over rank-1 factors so the
@@ -417,7 +441,7 @@ def mcem_run_converged(vae_params, X_abs2, mask, y, key,
     key, k_w, k_h = jax.random.split(key, 3)
     if update_nmf:
         W = jnp.maximum(jax.random.uniform(k_w, (F, cfg.nmf_rank)), cfg.eps)
-        H = jnp.maximum(jax.random.uniform(k_h, (cfg.nmf_rank, N)), cfg.eps)
+        H = jnp.maximum(framewise_uniform(k_h, cfg.nmf_rank, N), cfg.eps)
     else:
         W = jnp.ones((F, 1), X_abs2.dtype)
         H = jnp.zeros((1, N), X_abs2.dtype)
@@ -451,6 +475,152 @@ def mcem_run_converged(vae_params, X_abs2, mask, y, key,
     return {
         "WFs": WFs, "WFn": WFn,
         "cost": jnp.asarray(np.concatenate(costs_all)),
+        "W": W, "H": H, "g": g, "Z": Z, "iters": iters,
+    }
+
+
+@partial(jax.jit,
+         static_argnames=("cfg", "tol", "check_every", "update_nmf"))
+def mcem_run_converged_batch(vae_params, X_abs2, mask, y, keys,
+                             cfg: MCEMConfig = MCEMConfig(), tol=1e-4,
+                             check_every=5, update_nmf=True,
+                             Vb_fixed=None):
+    """Batched tol-stop MCEM: :func:`mcem_run_converged` vectorized over a
+    padded utterance batch with per-utterance convergence masks.
+
+    One device program runs `check_every`-iteration EM chunks under a
+    `lax.while_loop`; after each chunk every utterance applies the legacy
+    stop rule (chunk-end cost decrease < tol, reference
+    mcem_julius.py:106-108). Utterances that stop are FROZEN — their
+    state and PRNG stream cease advancing (per-row `where` selects) —
+    while stragglers keep iterating, so each row's trajectory equals the
+    single-utterance engine's for the same key. The loop ends when every
+    row has converged or spent the `cfg.niter` budget; the final Wiener
+    pass then runs for all rows.
+
+    Args: X_abs2 (B, F, N), mask (B, N), y (B, y_dim, N) or None,
+    keys (B, 2), Vb_fixed (B, F, N) when update_nmf=False.
+
+    Returns the :func:`mcem_run` dict batched, plus 'iters' (B,) int32
+    per-utterance executed iteration counts; 'cost' is (B, budget) with
+    entries past a row's executed iterations left at 0.
+    """
+    B, F, N = X_abs2.shape
+    enc_params = vae_params["encoder"]
+    dec_params = vae_params["decoder"]
+    L = dec_params["hidden"][0]["w"].shape[0] - (
+        0 if y is None else y.shape[1]
+    )
+    n_chunks = -(-cfg.niter // check_every)
+    budget = n_chunks * check_every
+
+    def init_one(X, k, yy):
+        k, k_w, k_h = jax.random.split(k, 3)
+        if update_nmf:
+            W = jnp.maximum(jax.random.uniform(k_w, (F, cfg.nmf_rank)),
+                            cfg.eps)
+            H = jnp.maximum(framewise_uniform(k_h, cfg.nmf_rank, N),
+                            cfg.eps)
+        else:
+            W = jnp.ones((F, 1), X.dtype)
+            H = jnp.zeros((1, N), X.dtype)
+        g = jnp.ones((N,), X.dtype)
+        enc_in = X.T if yy is None else jnp.concatenate([X, yy], 0).T
+        _, mu, _ = encoder_apply(enc_params, enc_in)
+        Z = mu.T
+        y_pre = _precompute_label_proj(dec_params, yy, L)
+        Vs = _decode_cond(dec_params, y_pre, Z)
+        return W, H, g, Z, Vs, k, y_pre
+
+    if y is None:
+        state = jax.vmap(lambda X, k: init_one(X, k, None))(X_abs2, keys)
+    else:
+        state = jax.vmap(init_one)(X_abs2, keys, y)
+
+    def chunk_one(W, H, g, Z, Vs, k, y_pre, X, m, Vb_f):
+        def em_iter(carry, _):
+            W, H, g, Z, Vs, k = carry
+            Vb = _noise_var(W, H, update_nmf, Vb_f)
+            Z, Vs, k, samples = mh_sample_posterior(
+                dec_params, y_pre, X, Vb, g, Z, Vs, k,
+                cfg.nsamples_E_step, cfg.burnin_E_step, cfg.var_RW,
+            )
+            W2, H2, g2 = nmf_m_step(
+                X, m, W, H, g, samples, update_nmf=update_nmf,
+                Vb_fixed=Vb_f,
+            )
+            Vb2 = _noise_var(W2, H2, update_nmf, Vb_f)
+            cost = _masked_cost(X, m, Vb2, g2, samples)
+            return (W2, H2, g2, Z, Vs, k), cost
+
+        (W, H, g, Z, Vs, k), costs = lax.scan(
+            em_iter, (W, H, g, Z, Vs, k), None, length=check_every
+        )
+        return (W, H, g, Z, Vs, k), costs
+
+    def chunk_all(state):
+        W, H, g, Z, Vs, k, y_pre = state
+        if Vb_fixed is None:
+            new, costs = jax.vmap(
+                lambda W, H, g, Z, Vs, k, yp, X, m: chunk_one(
+                    W, H, g, Z, Vs, k, yp, X, m, None)
+            )(W, H, g, Z, Vs, k, y_pre, X_abs2, mask)
+        else:
+            new, costs = jax.vmap(chunk_one)(
+                W, H, g, Z, Vs, k, y_pre, X_abs2, mask, Vb_fixed
+            )
+        return new + (y_pre,), costs
+
+    def cond(carry):
+        _, active, _, _, _, ci = carry
+        return jnp.any(active) & (ci < n_chunks)
+
+    def body(carry):
+        state, active, prev, iters, hist, ci = carry
+        new_state, costs = chunk_all(state)
+
+        def sel(n, o):
+            return jnp.where(
+                active.reshape((B,) + (1,) * (n.ndim - 1)), n, o)
+
+        state = jax.tree_util.tree_map(sel, new_state, state)
+        old = lax.dynamic_slice(hist, (0, ci * check_every),
+                                (B, check_every))
+        hist = lax.dynamic_update_slice(
+            hist, jnp.where(active[:, None], costs, old),
+            (0, ci * check_every))
+        cur = costs[:, -1]
+        iters = jnp.where(active, iters + check_every, iters)
+        new_active = active & ((prev - cur) >= tol)
+        prev = jnp.where(active, cur, prev)
+        return state, new_active, prev, iters, hist, ci + 1
+
+    carry0 = (state, jnp.ones((B,), bool),
+              jnp.full((B,), jnp.inf, X_abs2.dtype),
+              jnp.zeros((B,), jnp.int32),
+              jnp.zeros((B, budget), X_abs2.dtype), jnp.int32(0))
+    state, _, _, iters, hist, _ = lax.while_loop(cond, body, carry0)
+    W, H, g, Z, Vs, k, y_pre = state
+
+    def wf_one(W, H, g, Z, Vs, k, y_pre, X, Vb_f):
+        Vb = _noise_var(W, H, update_nmf, Vb_f)
+        WFs, WFn, Z, Vs, k = mh_wiener_filter(
+            dec_params, y_pre, X, Vb, g, Z, Vs, k,
+            cfg.nsamples_WF, cfg.burnin_WF, cfg.var_RW,
+        )
+        return WFs, WFn, Z
+
+    if Vb_fixed is None:
+        WFs, WFn, Z = jax.vmap(
+            lambda W, H, g, Z, Vs, k, yp, X: wf_one(
+                W, H, g, Z, Vs, k, yp, X, None)
+        )(W, H, g, Z, Vs, k, y_pre, X_abs2)
+    else:
+        WFs, WFn, Z = jax.vmap(wf_one)(
+            W, H, g, Z, Vs, k, y_pre, X_abs2, Vb_fixed
+        )
+    return {
+        "WFs": WFs, "WFn": WFn, "cost": hist,
         "W": W, "H": H, "g": g, "Z": Z, "iters": iters,
     }
 

@@ -26,6 +26,7 @@ from jax import lax
 
 from .engine import (
     VX_FLOOR,
+    framewise_uniform,
     nmf_m_step,
     _precompute_label_proj,
     _decode_cond,
@@ -71,7 +72,7 @@ def peem_run(vae_params, X_abs2, mask, y, key, cfg: PEEMConfig = PEEMConfig(),
     key, k_w, k_h = jax.random.split(key, 3)
     if update_nmf:
         W = jnp.maximum(jax.random.uniform(k_w, (F, cfg.nmf_rank)), cfg.eps)
-        H = jnp.maximum(jax.random.uniform(k_h, (cfg.nmf_rank, N)), cfg.eps)
+        H = jnp.maximum(framewise_uniform(k_h, cfg.nmf_rank, N), cfg.eps)
     else:
         W = jnp.ones((F, 1), X_abs2.dtype)
         H = jnp.zeros((1, N), X_abs2.dtype)

@@ -15,7 +15,8 @@ import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
 from .mesh import batch_sharding, replicated, pad_to_multiple
-from ..mcem.engine import mcem_m1_batch, mcem_m2_batch, MCEMConfig
+from ..mcem.engine import (mcem_m1_batch, mcem_m2_batch, MCEMConfig,
+                           framewise_uniform)
 
 
 def shard_file_list(file_paths, process_index=None, process_count=None):
@@ -134,7 +135,7 @@ def frame_sharded_mcem(mesh, vae_params, X_abs2, mask, y, key,
     if update_nmf:
         W0 = jnp.maximum(jax.random.uniform(k_w, (F, cfg.nmf_rank)),
                          cfg.eps)
-        H0 = jnp.maximum(jax.random.uniform(k_h, (cfg.nmf_rank, N)),
+        H0 = jnp.maximum(framewise_uniform(k_h, cfg.nmf_rank, N),
                          cfg.eps)
     else:
         W0 = jnp.ones((F, 1), X_abs2.dtype)

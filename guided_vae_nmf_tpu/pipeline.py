@@ -514,6 +514,58 @@ def enhance_batch(vae_params, X_tfs, ys=None, keys=None,
     return S_hat, N_hat
 
 
+def plan_batches(file_paths, n_frames_all, batch_size=16,
+                 bucket_multiple=128, n_dev=1, seed=0):
+    """Bucket utterances by padded frame count and cut mesh-friendly
+    batches; returns [(paths, n_pad, keys)].
+
+    Batch sizes scale inversely with bucket length (the E-step sample
+    buffer (B, R, F, N) must fit HBM). With n_dev > 1 the plan is
+    mesh-aware: every batch size is a multiple of the mesh's data axis,
+    and sub-mesh bucket tails are pooled across buckets into merged
+    batches at the max n_pad of their members — frame padding is far
+    cheaper than the duplicate-row compute it replaces — so at most ONE
+    batch per sweep (the final pooled tail) still gets duplicate-row
+    padding inside the sharded dispatch. `scripts/bench_shard_balance.py`
+    measures the residual waste."""
+    groups = defaultdict(list)
+    for i, nf in enumerate(n_frames_all):
+        groups[bucket_frames(nf, bucket_multiple)].append(i)
+
+    # per-utterance keys derive from the utterance's LIST INDEX, not the
+    # batch cut, so the stochastic trajectory is invariant to the plan
+    # (single-device and mesh-aware plans produce identical outputs)
+    keys_all = jax.random.split(jax.random.PRNGKey(seed),
+                                max(len(file_paths), 1))
+    batches = []  # (paths, n_pad, keys)
+    leftovers = []  # (idx, n_pad) bucket tails smaller than the mesh
+    for n_pad, idxs in sorted(groups.items()):
+        eff_batch = max(1, batch_size * 512 // max(n_pad, 512))
+        if n_dev > 1:
+            eff_batch = max(n_dev, (eff_batch // n_dev) * n_dev)
+            tail = len(idxs) % n_dev
+            if tail:
+                leftovers.extend((i, n_pad) for i in idxs[-tail:])
+                idxs = idxs[:-tail]
+        for lo in range(0, len(idxs), eff_batch):
+            sel = idxs[lo: lo + eff_batch]
+            batches.append(([file_paths[i] for i in sel], n_pad,
+                            keys_all[np.asarray(sel)]))
+    if leftovers:
+        # descending n_pad: full chunks group the long utterances (their
+        # max-n_pad cost is dominated by their own length) and the single
+        # partial chunk — the only one that pads with duplicate rows —
+        # lands at the SMALLEST n_pad, minimizing the duplicated work
+        leftovers.sort(key=lambda t: -t[1])
+        for lo in range(0, len(leftovers), n_dev):
+            chunk = leftovers[lo: lo + n_dev]
+            n_pad = max(p for _, p in chunk)
+            sel = np.asarray([i for i, _ in chunk])
+            batches.append(([file_paths[i] for i, _ in chunk], n_pad,
+                            keys_all[sel]))
+    return batches
+
+
 def enhance_files(file_paths, processed_dir, output_dir, vae_params,
                   model_type="m2", classif_type="dnn", target="ibm",
                   classifier_params=None, mean=None, std=None,
@@ -577,21 +629,9 @@ def enhance_files(file_paths, processed_dir, output_dir, vae_params,
     with ThreadPoolExecutor(max_workers=8) as pool:
         n_frames_all = list(pool.map(scan_one, file_paths))
 
-    groups = defaultdict(list)
-    for i, nf in enumerate(n_frames_all):
-        groups[bucket_frames(nf, bucket_multiple)].append(i)
-
-    key = jax.random.PRNGKey(seed)
-    batches = []  # (paths, n_pad, keys)
-    for n_pad, idxs in sorted(groups.items()):
-        # keep batch x frames roughly constant so the E-step sample buffer
-        # (B, R, F, N) stays within HBM for long-utterance buckets
-        eff_batch = max(1, batch_size * 512 // max(n_pad, 512))
-        for lo in range(0, len(idxs), eff_batch):
-            sel = idxs[lo: lo + eff_batch]
-            key, sub = jax.random.split(key)
-            batches.append(([file_paths[i] for i in sel], n_pad,
-                            jax.random.split(sub, len(sel))))
+    n_dev = 1 if mesh is None else mesh.shape["data"]
+    batches = plan_batches(file_paths, n_frames_all, batch_size,
+                           bucket_multiple, n_dev, seed)
 
     # ---- 2) batch assembly (runs in the prefetch pool) -------------------
     def assemble(paths, n_pad):

@@ -46,7 +46,7 @@ def clean_frames(clean):
 
 
 def build(clean, noise, seed, n_mix=4,
-          snrs=(-5, -2.5, 0, 2.5, 5.0)):
+          snrs=(-5, -2.5, 0, 2.5, 5.0), include_clean=False):
     rng = np.random.RandomState(seed)
     types = list(noise)
     X, Yibm, Yvad, Ywf = [], [], [], []
@@ -57,6 +57,17 @@ def build(clean, noise, seed, n_mix=4,
             np.random.seed(rng.randint(1 << 30))
             nz = noise_segment(noise, types[rng.randint(len(types))], x)
             k = np.sum(x**2) * 10 ** (-snr / 10) / np.sum(nz**2)
+            nz = nz * np.sqrt(k)
+            X.append((np.abs(stft(x + nz)) ** 2).astype(np.float32))
+            Yibm.append(clean_speech_IBM(s_tf, 0.999, 0.999))
+            Yvad.append(clean_speech_VAD(s_tf, 0.999, 0.999))
+            Ywf.append(ideal_wiener_mask(s_tf, stft(nz)).astype(np.float32))
+        if include_clean:
+            # near-clean frames (40 dB floor) teach the classifiers and
+            # the guided decoder the speech-dominated regime real SPP
+            # deployments hit between noise bursts
+            nz = noise_segment(noise, types[rng.randint(len(types))], x)
+            k = np.sum(x**2) * 1e-4 / np.sum(nz**2)
             nz = nz * np.sqrt(k)
             X.append((np.abs(stft(x + nz)) ** 2).astype(np.float32))
             Yibm.append(clean_speech_IBM(s_tf, 0.999, 0.999))
@@ -94,12 +105,32 @@ def main(argv=None):
     out = flag(argv, "out", "artifacts/pretrained")
     epochs = flag(argv, "epochs", 300, int)
     work = flag(argv, "work", "/tmp/gvnmf_pretrain")
+    augment = flag(argv, "augment", 0, int)
 
     clean_tr, clean_va = load_subset_clean()
 
-    noise = synthetic_noise_bank(clean_tr)
-    Xtr, Yibm_tr, Yvad_tr, Ywf_tr = build(clean_tr, noise, 0)
-    Xva, Yibm_va, Yvad_va, Ywf_va = build(clean_va, noise, 1)
+    if augment:
+        # round-3 recipe (VERDICT item 3): speed-perturbed + gain-varied
+        # clean copies, the rich noise bank (car/clatter/tonal/cafe on top
+        # of the base six), more SNR draws over a wider range, and
+        # near-clean mixtures — attacks the subset-prior ceiling on real
+        # QUT noise
+        from guided_vae_nmf_tpu.data.synthesis import augment_clean
+
+        bank_streams = clean_tr
+        clean_tr = augment_clean(clean_tr)
+        noise = synthetic_noise_bank(bank_streams, rich=True)
+        Xtr, Yibm_tr, Yvad_tr, Ywf_tr = build(
+            clean_tr, noise, 0, n_mix=5,
+            snrs=(-7.5, -5, -2.5, 0, 2.5, 5.0, 7.5, 10.0),
+            include_clean=True)
+        Xva, Yibm_va, Yvad_va, Ywf_va = build(
+            clean_va, noise, 1, n_mix=4,
+            snrs=(-5, -2.5, 0, 2.5, 5.0))
+    else:
+        noise = synthetic_noise_bank(clean_tr)
+        Xtr, Yibm_tr, Yvad_tr, Ywf_tr = build(clean_tr, noise, 0)
+        Xva, Yibm_va, Yvad_va, Ywf_va = build(clean_va, noise, 1)
     print(f"frames: train {Xtr.shape} valid {Xva.shape}")
 
     cfg = TrainConfig(end_epoch=epochs, batch_size=256)

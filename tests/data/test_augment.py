@@ -1,0 +1,52 @@
+"""Augmentation + rich noise bank (round-3 speech-prior recipe)."""
+
+import numpy as np
+
+from guided_vae_nmf_tpu.data.noise import synthetic_noise_bank
+from guided_vae_nmf_tpu.data.synthesis import augment_clean, speed_perturb
+
+FS = 16000
+
+
+def test_speed_perturb_changes_duration():
+    x = np.sin(2 * np.pi * 440 * np.arange(FS) / FS)
+    fast = speed_perturb(x, 1.1)
+    slow = speed_perturb(x, 0.9)
+    assert abs(len(fast) - FS / 1.1) < 3
+    assert abs(len(slow) - FS / 0.9) < 3
+    assert np.array_equal(speed_perturb(x, 1.0), x)
+
+
+def test_augment_clean_counts_and_normalization():
+    rng = np.random.RandomState(0)
+    streams = [rng.randn(FS) * 0.5 for _ in range(3)]
+    streams = [s / np.abs(s).max() for s in streams]
+    out = augment_clean(streams)
+    # originals + 2 speed factors each + 1 gain copy each
+    assert len(out) == 3 + 3 * 2 + 3
+    for i, s in enumerate(streams):
+        assert out[i] is s                     # originals first, untouched
+    for y in out[3:9]:
+        assert abs(np.abs(y).max() - 1.0) < 1e-6   # peak-normalized
+    for y in out[9:]:
+        g = np.abs(y).max()
+        assert 0.69 < g < 1.41                 # gain-varied copies
+
+
+def test_rich_noise_bank_superset_and_reproducible():
+    rng = np.random.RandomState(1)
+    clean = [rng.randn(2 * FS) for _ in range(2)]
+    base = synthetic_noise_bank(clean, duration_sec=4)
+    rich = synthetic_noise_bank(clean, duration_sec=4, rich=True)
+    assert set(base) <= set(rich)
+    for k in base:  # rich=True must not perturb the base families
+        np.testing.assert_array_equal(base[k], rich[k])
+    for k in ("car", "clatter", "tonal", "cafe"):
+        assert k in rich
+        assert np.abs(rich[k]).max() <= 1.0 + 1e-9
+        assert np.all(np.isfinite(rich[k]))
+    # car noise is low-frequency dominated (QUT car cabin signature)
+    spec = np.abs(np.fft.rfft(rich["car"])) ** 2
+    f = np.fft.rfftfreq(len(rich["car"]), 1 / FS)
+    low = spec[f < 200].sum()
+    assert low / spec.sum() > 0.8

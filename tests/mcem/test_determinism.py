@@ -86,3 +86,74 @@ def test_early_stopping_engine():
     out2 = mcem_run_converged(vae, X, mask, None, jax.random.PRNGKey(5),
                               cfg, tol=1e-9, check_every=5)
     assert out2["iters"] >= out["iters"]
+
+
+def test_converged_batch_matches_single_runs():
+    """Batched tol-stop engine: per-utterance convergence masks freeze
+    finished rows while stragglers iterate, and every row's result
+    matches the single-utterance engine for the same key — including the
+    per-row iteration counts (the histogram differs across rows)."""
+    from guided_vae_nmf_tpu.mcem import mcem_run_converged_batch
+
+    y_dim = 5
+    dgm = dgm_init(jax.random.PRNGKey(0), [F, y_dim, L, [16]])
+    B = 4
+    # heterogeneous difficulty: scale rows so convergence times differ
+    X = jax.random.uniform(jax.random.PRNGKey(1), (B, F, N)) + 0.05
+    X = X * jnp.asarray([1.0, 5.0, 0.3, 12.0])[:, None, None]
+    y = (jax.random.uniform(jax.random.PRNGKey(2), (B, y_dim, N)) > 0.5)
+    y = y.astype(jnp.float32)
+    mask = jnp.ones((B, N))
+    keys = jax.random.split(jax.random.PRNGKey(9), B)
+    cfg = MCEMConfig(niter=40, nsamples_E_step=2, burnin_E_step=2,
+                     nsamples_WF=2, burnin_WF=2, nmf_rank=3)
+
+    # tol chosen so the four rows stop at distinct chunks (decision
+    # margins >= 9e-4, far above the ~1e-7 vmap-vs-single numeric noise)
+    out = mcem_run_converged_batch(dgm, X, mask, y, keys, cfg,
+                                   tol=8e-3, check_every=5)
+    iters = np.asarray(out["iters"])
+    assert iters.shape == (B,)
+
+    singles = [
+        mcem_run_converged(dgm, X[b], mask[b], y[b], keys[b], cfg,
+                           tol=8e-3, check_every=5)
+        for b in range(B)
+    ]
+    # iteration-count histogram: each row stops exactly where its single
+    # run does
+    assert [int(s["iters"]) for s in singles] == list(iters)
+    # rows genuinely differ (frozen rows waited on stragglers)
+    assert len(set(iters.tolist())) > 1
+    for b, s in enumerate(singles):
+        n_it = int(iters[b])
+        assert_allclose(np.asarray(out["cost"][b, :n_it]),
+                        np.asarray(s["cost"]), rtol=2e-5, atol=1e-4)
+        # cost entries past the executed iterations stay zero
+        assert np.all(np.asarray(out["cost"][b, n_it:]) == 0.0)
+        assert_allclose(np.asarray(out["WFs"][b]),
+                        np.asarray(s["WFs"]), rtol=2e-4, atol=2e-5)
+        assert_allclose(np.asarray(out["WFn"][b]),
+                        np.asarray(s["WFn"]), rtol=2e-4, atol=2e-5)
+
+
+def test_converged_batch_m1():
+    from guided_vae_nmf_tpu.mcem import mcem_run_converged_batch
+
+    vae, X1, _ = _problem()
+    B = 2
+    X = jnp.stack([X1, X1 * 3.0])
+    mask = jnp.ones((B, N))
+    keys = jax.random.split(jax.random.PRNGKey(4), B)
+    cfg = MCEMConfig(niter=20, nsamples_E_step=2, burnin_E_step=2,
+                     nsamples_WF=2, burnin_WF=2, nmf_rank=3)
+    out = mcem_run_converged_batch(vae, X, mask, None, keys, cfg,
+                                   tol=1e-3, check_every=5)
+    assert np.all(np.isfinite(np.asarray(out["WFs"])))
+    assert_allclose(np.asarray(out["WFs"] + out["WFn"]), 1.0, atol=1e-5)
+    for b in range(B):
+        s = mcem_run_converged(vae, X[b], mask[b], None, keys[b], cfg,
+                               tol=1e-3, check_every=5)
+        assert int(s["iters"]) == int(out["iters"][b])
+        assert_allclose(np.asarray(out["WFs"][b]), np.asarray(s["WFs"]),
+                        rtol=2e-4, atol=2e-5)

@@ -105,9 +105,11 @@ def test_frame_sharded_long_recording_matches_single_device():
     out_s = frame_sharded_mcem(mesh, dgm, jnp.asarray(X), jnp.asarray(mask),
                                jnp.asarray(y), key, cfg)
 
+    from guided_vae_nmf_tpu.mcem.engine import framewise_uniform
+
     k2, k_w, k_h = jax.random.split(key, 3)
     W0 = jnp.maximum(jax.random.uniform(k_w, (F2, cfg.nmf_rank)), cfg.eps)
-    H0 = jnp.maximum(jax.random.uniform(k_h, (cfg.nmf_rank, N2)), cfg.eps)
+    H0 = jnp.maximum(framewise_uniform(k_h, cfg.nmf_rank, N2), cfg.eps)
     g0 = jnp.ones((N2,), jnp.float32)
     out_1 = mcem_run(dgm, jnp.asarray(X), jnp.asarray(mask), jnp.asarray(y),
                      k2, cfg, init_nmf=(W0, H0, g0))

@@ -299,3 +299,30 @@ def test_silent_input_degrades_not_nan(tmp_path):
     s_est, _ = read_wav(base + "_s_est.wav")
     assert np.all(np.isfinite(s_est))
     assert_allclose(s_est, silence, atol=2.0 / 32768)
+
+
+def test_plan_batches_mesh_aware():
+    """Mesh-aware planning: every batch is a mesh multiple except at most
+    one pooled tail; keys are utterance-index based (plan-invariant); the
+    pooled partial tail sits at the smallest leftover n_pad."""
+    from guided_vae_nmf_tpu.pipeline import plan_batches
+
+    files = [f"u{i}.wav" for i in range(22)]
+    rng = np.random.RandomState(3)
+    n_frames = [int(rng.choice([60, 100, 250, 380, 600, 850]))
+                for _ in range(22)]
+    plan1 = plan_batches(files, n_frames, batch_size=16, n_dev=1, seed=0)
+    plan8 = plan_batches(files, n_frames, batch_size=16, n_dev=8, seed=0)
+    assert sorted(p for b in plan8 for p in b[0]) == sorted(files)
+    partial = [b for b in plan8 if len(b[0]) % 8]
+    assert len(partial) <= 1
+    if partial:
+        assert partial[0][1] == min(b[1] for b in plan8
+                                    if any(p in partial[0][0]
+                                           for p in b[0]))
+    # per-utterance keys identical across plans
+    k1 = {p: tuple(np.asarray(k)) for b in plan1
+          for p, k in zip(b[0], np.asarray(b[2]))}
+    k8 = {p: tuple(np.asarray(k)) for b in plan8
+          for p, k in zip(b[0], np.asarray(b[2]))}
+    assert k1 == k8
