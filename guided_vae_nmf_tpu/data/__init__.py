@@ -11,7 +11,8 @@ from .noise import (
     mix_at_snr,
     synthetic_noise_bank,
 )
-from .h5io import H5FrameWriter, H5FrameReader, frame_batches
+from .h5io import (H5FrameWriter, H5FrameReader, H5StreamSource,
+                   frame_batches)
 from . import native_loader
 from .synthesis import (
     create_clean_frames,

@@ -143,3 +143,59 @@ def frame_batches(X, Y, batch_size, key=None, drop_remainder=True):
     for i in range(0, end, batch_size):
         sel = idx[i: i + batch_size]
         yield X[sel], (Y[sel] if Y is not None else None)
+
+
+class H5StreamSource:
+    """Double-buffered H5 frame streaming for beyond-HBM training sets.
+
+    The epoch-as-scan trainer keeps the whole frame store resident on
+    device (trainer.fit fast path); past HBM scale that breaks. This
+    source cuts the store into `chunk_frames`-frame super-chunks and
+    feeds them with one-chunk-lookahead prefetch on a reader thread, so
+    the host H5 read + H2D transfer of chunk i+1 overlaps the device's
+    epoch-scan over chunk i (trainer.fit streams when given this object
+    as train_data). Shuffling is two-level — chunk order per epoch plus
+    rows within each chunk — the standard streaming compromise (exact
+    global shuffles need the in-memory path).
+    """
+
+    def __init__(self, path, dataset_type, chunk_frames=65536, seed=0):
+        self.path = path
+        self.dataset_type = dataset_type
+        self.chunk_frames = int(chunk_frames)
+        self.seed = seed
+        self._reader = H5FrameReader(path, dataset_type)
+        self.n_frames = self._reader.n_frames
+        self.x_dim = self._reader.X.shape[0]
+        self.y_dim = self._reader.Y.shape[0]
+        self.mean = self._reader.mean
+        self.std = self._reader.std
+        if self.n_frames < self.chunk_frames:
+            self.chunk_frames = self.n_frames
+        self.n_chunks = self.n_frames // self.chunk_frames
+
+    def _load_chunk(self, chunk_idx, rng):
+        lo = chunk_idx * self.chunk_frames
+        hi = lo + self.chunk_frames
+        X = self._reader.X[:, lo:hi].T
+        Y = self._reader.Y[:, lo:hi].T
+        perm = rng.permutation(self.chunk_frames)
+        return np.ascontiguousarray(X[perm]), np.ascontiguousarray(Y[perm])
+
+    def epoch_chunks(self, epoch):
+        """Yield (X (chunk, x_dim), Y (chunk, y_dim)) with one-chunk
+        lookahead prefetch."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        rng = np.random.RandomState((self.seed, epoch))
+        order = rng.permutation(self.n_chunks)
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            nxt = pool.submit(self._load_chunk, order[0], rng)
+            for j in range(self.n_chunks):
+                cur = nxt.result()
+                if j + 1 < self.n_chunks:
+                    nxt = pool.submit(self._load_chunk, order[j + 1], rng)
+                yield cur
+
+    def close(self):
+        self._reader.close()

@@ -611,6 +611,9 @@ def enhance_files(file_paths, processed_dir, output_dir, vae_params,
     t_start = time.perf_counter()
     PREFETCH = 3        # batches being assembled ahead of the device
     MAX_INFLIGHT = 2    # dispatched-but-unfetched device batches
+    from .utils import device_warmup
+
+    device_warmup()
     from .ops.profiling import StageTimer
     timer = StageTimer()
 

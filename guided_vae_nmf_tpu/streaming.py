@@ -244,3 +244,181 @@ class StreamingSPPEnhancer(_StreamingOLA):
             _, m[i] = self._est.update(power[i])  # the zero pad rows
         y = _synth_frames_jit(re, im, jnp.asarray(m))
         return y, m.astype(np.float16)
+
+
+# ---------------------------------------------------------------------------
+# Streaming flagship: online M2 enhancement (blockwise warm-started PEEM)
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("iters", "e_steps"))
+def _m2_block_em_jit(dec_params, Xw, y_pre, Vb, Z0, g0, mask,
+                     iters=6, e_steps=4, lr=5e-3):
+    """Blockwise point-estimate EM over one (F, W) analysis window with a
+    fixed (SPP-tracked) noise variance: `e_steps` gradient-ascent steps on
+    the latent MAP objective per EM iteration (mcem/peem.py), then the
+    per-frame gain update (the *_noNMF M-step, reference mcem.py:543-578).
+    Warm-started from the previous block's (Z, g) on the context frames.
+    Returns (Z, g, WFs) over the whole window."""
+    from .mcem.engine import VX_FLOOR, _decode_cond, nmf_m_step
+
+    L = Z0.shape[0]
+
+    def obj(Z, g):
+        Vs = _decode_cond(dec_params, y_pre, Z)
+        Vx = jnp.maximum(g * Vs + Vb, VX_FLOOR)
+        return (jnp.sum((jnp.log(Vx) + Xw / Vx) * mask)
+                + 0.5 * jnp.sum(Z * Z * mask))
+
+    grad = jax.grad(obj)
+    W1 = jnp.ones((Xw.shape[0], 1), Xw.dtype)
+    H0 = jnp.zeros((1, Xw.shape[1]), Xw.dtype)
+
+    def em(carry, _):
+        Z, g = carry
+
+        def e_step(Z, _):
+            return Z - lr * grad(Z, g), None
+
+        Z, _ = jax.lax.scan(e_step, Z, None, length=e_steps)
+        Vs = _decode_cond(dec_params, y_pre, Z)[None]
+        _, _, g = nmf_m_step(Xw, mask, W1, H0, g, Vs,
+                             update_nmf=False, Vb_fixed=Vb)
+        return (Z, g), None
+
+    (Z, g), _ = jax.lax.scan(em, (Z0, g0), None, length=iters)
+    Vs = _decode_cond(dec_params, y_pre, Z)
+    Vx = jnp.maximum(g * Vs + Vb, VX_FLOOR)
+    return Z, g, (g * Vs) / Vx
+
+
+@jax.jit
+def _m2_init_z_jit(enc_params, Xnew, y_new):
+    """Encoder posterior mean for new frames: (k, F) power + (k, y_dim)
+    labels -> (L, k) latent init (reference mcem.py:214-215)."""
+    from .models.nets import encoder_apply
+
+    enc_in = jnp.concatenate([Xnew, y_new], axis=1)
+    _, mu, _ = encoder_apply(enc_params, enc_in)
+    return mu.T
+
+
+class StreamingM2Enhancer(_StreamingOLA):
+    """Online flagship: M2 guided-VAE enhancement on a live stream.
+
+    Blockwise EM (beyond-reference capability, VERDICT round-2 item 7):
+    every `chunk_frames` new frames are enhanced by a fixed-shape window
+    [context | chunk] where the context carries the warm (Z, g) state of
+    the previous blocks, the noise variance is the causal Gerkmann SPP
+    tracker's PSD (the real-noise flagship configuration,
+    `noise_model='spp'`), labels come from the frame-wise classifier
+    (`label_mode='dnn'`) or the SPP mask (`'timo'`), and the E-step is
+    PEEM's gradient ascent (deterministic, so the stream needs no RNG).
+    Latency = chunk_frames x 16 ms + the 64 ms STFT window; one compiled
+    program per stream.
+    """
+
+    def __init__(self, dgm_params, classifier_params=None, mean=None,
+                 std=None, chunk_frames=8, context_frames=24,
+                 block_iters=6, e_steps=4, lr=5e-3, label_mode="dnn",
+                 eps=1e-8):
+        from .mcem.spp import SPPNoiseEstimator
+        from .mcem.engine import _precompute_label_proj
+
+        if label_mode == "dnn" and classifier_params is None:
+            raise ValueError("label_mode='dnn' needs classifier_params")
+        self.dgm = {k: v for k, v in dgm_params.items() if k != "y_dim"}
+        self.enc = self.dgm["encoder"]
+        self.dec = self.dgm["decoder"]
+        self.cls = classifier_params
+        self.mean = None if mean is None else jnp.asarray(
+            np.asarray(mean, np.float32))
+        self.std = None if std is None else jnp.asarray(
+            np.asarray(std, np.float32))
+        self.label_mode = label_mode
+        self.C = context_frames
+        self.block_iters = block_iters
+        self.e_steps = e_steps
+        self.lr = lr
+        self.eps = eps
+        self._proj = _precompute_label_proj
+        self._est = SPPNoiseEstimator(frame_length=NFFT)
+        self._L = None  # latent dim, resolved on first block
+        super().__init__(chunk_frames)
+
+    def reset(self):
+        super().reset()
+        if hasattr(self, "_est"):
+            self._est.reset()
+            F = NFFT // 2 + 1
+            C = self.C
+            self._ctx_X = np.zeros((F, C), np.float32)
+            self._ctx_y = np.zeros((F if self.label_mode != "vad" else 1,
+                                    C), np.float32)
+            self._ctx_Vb = np.ones((F, C), np.float32)
+            self._ctx_g = np.ones((C,), np.float32)
+            self._ctx_Z = None
+            self._ctx_valid = np.zeros((C,), np.float32)
+
+    def _labels(self, power, spp):
+        if self.label_mode == "timo":
+            return (spp > 0.5).astype(np.float32)
+        p = jnp.asarray(power)
+        if self.mean is not None:
+            p = (p - self.mean[None, :]) / (self.std[None, :] + self.eps)
+        from .models import classifier_apply
+
+        return np.asarray(
+            (classifier_apply(self.cls, p) > 0.5).astype(jnp.float32))
+
+    def _enhance_frame_batch(self, frames, k):
+        re, im, power = _analyze_frames_jit(jnp.asarray(frames))
+        power = np.asarray(power)          # (chunk, F)
+        K = power.shape[0]                 # static chunk shape
+        Vb_new = np.ones_like(power)
+        spp = np.zeros_like(power)
+        for i in range(k):                 # causal SPP recurrence
+            Vb_new[i], spp[i] = self._est.update(power[i])
+        y_new = self._labels(power, spp)   # (chunk, y_dim)
+
+        Z_new = np.asarray(_m2_init_z_jit(
+            self.enc, jnp.asarray(power), jnp.asarray(y_new)))
+        if self._L is None:
+            self._L = Z_new.shape[0]
+        if self._ctx_Z is None:
+            self._ctx_Z = np.zeros((self._L, self.C), np.float32)
+
+        # fixed-shape window [C | chunk]
+        Xw = np.concatenate([self._ctx_X, power.T], axis=1)
+        yw = np.concatenate([self._ctx_y, y_new.T], axis=1)
+        Vbw = np.concatenate([self._ctx_Vb, Vb_new.T], axis=1)
+        Zw = np.concatenate([self._ctx_Z, Z_new], axis=1)
+        gw = np.concatenate([self._ctx_g, np.ones((K,), np.float32)])
+        maskw = np.concatenate(
+            [self._ctx_valid,
+             (np.arange(K) < k).astype(np.float32)])
+        Xw = np.maximum(Xw, 1e-12)         # benign pad values
+        Vbw = np.maximum(Vbw, 1e-10)
+
+        y_pre = self._proj(self.dec, jnp.asarray(yw), self._L)
+        Z, g, WFs = _m2_block_em_jit(
+            self.dec, jnp.asarray(Xw), y_pre, jnp.asarray(Vbw),
+            jnp.asarray(Zw), jnp.asarray(gw), jnp.asarray(maskw),
+            iters=self.block_iters, e_steps=self.e_steps, lr=self.lr)
+        Z = np.asarray(Z)
+        g = np.asarray(g)
+        m = np.asarray(WFs)[:, self.C:].T  # (chunk, F) gains, new frames
+
+        # roll the context: keep the last C VALID frames of the window
+        keep = np.flatnonzero(maskw)[-self.C:]
+        n_keep = len(keep)
+        for buf, src in ((self._ctx_X, Xw), (self._ctx_y, yw),
+                         (self._ctx_Vb, Vbw), (self._ctx_Z, Z)):
+            buf[:, :] = np.roll(buf, -n_keep, axis=1)
+            buf[:, self.C - n_keep:] = src[:, keep]
+        self._ctx_g = np.roll(self._ctx_g, -n_keep)
+        self._ctx_g[self.C - n_keep:] = g[keep]
+        self._ctx_valid = np.roll(self._ctx_valid, -n_keep)
+        self._ctx_valid[self.C - n_keep:] = 1.0
+
+        y = _synth_frames_jit(re, im, jnp.asarray(m))
+        return y, m.astype(np.float16)

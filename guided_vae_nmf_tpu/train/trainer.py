@@ -219,6 +219,9 @@ def fit(params, family, train_data, valid_data, cfg: TrainConfig, model_dir,
     train_data/valid_data: (X, Y) with X (n_frames, x_dim) float32 and Y
     (n_frames, y_dim) or None (M1). Returns (params, history).
     """
+    from ..utils import device_warmup
+
+    device_warmup()
     os.makedirs(model_dir, exist_ok=True)
     loss_fn = LOSSES[family]
     optimizer = make_optimizer(cfg)
@@ -244,22 +247,40 @@ def fit(params, family, train_data, valid_data, cfg: TrainConfig, model_dir,
     rng = np.random.RandomState(cfg.seed)
     key = jax.random.PRNGKey(cfg.seed)
 
-    Xtr, Ytr = train_data
+    # streaming mode: train_data is an H5StreamSource (beyond-HBM sets) —
+    # chunks flow through the same epoch-scan program with double-buffered
+    # host reads (data/h5io.py)
+    use_stream = hasattr(train_data, "epoch_chunks")
+    if use_stream:
+        source = train_data
+        if source.chunk_frames % cfg.batch_size:
+            raise ValueError("chunk_frames must be a multiple of "
+                             "batch_size for the streaming trainer")
+        Xtr, Ytr = None, (object() if source.y_dim else None)
+    else:
+        Xtr, Ytr = train_data
     Xva, Yva = valid_data
     # epoch-as-scan needs at least one full batch; with a mesh the batch
     # must also split evenly over the data axis
-    use_epoch_scan = len(Xtr) >= cfg.batch_size and (
-        mesh is None or cfg.batch_size % mesh.shape["data"] == 0)
+    use_epoch_scan = use_stream or (
+        len(Xtr) >= cfg.batch_size and (
+            mesh is None or cfg.batch_size % mesh.shape["data"] == 0))
     if use_epoch_scan:
         train_ep, eval_ep = make_epoch_steps(
             lambda p, b, k, e: loss_fn(_merge(params, p), b, k, e),
             optimizer, cfg.eps, has_y=Ytr is not None, mesh=mesh,
         )
-        X_tr_d = jnp.asarray(Xtr)
-        Y_tr_d = None if Ytr is None else jnp.asarray(Ytr)
+        if not use_stream:
+            X_tr_d = jnp.asarray(Xtr)
+            Y_tr_d = None if Ytr is None else jnp.asarray(Ytr)
+            nb_tr = len(Xtr) // cfg.batch_size
+        else:
+            nb_chunk = source.chunk_frames // cfg.batch_size
+            perm_chunk = jnp.asarray(
+                np.arange(nb_chunk * cfg.batch_size, dtype=np.int32)
+                .reshape(nb_chunk, cfg.batch_size))
         X_va_d = jnp.asarray(Xva)
         Y_va_d = None if Yva is None else jnp.asarray(Yva)
-        nb_tr = len(Xtr) // cfg.batch_size
         nb_va = max(len(Xva) // cfg.batch_size, 1)
         bs_va = min(cfg.batch_size, len(Xva))
         # empty validation set: scanning a zero-row batch would make
@@ -279,7 +300,31 @@ def fit(params, family, train_data, valid_data, cfg: TrainConfig, model_dir,
     history = []
     for epoch in range(start_epoch, cfg.end_epoch + 1):
         t0 = time.time()
-        if use_epoch_scan:
+        if use_stream:
+            key, k_va = jax.random.split(key)
+            chunk_losses = []
+            for X_c, Y_c in source.epoch_chunks(epoch):
+                key, k_tr = jax.random.split(key)
+                # device_put + dispatch are async: the next chunk's H5
+                # read (prefetch thread) overlaps this chunk's compute;
+                # no host sync until the epoch-mean float() below
+                tparams, opt_state, l_d = train_ep(
+                    tparams, opt_state, jnp.asarray(X_c),
+                    None if Ytr is None else jnp.asarray(Y_c),
+                    perm_chunk, k_tr)
+                chunk_losses.append(l_d)
+            tr_loss = float(jnp.mean(jnp.stack(chunk_losses)))
+            if has_valid:
+                va_loss_d, aux_sums = eval_ep(
+                    tparams, X_va_d, Y_va_d, idx_va, k_va)
+                va_loss = float(va_loss_d)
+                agg = {k: float(v) for k, v in aux_sums.items()}
+            else:
+                va_loss, agg = 0.0, {}
+            _log(batch_log,
+                 f"Epoch: {epoch} Train loss: {tr_loss:.6f} "
+                 f"time: {time.time() - t0:.2f}s")
+        elif use_epoch_scan:
             idx = np.arange(len(Xtr))
             rng.shuffle(idx)
             perm = jnp.asarray(

@@ -30,3 +30,22 @@ def get_key(val, my_dict):
         if val == value:
             return key
     return "key doesn't exist"
+
+
+def device_warmup():
+    """Dispatch one trivial jitted op and block on it.
+
+    Works around a first-compile race observed on the remote-tunnel TPU
+    backend: a process whose FIRST dispatched program is large can wedge
+    waiting on the server socket, while the same program runs fine after
+    any small program has completed the client/server handshake. Called
+    at the top of the heavy entry points (trainer.fit, enhance_files,
+    bench mains); a no-op costing ~1 ms on healthy local backends.
+    """
+    try:
+        import jax
+        import jax.numpy as jnp
+
+        jax.jit(lambda x: x + 1)(jnp.zeros(8)).block_until_ready()
+    except Exception:  # pragma: no cover - never block real work on this
+        pass

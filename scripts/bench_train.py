@@ -68,7 +68,61 @@ def main(argv=None):
         result["torch_frames_per_s"] = round(
             n_frames / result["torch_epoch_s"], 0)
 
+    stream = flag(argv, "stream", 0, int)
+    if stream:
+        result.update(_stream_bench((Xtr, Ytr), (Xva, Yva), cfg, work,
+                                    replicate=stream,
+                                    base_rate=result["steady_frames_per_s"]))
+
     print(json.dumps(result))
+
+
+def _stream_bench(train_data, valid_data, cfg, work, replicate=10,
+                  base_rate=None):
+    """Beyond-HBM ingestion benchmark: replicate the frame set
+    `replicate`x into an H5 store and train via the double-buffered
+    H5StreamSource (data/h5io.py) — H5 reads + H2D transfers of chunk
+    i+1 overlap the device's epoch-scan over chunk i. Reports the
+    streaming frames/s and its fraction of the in-memory rate."""
+    from guided_vae_nmf_tpu.data import H5FrameWriter, H5StreamSource
+    from guided_vae_nmf_tpu.train import train_m2 as train_m2_fn
+
+    X, Y = train_data
+    h5p = os.path.join(work, f"stream_{replicate}x.h5")
+    usable = False
+    if os.path.exists(h5p):
+        try:  # a crashed writer leaves a file without the datasets
+            H5StreamSource(h5p, "train").close()
+            usable = True
+        except Exception:
+            os.remove(h5p)
+    if not usable:
+        w = H5FrameWriter(h5p, "train")
+        for _ in range(replicate):
+            w.append(X.T, Y.T)
+        w.finalize()
+    chunk = max(cfg.batch_size, (len(X) // cfg.batch_size)
+                * cfg.batch_size)
+    src = H5StreamSource(h5p, "train", chunk_frames=chunk, seed=0)
+    n = src.n_chunks * src.chunk_frames
+    scfg = TrainConfig(end_epoch=3, batch_size=cfg.batch_size)
+    t0 = time.perf_counter()
+    _, hist = train_m2_fn(src, valid_data, cfg=scfg,
+                          model_dir=os.path.join(work, "M2_stream"),
+                          name="M2")
+    src.close()
+    steady = [h["time_s"] for h in hist[1:]] or [hist[0]["time_s"]]
+    ep = sum(steady) / len(steady)
+    out = {
+        "stream_replicate": replicate,
+        "stream_frames": n,
+        "stream_epoch_s": round(ep, 3),
+        "stream_frames_per_s": round(n / ep, 0),
+    }
+    if base_rate:
+        out["stream_vs_inmem"] = round(out["stream_frames_per_s"]
+                                       / base_rate, 3)
+    return out
 
 
 def _torch_epoch(train_data, batch_size):

@@ -1,0 +1,116 @@
+"""Real-noise system matrix on the bundled QUT test mixtures.
+
+Reproduces VALIDATION.md's real-noise table for a given artifact set:
+each system enhances the 3 bundled WSJ+QUT mixtures (−5/0/0 dB) and the
+script prints SI-SDR (mixture → enhanced), ESTOI and PESQ-wb per
+utterance. Used to compare the round-1 subset-trained models against the
+round-3 augmentation-trained ones (VERDICT item 3).
+
+Usage: python scripts/eval_real_noise.py [--artifacts artifacts/pretrained]
+       [--niter 100] [--systems m2dnn_spp,m2oracle_spp,wiener,m1_spp]
+       [--work /tmp/real_noise_eval]
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+os.environ.setdefault(
+    "GVNMF_CACHE_DIR", os.path.expanduser("~/.cache/gvnmf_xla")
+)
+
+import numpy as np
+
+from guided_vae_nmf_tpu.data import read_wav, speech_list
+from guided_vae_nmf_tpu.mcem import MCEMConfig
+from guided_vae_nmf_tpu.metrics import energy_ratios, stoi, pesq
+from guided_vae_nmf_tpu.pipeline import enhance_files, enhance_files_wiener
+from _common import load_model, load_norm_stats, flag
+
+SUB = "/root/reference/data/subset"
+FS = 16000
+
+
+def metrics_for(processed, est_dir, files):
+    rows = []
+    for p in files:
+        bp = os.path.join(processed, os.path.splitext(p)[0])
+        be = os.path.join(est_dir, os.path.splitext(p)[0])
+        s, _ = read_wav(bp + "_s.wav")
+        n, _ = read_wav(bp + "_n.wav")
+        x, _ = read_wav(bp + "_x.wav")
+        sh, _ = read_wav(be + "_s_est.wav")
+        L = min(len(s), len(sh))
+        s, n, x, sh = s[:L], n[:L], x[:L], sh[:L]
+        rows.append((
+            energy_ratios(x, s, n)[0], energy_ratios(sh, s, n)[0],
+            stoi(s, sh, FS, True), pesq(FS, s, sh, "wb"),
+        ))
+    return rows
+
+
+def main(argv=None):
+    argv = argv or sys.argv[1:]
+    artifacts = flag(argv, "artifacts", "artifacts/pretrained")
+    niter = flag(argv, "niter", 100, int)
+    work = flag(argv, "work", "/tmp/real_noise_eval")
+    systems = flag(
+        argv, "systems", "m2dnn_spp,m2oracle_spp,wiener,m1_spp").split(",")
+
+    files = speech_list(f"{SUB}/raw/", "test")
+    processed = f"{SUB}/processed/"
+    cfg = MCEMConfig(niter=niter)
+
+    m2 = load_model(os.path.join(artifacts, "M2_ibm"), kind="dgm")
+    results = {}
+    for sysname in systems:
+        out = os.path.join(work, artifacts.replace("/", "_"), sysname)
+        t0 = time.perf_counter()
+        if sysname == "m2dnn_spp":
+            cls = load_model(os.path.join(artifacts, "classifier_ibm"),
+                             kind="classifier")
+            mean, std = load_norm_stats(
+                os.path.join(artifacts, "classifier_ibm"))
+            enhance_files(files, processed, out, m2, model_type="m2",
+                          classif_type="dnn", classifier_params=cls,
+                          mean=mean, std=std, cfg=cfg, batch_size=4,
+                          noise_model="spp")
+        elif sysname == "m2oracle_spp":
+            enhance_files(files, processed, out, m2, model_type="m2",
+                          classif_type="oracle", cfg=cfg, batch_size=4,
+                          noise_model="spp")
+        elif sysname == "m2oracle_nmf":
+            enhance_files(files, processed, out, m2, model_type="m2",
+                          classif_type="oracle", cfg=cfg, batch_size=4)
+        elif sysname == "m1_spp":
+            m1 = load_model(os.path.join(artifacts, "M1"), kind="vae")
+            enhance_files(files, processed, out, m1, model_type="m1",
+                          cfg=cfg, batch_size=4, noise_model="spp")
+        elif sysname == "wiener":
+            w = load_model(os.path.join(artifacts, "wiener"),
+                           kind="classifier")
+            mean, std = load_norm_stats(os.path.join(artifacts, "wiener"))
+            enhance_files_wiener(files, processed, out, w, mean=mean,
+                                 std=std)
+        else:
+            raise SystemExit(f"unknown system {sysname}")
+        rows = metrics_for(processed, out, files)
+        results[sysname] = rows
+        print(f"[{sysname}] done in {time.perf_counter() - t0:.1f}s",
+              flush=True)
+
+    print(f"\nReal-noise QUT table ({artifacts}, niter={niter}):")
+    print(f"{'system':<14}" + "".join(
+        f"{os.path.basename(f)[:-4]:>28}" for f in files))
+    for sysname, rows in results.items():
+        cells = [f"{a:+.2f}->{b:+.2f} {e:.3f} {p:.2f}"
+                 for a, b, e, p in rows]
+        print(f"{sysname:<14}" + "".join(f"{c:>28}" for c in cells))
+    print("(cells: SI-SDR mix->enh dB, ESTOI, PESQ-wb)")
+
+
+if __name__ == "__main__":
+    main()

