@@ -29,16 +29,22 @@ class H5FrameWriter:
 
     def __init__(self, path, dataset_type, x_bins=513, y_bins=513,
                  attrs=None, compression="lzf", rdcc_nbytes=1024**2 * 400,
-                 rdcc_nslots=int(1e5), track_stats=True):
+                 rdcc_nslots=int(1e5), track_stats=True,
+                 chunk_frames=1):
         self.f = h5.File(path, "a", rdcc_nbytes=rdcc_nbytes,
                          rdcc_nslots=rdcc_nslots)
         self.dataset_type = dataset_type
         self.compression = compression
         for k, v in {**DEFAULT_ATTRS, **(attrs or {})}.items():
             self.f.attrs[k] = v
-        self.f.attrs["X_chunks"] = (x_bins, 1)
-        self.f.attrs["Y_chunks"] = (y_bins, 1)
-        self.f.attrs["compression"] = compression
+        # (bins, 1) is the reference schema (one frame per HDF5 chunk,
+        # python/data.py:53-82); streaming training stores want large
+        # frame blocks instead — column reads over (bins, 1) chunks cost
+        # one B-tree lookup per frame (measured 10x the whole-pipeline
+        # budget in bench_train --stream)
+        self.f.attrs["X_chunks"] = (x_bins, chunk_frames)
+        self.f.attrs["Y_chunks"] = (y_bins, chunk_frames)
+        self.f.attrs["compression"] = compression or "none"
 
         for name, bins in (("X_" + dataset_type, x_bins),
                            ("Y_" + dataset_type, y_bins)):
@@ -46,12 +52,12 @@ class H5FrameWriter:
                 del self.f[name]
         self.fx = self.f.create_dataset(
             "X_" + dataset_type, shape=(x_bins, 0), dtype="float32",
-            maxshape=(x_bins, None), chunks=(x_bins, 1),
+            maxshape=(x_bins, None), chunks=(x_bins, chunk_frames),
             compression=compression,
         )
         self.fy = self.f.create_dataset(
             "Y_" + dataset_type, shape=(y_bins, 0), dtype="float32",
-            maxshape=(y_bins, None), chunks=(y_bins, 1),
+            maxshape=(y_bins, None), chunks=(y_bins, chunk_frames),
             compression=compression,
         )
         self.track_stats = track_stats
@@ -174,13 +180,13 @@ class H5StreamSource:
             self.chunk_frames = self.n_frames
         self.n_chunks = self.n_frames // self.chunk_frames
 
-    def _load_chunk(self, chunk_idx, rng):
+    def _load_chunk(self, chunk_idx):
         lo = chunk_idx * self.chunk_frames
         hi = lo + self.chunk_frames
-        X = self._reader.X[:, lo:hi].T
-        Y = self._reader.Y[:, lo:hi].T
-        perm = rng.permutation(self.chunk_frames)
-        return np.ascontiguousarray(X[perm]), np.ascontiguousarray(Y[perm])
+        # contiguous column block, shipped unshuffled: within-chunk
+        # shuffling happens on device through the epoch-scan's batch
+        # index matrix, so the host pays no gather copy
+        return self._reader.X[:, lo:hi].T, self._reader.Y[:, lo:hi].T
 
     def epoch_chunks(self, epoch):
         """Yield (X (chunk, x_dim), Y (chunk, y_dim)) with one-chunk
@@ -190,11 +196,11 @@ class H5StreamSource:
         rng = np.random.RandomState((self.seed, epoch))
         order = rng.permutation(self.n_chunks)
         with ThreadPoolExecutor(max_workers=1) as pool:
-            nxt = pool.submit(self._load_chunk, order[0], rng)
+            nxt = pool.submit(self._load_chunk, order[0])
             for j in range(self.n_chunks):
                 cur = nxt.result()
                 if j + 1 < self.n_chunks:
-                    nxt = pool.submit(self._load_chunk, order[j + 1], rng)
+                    nxt = pool.submit(self._load_chunk, order[j + 1])
                 yield cur
 
     def close(self):

@@ -276,9 +276,6 @@ def fit(params, family, train_data, valid_data, cfg: TrainConfig, model_dir,
             nb_tr = len(Xtr) // cfg.batch_size
         else:
             nb_chunk = source.chunk_frames // cfg.batch_size
-            perm_chunk = jnp.asarray(
-                np.arange(nb_chunk * cfg.batch_size, dtype=np.int32)
-                .reshape(nb_chunk, cfg.batch_size))
         X_va_d = jnp.asarray(Xva)
         Y_va_d = None if Yva is None else jnp.asarray(Yva)
         nb_va = max(len(Xva) // cfg.batch_size, 1)
@@ -296,6 +293,7 @@ def fit(params, family, train_data, valid_data, cfg: TrainConfig, model_dir,
 
     saver = ThreadPoolExecutor(max_workers=1)
     save_futs = []
+    xfer_pool = ThreadPoolExecutor(max_workers=1)  # stream H2D lookahead
 
     history = []
     for epoch in range(start_epoch, cfg.end_epoch + 1):
@@ -303,15 +301,33 @@ def fit(params, family, train_data, valid_data, cfg: TrainConfig, model_dir,
         if use_stream:
             key, k_va = jax.random.split(key)
             chunk_losses = []
-            for X_c, Y_c in source.epoch_chunks(epoch):
+            # triple pipeline: the source's reader thread loads chunk
+            # i+2 from H5 while the transfer thread device_puts chunk
+            # i+1 and the device runs chunk i's epoch-scan. Chunks
+            # arrive unshuffled; the shuffled batch index matrix
+            # shuffles within-chunk ON DEVICE (no host gather copy); no
+            # host sync until the epoch-mean float() at the end.
+            def put(c):
+                X_c, Y_c = c
+                return (jnp.asarray(X_c),
+                        None if Ytr is None else jnp.asarray(Y_c),
+                        len(X_c))
+
+            chunks = source.epoch_chunks(epoch)
+            first = next(chunks, None)
+            fut = None if first is None else xfer_pool.submit(put, first)
+            while fut is not None:
+                X_d, Y_d, n_c = fut.result()
+                nxt = next(chunks, None)
+                fut = None if nxt is None else xfer_pool.submit(put, nxt)
                 key, k_tr = jax.random.split(key)
-                # device_put + dispatch are async: the next chunk's H5
-                # read (prefetch thread) overlaps this chunk's compute;
-                # no host sync until the epoch-mean float() below
+                idx = np.arange(n_c)
+                rng.shuffle(idx)
+                perm = jnp.asarray(
+                    idx[: nb_chunk * cfg.batch_size].astype(np.int32)
+                    .reshape(nb_chunk, cfg.batch_size))
                 tparams, opt_state, l_d = train_ep(
-                    tparams, opt_state, jnp.asarray(X_c),
-                    None if Ytr is None else jnp.asarray(Y_c),
-                    perm_chunk, k_tr)
+                    tparams, opt_state, X_d, Y_d, perm, k_tr)
                 chunk_losses.append(l_d)
             tr_loss = float(jnp.mean(jnp.stack(chunk_losses)))
             if has_valid:

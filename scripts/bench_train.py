@@ -36,6 +36,9 @@ def main(argv=None):
     argv = argv or sys.argv[1:]
     epochs = flag(argv, "epochs", 20, int)
     batch_size = flag(argv, "batch_size", 256, int)
+    hidden = flag(argv, "hidden", 128, int)
+    z_dim = flag(argv, "z", 32, int)
+    dims = (513, 513, z_dim, (hidden, hidden))
     torch_baseline = flag(argv, "torch_baseline", 0, int)
     work = flag(argv, "work", "/tmp/gvnmf_bench_train")
 
@@ -44,7 +47,7 @@ def main(argv=None):
 
     cfg = TrainConfig(end_epoch=epochs, batch_size=batch_size)
     t0 = time.perf_counter()
-    _, hist = train_m2((Xtr, Ytr), (Xva, Yva), cfg=cfg,
+    _, hist = train_m2((Xtr, Ytr), (Xva, Yva), dims=dims, cfg=cfg,
                        model_dir=os.path.join(work, "M2"), name="M2")
     wall = time.perf_counter() - t0
     # the first epoch carries the whole-epoch program compile (persistent
@@ -71,14 +74,14 @@ def main(argv=None):
     stream = flag(argv, "stream", 0, int)
     if stream:
         result.update(_stream_bench((Xtr, Ytr), (Xva, Yva), cfg, work,
-                                    replicate=stream,
+                                    replicate=stream, dims=dims,
                                     base_rate=result["steady_frames_per_s"]))
 
     print(json.dumps(result))
 
 
 def _stream_bench(train_data, valid_data, cfg, work, replicate=10,
-                  base_rate=None):
+                  base_rate=None, dims=(513, 513, 32, (128, 128))):
     """Beyond-HBM ingestion benchmark: replicate the frame set
     `replicate`x into an H5 store and train via the double-buffered
     H5StreamSource (data/h5io.py) — H5 reads + H2D transfers of chunk
@@ -97,7 +100,8 @@ def _stream_bench(train_data, valid_data, cfg, work, replicate=10,
         except Exception:
             os.remove(h5p)
     if not usable:
-        w = H5FrameWriter(h5p, "train")
+        w = H5FrameWriter(h5p, "train", compression=None,
+                          chunk_frames=4096)
         for _ in range(replicate):
             w.append(X.T, Y.T)
         w.finalize()
@@ -107,7 +111,7 @@ def _stream_bench(train_data, valid_data, cfg, work, replicate=10,
     n = src.n_chunks * src.chunk_frames
     scfg = TrainConfig(end_epoch=3, batch_size=cfg.batch_size)
     t0 = time.perf_counter()
-    _, hist = train_m2_fn(src, valid_data, cfg=scfg,
+    _, hist = train_m2_fn(src, valid_data, dims=dims, cfg=scfg,
                           model_dir=os.path.join(work, "M2_stream"),
                           name="M2")
     src.close()
