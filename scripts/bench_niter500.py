@@ -70,7 +70,12 @@ def main(argv=None):
             jax.block_until_ready(r["WFs"])
             return r
 
-        run()                      # compile + warm
+        r = run()                  # compile + warm
+        # materialize once: guards against a degraded remote backend
+        # acknowledging dispatches without executing (ghost timings)
+        wf = np.asarray(r["WFs"])
+        assert np.all(np.isfinite(wf)) and 0.0 < float(wf.mean()) < 1.0, \
+            f"{name}: implausible WFs (mean {float(wf.mean())})"
         t0 = time.perf_counter()
         run()
         dt = time.perf_counter() - t0
