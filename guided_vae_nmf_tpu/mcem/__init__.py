@@ -19,6 +19,7 @@ from .peem import (
     peem_run,
     peem_m1_batch,
     peem_m2_batch,
+    peem_mcem_m2_batch,
 )
 from .spp import (
     SPPNoiseEstimator,

@@ -700,7 +700,8 @@ def mcem_batch_fused(vae_params, X_abs2, mask, y, keys,
                      cfg: MCEMConfig = MCEMConfig(), update_nmf=True,
                      Vb_fixed=None, tile=128, compute_cost=True,
                      samples_dtype=jnp.float32,
-                     matmul_dtype=jnp.float32, approx_recip=False):
+                     matmul_dtype=jnp.float32, approx_recip=False,
+                     init=None):
     """Full batched MCEM with the fused Pallas chains.
 
     Same contract as engine.mcem_m1_batch / mcem_m2_batch: X_abs2 (B, F, N)
@@ -709,6 +710,11 @@ def mcem_batch_fused(vae_params, X_abs2, mask, y, keys,
     derived per (EM-iter, tile)). Returns the same result dict (reference
     (F, N) orientation). Requires the reference's 2-hidden-layer decoder
     and N % tile == 0.
+
+    init: optional {"W","H","g","Z"} warm start in the result-dict
+    orientation (W (B,F,K), H (B,K,N), g (B,N), Z (B,L,N)) — used by the
+    PEEM->MCEM hybrid (peem.peem_mcem_m2_batch) and state-resume paths;
+    replaces both the random NMF init and the encoder Z0.
     """
     params = {k: v for k, v in vae_params.items() if k != "y_dim"}
     enc = params["encoder"]
@@ -733,8 +739,11 @@ def mcem_batch_fused(vae_params, X_abs2, mask, y, keys,
         enc_in = jnp.concatenate([X2, yT], axis=-1)
         ypre = jnp.einsum("bny,yh->bnh", yT, l0["w"][L:]) + l0["b"]
 
-    _, mu, _ = encoder_apply(enc, enc_in.reshape(B * N, -1))
-    Z = mu.reshape(B, N, L)
+    if init is None:
+        _, mu, _ = encoder_apply(enc, enc_in.reshape(B * N, -1))
+        Z = mu.reshape(B, N, L)
+    else:
+        Z = jnp.swapaxes(init["Z"], 1, 2)                # (B, N, L)
     dec_w = _dec_parts(dec, L)
 
     # initial Vs via the decoder (frames-major)
@@ -745,7 +754,13 @@ def mcem_batch_fused(vae_params, X_abs2, mask, y, keys,
 
     key0 = keys[0]
     k_init, key0 = jax.random.split(key0)
-    if update_nmf:
+    if init is not None:
+        # Warm start (PEEM->MCEM hybrid, resumed runs): NMF factors and
+        # gain in the reference (B, F, K)/(B, K, N)/(B, N) orientation.
+        Wt = jnp.swapaxes(init["W"], 1, 2)
+        H = init["H"]
+        Vbf = None if update_nmf else jnp.swapaxes(Vb_fixed, 1, 2)
+    elif update_nmf:
         k_w, k_h = jax.random.split(k_init)
         # sampled in the reference (B, F, K) orientation (same stream as
         # the XLA engine), carried transposed as Wt (B, K, F) — the layout
@@ -760,7 +775,7 @@ def mcem_batch_fused(vae_params, X_abs2, mask, y, keys,
         Wt = jnp.ones((B, 1, F), X2.dtype)
         H = jnp.zeros((B, 1, N), X2.dtype)
         Vbf = jnp.swapaxes(Vb_fixed, 1, 2)
-    g = jnp.ones((B, N), X2.dtype)
+    g = jnp.ones((B, N), X2.dtype) if init is None else init["g"]
     kern_kw = dict(tile=tile, samples_dtype=samples_dtype,
                    matmul_dtype=matmul_dtype, approx_recip=approx_recip)
 

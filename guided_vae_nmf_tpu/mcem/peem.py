@@ -144,3 +144,28 @@ def peem_m2_batch(dgm_params, X_abs2, mask, y, keys, cfg: PEEMConfig,
             X_abs2, mask, y, keys
         )
     return jax.vmap(one)(X_abs2, mask, y, keys, Vb_fixed)
+
+
+def peem_mcem_m2_batch(dgm_params, X_abs2, mask, y, keys,
+                       pcfg: PEEMConfig, mcfg, **fused_kw):
+    """PEEM warm start + short fused-MCEM refinement (the paper-config
+    fast mode): run the deterministic gradient EM for pcfg.niter
+    iterations, then hand its (W, H, g, Z) state to the fused Pallas MCEM
+    for mcfg.niter sampling iterations and the sampled Wiener filter.
+
+    Rationale: at the paper's 500-iteration budget (reference
+    evaluate_M1.py:92) the MH chain spends most iterations converging
+    NMF/Z — work the point-estimate E-step does ~8x cheaper — while the
+    final posterior-averaged Wiener filter (what MCEM actually
+    contributes over PEEM) only needs a short warm-started chain.
+    Quality harness: scripts/bench_niter500.py --hybrid.
+    """
+    from .pallas_engine import mcem_batch_fused
+
+    r = peem_m2_batch(dgm_params, X_abs2, mask, y, keys, pcfg)
+    keys_m = jax.vmap(lambda k: jax.random.fold_in(k, 7331))(keys)
+    init = {"W": r["W"], "H": r["H"], "g": r["g"], "Z": r["Z"]}
+    out = mcem_batch_fused(dgm_params, X_abs2, mask, y, keys_m, mcfg,
+                           init=init, **fused_kw)
+    out["cost"] = jnp.concatenate([r["cost"], out["cost"]], axis=-1)
+    return out

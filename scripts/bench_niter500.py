@@ -108,12 +108,41 @@ def main(argv=None):
         print(f"peem: {dt:.3f}s = {audio_s / dt:.1f}x realtime",
               flush=True)
 
+    refine = flag(argv, "hybrid", 0, int)
+    if refine:
+        # PEEM warm start + short fused-MCEM refinement: the paper-config
+        # fast mode (peem.peem_mcem_m2_batch)
+        from guided_vae_nmf_tpu.mcem import (
+            PEEMConfig, peem_mcem_m2_batch,
+        )
+
+        pcfg = PEEMConfig(niter=niter)
+        mcfg = MCEMConfig(niter=refine)
+        fast_kw = dict(samples_dtype=jnp.bfloat16, approx_recip=True,
+                       compute_cost=False)
+
+        def hrun():
+            r = peem_mcem_m2_batch(dgm, X, mask, y, keys, pcfg, mcfg,
+                                   **fast_kw)
+            jax.block_until_ready(r["WFs"])
+            return r
+
+        hrun()
+        t0 = time.perf_counter()
+        hrun()
+        dt = time.perf_counter() - t0
+        out["hybrid_refine"] = refine
+        out["hybrid_s"] = round(dt, 3)
+        out["hybrid_rtf"] = round(audio_s / dt, 1)
+        print(f"hybrid(peem {niter} + mcem {refine}): {dt:.3f}s = "
+              f"{audio_s / dt:.1f}x realtime", flush=True)
+
     if quality:
-        out["quality"] = _quality_check(niter, seeds)
+        out["quality"] = _quality_check(niter, seeds, refine=refine)
     print(json.dumps(out))
 
 
-def _quality_check(niter, seeds):
+def _quality_check(niter, seeds, refine=0):
     """Seed-averaged |delta| of the fastest variant vs exact mode on the
     bundled subset mixtures (oracle labels, shipped pretrained M2)."""
     import jax
@@ -143,15 +172,17 @@ def _quality_check(niter, seeds):
         utts.append((bp, x, s, n, X_tf, yy))
     N_pad = max((u[4].shape[1] + 127) // 128 * 128 for u in utts)
 
-    def run_mode(seed, **kw):
+    def run_mode(seed, engine=None, **kw):
+        engine = engine or (lambda *a, **k: mcem_batch_fused(
+            *a[:5], cfg, **k))
         mets = []
         for bp, x, s, n, X_tf, yy in utts:
             Xp, m = pad_power(jnp.asarray(np.abs(X_tf) ** 2), N_pad)
             yp = jnp.zeros((yy.shape[0], N_pad)).at[:, :yy.shape[1]].set(
                 jnp.asarray(yy))
-            out = mcem_batch_fused(
+            out = engine(
                 m2, Xp[None], m[None], yp[None],
-                jax.random.split(jax.random.PRNGKey(seed), 1), cfg, **kw)
+                jax.random.split(jax.random.PRNGKey(seed), 1), **kw)
             WFs = np.asarray(out["WFs"])[0][:, : X_tf.shape[1]]
             sh = istft(WFs * X_tf, max_len=len(x))
             L = min(len(s), len(sh))
@@ -164,16 +195,36 @@ def _quality_check(niter, seeds):
 
     fast_kw = dict(samples_dtype=jnp.bfloat16, approx_recip=True,
                    compute_cost=False, matmul_dtype=jnp.bfloat16)
+    if refine:
+        from guided_vae_nmf_tpu.mcem import (
+            PEEMConfig, peem_mcem_m2_batch,
+        )
+
+        pcfg = PEEMConfig(niter=niter)
+        mcfg = MCEMConfig(niter=refine)
+        fast_kw = dict(samples_dtype=jnp.bfloat16, approx_recip=True,
+                       compute_cost=False)
+
+        def hybrid_engine(m2_, Xp, m, yp, keys, **kw):
+            return peem_mcem_m2_batch(m2_, Xp, m, yp, keys, pcfg, mcfg,
+                                      **kw)
+    else:
+        hybrid_engine = None
     ex, fa = [], []
     for k in range(seeds):
         ex.append(run_mode(k))
-        fa.append(run_mode(k, **fast_kw))
+        fa.append(run_mode(k, engine=hybrid_engine, **fast_kw))
         print(f"quality seed {k} done", flush=True)
     ex = np.mean(np.asarray(ex), axis=0)   # (utt, 3) seed-avg
     fa = np.mean(np.asarray(fa), axis=0)
+    for i, (bp, *_rest) in enumerate(utts):
+        print(f"  utt {os.path.basename(bp)}: signed d(SI-SDR/ESTOI/PESQ) "
+              f"{fa[i,0]-ex[i,0]:+.3f} {fa[i,1]-ex[i,1]:+.4f} "
+              f"{fa[i,2]-ex[i,2]:+.4f}", flush=True)
     d = np.abs(fa - ex)
     res = {
         "seeds": seeds,
+        "mode": "hybrid" if refine else "fast_bf16mm",
         "mean_abs_dSISDR": round(float(d[:, 0].mean()), 4),
         "mean_abs_dESTOI": round(float(d[:, 1].mean()), 4),
         "mean_abs_dPESQ": round(float(d[:, 2].mean()), 4),

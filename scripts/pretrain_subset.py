@@ -45,6 +45,22 @@ def clean_frames(clean):
     ).T
 
 
+def clean_labeled_frames(clean):
+    """Clean-speech frame set + clean-derived labels — the reference's M2
+    training protocol (create_train_set.py:117-148 reads CLEAN speech only;
+    training_M2.py:70-73 consumes that file). The speech prior p(s|z,y) is
+    a clean-speech model; only the classifier/wiener discriminators train
+    on noisy mixtures (create_noisy_train_set.py:268-292)."""
+    X, Yibm, Yvad = [], [], []
+    for x in clean:
+        s_tf = stft(x)
+        X.append((np.abs(s_tf) ** 2).astype(np.float32))
+        Yibm.append(clean_speech_IBM(s_tf, 0.999, 0.999))
+        Yvad.append(clean_speech_VAD(s_tf, 0.999, 0.999))
+    cat = lambda a: np.concatenate(a, 1).T  # noqa: E731
+    return cat(X), cat(Yibm), cat(Yvad)
+
+
 def build(clean, noise, seed, n_mix=4,
           snrs=(-5, -2.5, 0, 2.5, 5.0), include_clean=False):
     rng = np.random.RandomState(seed)
@@ -133,6 +149,14 @@ def main(argv=None):
         Xva, Yibm_va, Yvad_va, Ywf_va = build(clean_va, noise, 1)
     print(f"frames: train {Xtr.shape} valid {Xva.shape}")
 
+    # The generative models (M1/M2) train on CLEAN speech frames per the
+    # reference protocol (see clean_labeled_frames); the discriminative
+    # models (classifier/wiener) train on the noisy mixtures. Round 1/2
+    # shipped M2 checkpoints trained on noisy frames by mistake — fixed
+    # here (round 3).
+    Xc_tr, Yc_ibm_tr, Yc_vad_tr = clean_labeled_frames(clean_tr)
+    Xc_va, Yc_ibm_va, Yc_vad_va = clean_labeled_frames(clean_va)
+
     cfg = TrainConfig(end_epoch=epochs, batch_size=256)
     cfg_cls = TrainConfig(end_epoch=max(1, epochs // 2), batch_size=256)
     eps = 1e-8
@@ -145,10 +169,12 @@ def main(argv=None):
             clean_frames(clean_tr), clean_frames(clean_va),
             dims=(513, 32, (128, 128)), cfg=cfg, model_dir=d, name="M1")),
         ("M2_ibm", lambda d: train_m2(
-            (Xtr, Yibm_tr), (Xva, Yibm_va), dims=(513, 513, 32, (128, 128)),
+            (Xc_tr, Yc_ibm_tr), (Xc_va, Yc_ibm_va),
+            dims=(513, 513, 32, (128, 128)),
             cfg=cfg, model_dir=d, name="M2")),
         ("M2_vad", lambda d: train_m2(
-            (Xtr, Yvad_tr), (Xva, Yvad_va), dims=(513, 1, 32, (128, 128)),
+            (Xc_tr, Yc_vad_tr), (Xc_va, Yc_vad_va),
+            dims=(513, 1, 32, (128, 128)),
             cfg=cfg, model_dir=d, name="M2")),
         ("classifier_ibm", lambda d: train_classifier(
             (Xn_tr, Yibm_tr), (Xn_va, Yibm_va),

@@ -61,3 +61,36 @@ def test_peem_m1_batched_matches_single():
     single = peem_run(vae, X[0], jnp.ones((N,)), None, keys[0], CFG)
     assert_allclose(np.asarray(batched["WFs"][0]),
                     np.asarray(single["WFs"]), atol=1e-6)
+
+
+def test_peem_mcem_hybrid_batch():
+    """PEEM->MCEM hybrid (paper-config fast mode): warm-started fused
+    refinement returns valid Wiener filters, concatenates the cost
+    trajectories, and equals mcem_batch_fused called manually with PEEM's
+    final state as `init`."""
+    from guided_vae_nmf_tpu.mcem import (
+        MCEMConfig, peem_mcem_m2_batch, mcem_batch_fused,
+    )
+
+    B, Ff, Nn, ydim = 2, 65, 128, 10
+    dgm = dgm_init(KEY, [Ff, ydim, 8, [16, 16]])
+    X = jax.random.uniform(jax.random.PRNGKey(7), (B, Ff, Nn)) + 0.05
+    y = (jax.random.uniform(jax.random.PRNGKey(8), (B, ydim, Nn)) > 0.5)
+    y = y.astype(jnp.float32)
+    mask = jnp.ones((B, Nn))
+    keys = jax.random.split(jax.random.PRNGKey(9), B)
+    pcfg = PEEMConfig(niter=4, e_steps=2, nmf_rank=3)
+    mcfg = MCEMConfig(niter=2, nsamples_E_step=2, burnin_E_step=1,
+                      nsamples_WF=2, burnin_WF=1, nmf_rank=3)
+    out = peem_mcem_m2_batch(dgm, X, mask, y, keys, pcfg, mcfg)
+    assert out["WFs"].shape == (B, Ff, Nn)
+    assert np.all(np.isfinite(np.asarray(out["WFs"])))
+    assert_allclose(np.asarray(out["WFs"] + out["WFn"]), 1.0, atol=1e-4)
+    assert out["cost"].shape == (B, pcfg.niter + mcfg.niter)
+
+    r = peem_m2_batch(dgm, X, mask, y, keys, pcfg)
+    keys_m = jax.vmap(lambda k: jax.random.fold_in(k, 7331))(keys)
+    ref = mcem_batch_fused(
+        dgm, X, mask, y, keys_m, mcfg,
+        init={"W": r["W"], "H": r["H"], "g": r["g"], "Z": r["Z"]})
+    assert_array_equal(np.asarray(out["WFs"]), np.asarray(ref["WFs"]))
