@@ -1,0 +1,289 @@
+"""Online dynamic-batching enhancement service (production serving layer).
+
+Beyond-reference capability: the reference's deployment story is offline
+sweeps only (evaluate_M1.py:186-222 — a process pool over a fixed file
+list). This module turns the same whole-pipeline device program
+(`pipeline._enhance_waveform_jit`: waveform -> STFT -> labels -> MCEM ->
+Wiener filter -> ISTFT, one jitted program) into an online endpoint:
+
+  * concurrent clients call `submit(waveform)` and get a Future;
+  * a collector thread groups pending requests within a bounded wait
+    window (`max_wait_ms`), buckets them by padded frame count, and runs
+    ONE device program per bucket group;
+  * batch and length dimensions are rounded up to a small fixed lattice
+    (powers of two up to `max_batch`; `bucket_multiple` frames) so the
+    number of distinct compiled shapes is bounded and steady-state serving
+    never recompiles.
+
+Determinism note: every request draws its MH chain keys from its own
+request id, so on the XLA engine (`engine='xla'`) a request's MH
+randomness is independent of what else rode in its batch: identical
+batch shapes replay bit-identically, and different co-batching changes
+the output only by XLA's shape-dependent float-reduction ordering
+(~1 PCM16 LSB — vs ~0.05 RMS between different MH seeds). The fused
+Pallas engine derives its per-tile PRNG streams from the whole batch's
+leading key (pallas_engine.mcem_batch_fused), so its MH noise genuinely
+depends on batch composition — statistically equivalent, not replayable
+across groupings. Serving defaults to the fused engine (it is the
+throughput path); switch to 'xla' when replay stability matters more
+than speed.
+"""
+
+import threading
+import time
+from collections import deque
+from concurrent.futures import Future
+from dataclasses import dataclass, field
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .mcem import MCEMConfig
+from .dsp.stft import frame_count, pad_signal_for_stft
+from .pipeline import FS, HOP, NFFT, _enhance_waveform_jit, _use_fused
+
+
+@dataclass(frozen=True)
+class ServeConfig:
+    """Dynamic-batching policy.
+
+    max_batch: largest device batch (requests beyond it wait for the next
+      program). max_wait_ms: how long the collector holds the FIRST
+      request of a group open for co-batching company; the latency cost a
+      lightly-loaded service pays for throughput under load.
+    bucket_multiple: frame-count lattice (128 keeps the fused kernel's
+      N % 128 == 0 contract). batch_lattice: allowed device batch sizes —
+      a group of 5 runs as 8 with duplicated tail rows, bounding compiled
+      shapes to len(batch_lattice) x #buckets."""
+
+    max_batch: int = 16
+    max_wait_ms: float = 20.0
+    bucket_multiple: int = 128
+    batch_lattice: tuple = (1, 2, 4, 8, 16)
+    label_mode: str = "dnn"          # 'dnn' | 'timo' | 'none' (M1)
+    target: str = "ibm"
+    noise_model: str = "spp"         # serving default = real-noise config
+    engine: str = "auto"             # 'auto' | 'fused' | 'xla'
+    fast: bool = False
+    seed: int = 0
+
+
+@dataclass
+class _Request:
+    x: np.ndarray                    # float32 waveform
+    future: Future = field(default_factory=Future)
+    rid: int = 0
+    t_submit: float = 0.0
+    n_frames: int = 0
+
+
+class EnhancementService:
+    """Shared-device online enhancement endpoint with dynamic batching.
+
+    >>> svc = EnhancementService(m2, classifier_params=cls, mean=m, std=s)
+    >>> fut = svc.submit(noisy_waveform)          # returns immediately
+    >>> out = fut.result()                        # {'s': ..., 'n': ...}
+    >>> svc.close()
+
+    `enhance(x)` is the blocking convenience wrapper. Thread-safe; any
+    number of producer threads may submit concurrently.
+    """
+
+    def __init__(self, vae_params, classifier_params=None, mean=None,
+                 std=None, cfg: MCEMConfig = MCEMConfig(),
+                 serve: ServeConfig = ServeConfig()):
+        if serve.label_mode == "dnn" and classifier_params is None:
+            raise ValueError("label_mode 'dnn' needs classifier_params")
+        self._vae = vae_params
+        self._cls = classifier_params
+        self._mean = None if mean is None else jnp.asarray(
+            np.asarray(mean, np.float32))
+        self._std = None if std is None else jnp.asarray(
+            np.asarray(std, np.float32))
+        self._cfg = cfg
+        self._serve = serve
+        self._queue = deque()
+        self._cv = threading.Condition()
+        self._rid = 0
+        self._closed = False
+        self._lat = []               # (latency_s, batch_size) per request
+        self._batches = 0
+        self._worker = threading.Thread(target=self._loop, daemon=True,
+                                        name="gvnmf-serving")
+        self._worker.start()
+
+    # ---- client API ------------------------------------------------------
+
+    def submit(self, x):
+        """Enqueue one waveform; returns a Future of {'s', 'n',
+        'latency_s', 'batch_size'} (float32 arrays trimmed to len(x))."""
+        x = np.asarray(x, np.float32)
+        if x.ndim != 1 or len(x) == 0:
+            raise ValueError("submit expects a non-empty 1-D waveform")
+        req = _Request(x=x, t_submit=time.perf_counter(),
+                       n_frames=frame_count(len(x)))
+        with self._cv:
+            if self._closed:
+                raise RuntimeError("service is closed")
+            self._rid += 1
+            req.rid = self._rid
+            self._queue.append(req)
+            self._cv.notify()
+        return req.future
+
+    def enhance(self, x):
+        return self.submit(x).result()
+
+    def stats(self):
+        """Serving counters: request count, mean batch size, latency
+        percentiles (seconds)."""
+        with self._cv:
+            lat = sorted(l for l, _ in self._lat)
+            bs = [b for _, b in self._lat]
+        if not lat:
+            return {"requests": 0, "batches": self._batches}
+
+        def pct(p):
+            return lat[min(len(lat) - 1, int(p / 100 * len(lat)))]
+
+        return {
+            "requests": len(lat), "batches": self._batches,
+            "mean_batch": float(np.mean(bs)),
+            "p50_s": pct(50), "p95_s": pct(95), "max_s": lat[-1],
+        }
+
+    def warmup(self, buckets=(128, 256, 512), batch_sizes=None):
+        """Pre-compile the (batch, bucket) shape lattice so steady-state
+        serving never pays a jit compile (the persistent XLA cache makes
+        this one-time per machine). Returns elapsed seconds; call
+        `reset_stats()` afterwards if the warmup traffic should not count."""
+        t0 = time.perf_counter()
+        for n_pad in buckets:
+            T = (n_pad - 4) * HOP
+            for B in (batch_sizes or self._serve.batch_lattice):
+                reqs = [
+                    _Request(x=np.full(T, 1e-3, np.float32), rid=0,
+                             t_submit=time.perf_counter(),
+                             n_frames=frame_count(T))
+                    for _ in range(B)
+                ]
+                self._run_bucket(n_pad, reqs)
+                for r in reqs:
+                    r.future.result()
+        return time.perf_counter() - t0
+
+    def reset_stats(self):
+        with self._cv:
+            self._lat.clear()
+            self._batches = 0
+
+    def close(self, timeout=60.0):
+        """Drain the queue, stop the worker. Idempotent."""
+        with self._cv:
+            if self._closed:
+                return
+            self._closed = True
+            self._cv.notify_all()
+        self._worker.join(timeout)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    # ---- collector / device loop ----------------------------------------
+
+    def _collect(self):
+        """Block for the first request, then hold the group open for up to
+        max_wait_ms (or until max_batch arrive). Returns [] on shutdown."""
+        sv = self._serve
+        with self._cv:
+            while not self._queue and not self._closed:
+                self._cv.wait(0.1)
+            if not self._queue:
+                return []
+            deadline = time.perf_counter() + sv.max_wait_ms / 1e3
+            while (len(self._queue) < sv.max_batch
+                   and not self._closed):
+                left = deadline - time.perf_counter()
+                if left <= 0:
+                    break
+                self._cv.wait(left)
+            group = []
+            while self._queue and len(group) < sv.max_batch:
+                group.append(self._queue.popleft())
+            return group
+
+    def _loop(self):
+        while True:
+            group = self._collect()
+            if not group:
+                with self._cv:
+                    if self._closed and not self._queue:
+                        return
+                continue
+            # bucket by padded frame count so each device program keeps
+            # the pad waste of the shortest member bounded
+            bm = self._serve.bucket_multiple
+            buckets = {}
+            for r in group:
+                b = -(-r.n_frames // bm) * bm
+                buckets.setdefault(b, []).append(r)
+            for n_pad, reqs in sorted(buckets.items()):
+                try:
+                    self._run_bucket(n_pad, reqs)
+                except Exception as e:      # resolve rather than wedge
+                    for r in reqs:
+                        if not r.future.done():
+                            r.future.set_exception(e)
+
+    def _run_bucket(self, n_pad, reqs):
+        sv = self._serve
+        B = len(reqs)
+        Bp = next(b for b in sv.batch_lattice if b >= B)
+        L = (n_pad - 1) * HOP + NFFT
+        x_b = np.zeros((Bp, L), np.int16)
+        mask_b = np.zeros((Bp, n_pad), np.float32)
+        for j, r in enumerate(reqs):
+            xi = np.clip(np.round(r.x * 32768.0), -32768, 32767)
+            xp, nf = pad_signal_for_stft(xi.astype(np.int16))
+            x_b[j, : min(len(xp), L)] = xp[:L]
+            mask_b[j, :nf] = 1.0
+        for j in range(B, Bp):               # benign duplicate tail rows
+            x_b[j] = x_b[B - 1]
+            mask_b[j] = mask_b[B - 1]
+        keys = jnp.asarray(np.stack([
+            np.asarray(jax.random.PRNGKey(sv.seed * 1_000_003 + r.rid))
+            for r in (reqs + [reqs[-1]] * (Bp - B))
+        ]))
+        use_fused = _use_fused(sv.engine, self._vae, n_pad)
+        s_i16, n_i16, _, _, finite_ok = _enhance_waveform_jit(
+            self._vae, jnp.asarray(x_b), None, None,
+            self._cls if sv.label_mode == "dnn" else None,
+            self._mean if sv.label_mode == "dnn" else None,
+            self._std if sv.label_mode == "dnn" else None,
+            jnp.asarray(mask_b), keys, self._cfg, use_fused=use_fused,
+            noise_model=sv.noise_model, fast=sv.fast,
+            label_mode=sv.label_mode, target=sv.target,
+            return_noise=not use_fused,
+        )
+        s_np = np.asarray(s_i16, np.float32) / 32768.0
+        n_np = (None if n_i16 is None
+                else np.asarray(n_i16, np.float32) / 32768.0)
+        ok = bool(finite_ok)
+        now = time.perf_counter()
+        for j, r in enumerate(reqs):
+            T = len(r.x)
+            if not ok:                      # degrade to passthrough
+                s, n = r.x.copy(), np.zeros(T, np.float32)
+            else:
+                s = s_np[j, :T]
+                n = (r.x - s) if n_np is None else n_np[j, :T]
+            lat = now - r.t_submit
+            with self._cv:
+                self._lat.append((lat, B))
+            r.future.set_result({"s": s, "n": n, "latency_s": lat,
+                                 "batch_size": B})
+        self._batches += 1

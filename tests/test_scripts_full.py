@@ -185,3 +185,15 @@ def test_bench_shard_balance_cli():
                      "--niter", "2")
     assert "mesh-aware plan" in out
     assert "sharded == single-device" in out
+
+
+def test_bench_serving_cli():
+    """bench_serving runs the dynamic-batching service end to end (tiny
+    load, tiny MCEM, CPU/XLA engine) and prints a JSON record per load."""
+    import json
+
+    out = run_script("bench_serving.py", "--rates", "8", "--n", "4",
+                     "--niter", "2", "--seconds", "0.5")
+    rec = json.loads(out.strip().splitlines()[-1])
+    assert rec["loads"] and rec["loads"][0]["p95_ms"] > 0
+    assert rec["loads"][0]["achieved_req_s"] > 0

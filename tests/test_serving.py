@@ -1,0 +1,120 @@
+"""Dynamic-batching serving layer (guided_vae_nmf_tpu/serving.py): online
+submit/enhance contract, grouping under the wait window, per-request key
+determinism on the XLA engine, degraded-batch handling, stats/close."""
+
+import threading
+import time
+
+import numpy as np
+import jax
+import pytest
+
+from guided_vae_nmf_tpu.mcem import MCEMConfig
+from guided_vae_nmf_tpu.models import vae_init
+from guided_vae_nmf_tpu.serving import EnhancementService, ServeConfig
+
+F, L, H = 513, 8, 16
+CFG = MCEMConfig(niter=2, nsamples_E_step=2, burnin_E_step=1,
+                 nsamples_WF=2, burnin_WF=1, nmf_rank=2)
+SV = ServeConfig(engine="xla", label_mode="none", noise_model="nmf",
+                 max_wait_ms=50.0)
+
+
+@pytest.fixture(scope="module")
+def m1():
+    return vae_init(jax.random.PRNGKey(0), [F, L, [H]])
+
+
+def _wav(seed, seconds):
+    r = np.random.RandomState(seed)
+    return (0.1 * r.randn(int(16000 * seconds))).astype(np.float32)
+
+
+def test_submit_roundtrip_and_mixture_consistency(m1):
+    with EnhancementService(m1, cfg=CFG, serve=SV) as svc:
+        xs = [_wav(1, 0.4), _wav(2, 0.9), _wav(3, 0.6)]
+        futs = [svc.submit(x) for x in xs]
+        outs = [f.result(timeout=300) for f in futs]
+        for x, out in zip(xs, outs):
+            assert out["s"].shape == x.shape
+            assert np.all(np.isfinite(out["s"]))
+            # Wiener partition: s + n reconstructs the mixture (PCM16
+            # quantization of both tracks -> tolerance ~2 LSB)
+            np.testing.assert_allclose(out["s"] + out["n"], x,
+                                       atol=3.0 / 32768.0)
+        st = svc.stats()
+        assert st["requests"] == 3
+        assert st["batches"] >= 1
+
+
+def test_same_rid_same_result_regardless_of_cobatching(m1):
+    """XLA engine + per-request keys: request #1's MH randomness must not
+    depend on what else rode in its batch. Bit-equality holds for equal
+    batch shapes; across different compiled shapes XLA may reorder float
+    reductions, so the contract is agreement to ~1 PCM16 LSB (vs ~0.05
+    RMS between different MH seeds — orders of magnitude apart)."""
+    x = _wav(7, 0.5)
+
+    with EnhancementService(m1, cfg=CFG, serve=SV) as svc:
+        alone = svc.submit(x).result(timeout=300)
+        again = svc.submit(x).result(timeout=300)   # same shape, rid 2
+    # different rid -> different MH draws -> visibly different output
+    assert np.abs(alone["s"] - again["s"]).max() > 10.0 / 32768.0
+
+    slow = ServeConfig(engine="xla", label_mode="none",
+                       noise_model="nmf", max_wait_ms=2000.0)
+    with EnhancementService(m1, cfg=CFG, serve=slow) as svc:
+        f1 = svc.submit(x)                   # rid 1, held open
+        f2 = svc.submit(_wav(8, 0.5))        # rid 2, same bucket
+        both = f1.result(timeout=300)
+        assert both["batch_size"] == 2
+        f2.result(timeout=300)
+
+    np.testing.assert_allclose(alone["s"], both["s"],
+                               atol=2.0 / 32768.0)
+
+
+def test_bucketing_splits_length_groups(m1):
+    """A 0.3 s and a 4 s request must land in different padded buckets
+    (separate device programs), and both resolve."""
+    slow = ServeConfig(engine="xla", label_mode="none",
+                       noise_model="nmf", max_wait_ms=1000.0)
+    with EnhancementService(m1, cfg=CFG, serve=slow) as svc:
+        f1 = svc.submit(_wav(4, 0.3))
+        f2 = svc.submit(_wav(5, 4.0))
+        o1, o2 = f1.result(timeout=600), f2.result(timeout=600)
+        assert o1["batch_size"] == 1 and o2["batch_size"] == 1
+        assert svc.stats()["batches"] == 2
+
+
+def test_concurrent_producers(m1):
+    with EnhancementService(m1, cfg=CFG, serve=SV) as svc:
+        outs = {}
+
+        def client(i):
+            outs[i] = svc.enhance(_wav(10 + i, 0.4))
+
+        ts = [threading.Thread(target=client, args=(i,)) for i in range(4)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join(300)
+        assert len(outs) == 4
+        assert all(np.all(np.isfinite(o["s"])) for o in outs.values())
+
+
+def test_close_rejects_new_submits(m1):
+    svc = EnhancementService(m1, cfg=CFG, serve=SV)
+    svc.submit(_wav(20, 0.3)).result(timeout=300)
+    svc.close()
+    svc.close()                              # idempotent
+    with pytest.raises(RuntimeError):
+        svc.submit(_wav(21, 0.3))
+
+
+def test_bad_input_rejected(m1):
+    with EnhancementService(m1, cfg=CFG, serve=SV) as svc:
+        with pytest.raises(ValueError):
+            svc.submit(np.zeros((2, 100), np.float32))
+        with pytest.raises(ValueError):
+            svc.submit(np.zeros(0, np.float32))
