@@ -61,6 +61,13 @@ class ServeConfig:
     max_wait_ms: float = 20.0
     bucket_multiple: int = 128
     batch_lattice: tuple = (1, 2, 4, 8, 16)
+    # under load, merge shorter requests upward into the longest pending
+    # bucket (they run correctly at any larger n_pad — the frame mask
+    # covers the extra padding) as long as each merged request wastes at
+    # most `max_pad_waste` of its rows' compute; one big dispatch
+    # amortizes the per-batch overhead that otherwise caps saturated
+    # throughput. 0 disables coalescing.
+    max_pad_waste: float = 0.5
     label_mode: str = "dnn"          # 'dnn' | 'timo' | 'none' (M1)
     target: str = "ibm"
     noise_model: str = "spp"         # serving default = real-noise config
@@ -109,9 +116,16 @@ class EnhancementService:
         self._closed = False
         self._lat = []               # (latency_s, batch_size) per request
         self._batches = 0
+        import queue
+
+        self._inflight = queue.Queue(maxsize=2)   # dispatched, unfetched
         self._worker = threading.Thread(target=self._loop, daemon=True,
                                         name="gvnmf-serving")
+        self._fetcher = threading.Thread(target=self._fetch_loop,
+                                         daemon=True,
+                                         name="gvnmf-serving-fetch")
         self._worker.start()
+        self._fetcher.start()
 
     # ---- client API ------------------------------------------------------
 
@@ -186,6 +200,7 @@ class EnhancementService:
             self._closed = True
             self._cv.notify_all()
         self._worker.join(timeout)
+        self._fetcher.join(timeout)
 
     def __enter__(self):
         return self
@@ -217,29 +232,81 @@ class EnhancementService:
             return group
 
     def _loop(self):
+        """Collector: groups requests and dispatches device programs.
+        jax dispatch is async, so the collector moves on to assembling
+        the next batch while the device computes; the fetcher thread
+        blocks on results. The bounded in-flight queue caps device
+        memory exactly like pipeline.enhance_files' MAX_INFLIGHT."""
         while True:
             group = self._collect()
             if not group:
                 with self._cv:
                     if self._closed and not self._queue:
+                        self._inflight.put(None)        # fetcher sentinel
                         return
                 continue
-            # bucket by padded frame count so each device program keeps
-            # the pad waste of the shortest member bounded
-            bm = self._serve.bucket_multiple
-            buckets = {}
-            for r in group:
-                b = -(-r.n_frames // bm) * bm
-                buckets.setdefault(b, []).append(r)
-            for n_pad, reqs in sorted(buckets.items()):
+            for n_pad, reqs in self._plan_groups(group):
                 try:
-                    self._run_bucket(n_pad, reqs)
+                    handles = self._dispatch_bucket(n_pad, reqs)
+                    self._inflight.put((handles, reqs))
                 except Exception as e:      # resolve rather than wedge
                     for r in reqs:
                         if not r.future.done():
                             r.future.set_exception(e)
 
-    def _run_bucket(self, n_pad, reqs):
+    def _fetch_loop(self):
+        while True:
+            item = self._inflight.get()
+            if item is None:
+                return
+            handles, reqs = item
+            try:
+                self._resolve_bucket(handles, reqs)
+            except Exception as e:
+                for r in reqs:
+                    if not r.future.done():
+                        r.future.set_exception(e)
+
+    def _plan_groups(self, group):
+        """Partition a collected group into (n_pad, requests) dispatches.
+
+        Base policy: one group per `bucket_multiple` length bucket (keeps
+        the pad waste of short members bounded). Under load, greedily
+        coalesce smaller buckets upward into the longest pending one —
+        compute scales with n_pad, so a request merged into a larger
+        bucket wastes (n_pad - own_bucket)/n_pad of its row; merging is
+        allowed while that stays ≤ max_pad_waste and the batch has room.
+        One larger dispatch amortizes the fixed per-batch cost (host
+        assembly + dispatch round-trip) that otherwise caps saturated
+        throughput (scripts/bench_serving.py measures both policies)."""
+        bm = self._serve.bucket_multiple
+        buckets = {}
+        for r in group:
+            b = -(-r.n_frames // bm) * bm
+            buckets.setdefault(b, []).append(r)
+        if self._serve.max_pad_waste <= 0 or len(buckets) == 1:
+            return sorted(buckets.items())
+        plans = []
+        pending = sorted(buckets.items(), reverse=True)
+        while pending:
+            n_pad, reqs = pending.pop(0)
+            reqs = list(reqs)
+            while pending and len(reqs) < self._serve.max_batch:
+                b_next, r_next = pending[0]
+                if (n_pad - b_next) / n_pad > self._serve.max_pad_waste:
+                    break
+                room = self._serve.max_batch - len(reqs)
+                reqs.extend(r_next[:room])
+                if room >= len(r_next):
+                    pending.pop(0)
+                else:
+                    pending[0] = (b_next, r_next[room:])
+            plans.append((n_pad, reqs))
+        return plans
+
+    def _dispatch_bucket(self, n_pad, reqs):
+        """Host assembly + async device dispatch; returns result handles
+        without blocking on the computation."""
         sv = self._serve
         B = len(reqs)
         Bp = next(b for b in sv.batch_lattice if b >= B)
@@ -269,6 +336,11 @@ class EnhancementService:
             label_mode=sv.label_mode, target=sv.target,
             return_noise=not use_fused,
         )
+        return s_i16, n_i16, finite_ok
+
+    def _resolve_bucket(self, handles, reqs):
+        s_i16, n_i16, finite_ok = handles
+        B = len(reqs)
         s_np = np.asarray(s_i16, np.float32) / 32768.0
         n_np = (None if n_i16 is None
                 else np.asarray(n_i16, np.float32) / 32768.0)
@@ -287,3 +359,7 @@ class EnhancementService:
             r.future.set_result({"s": s, "n": n, "latency_s": lat,
                                  "batch_size": B})
         self._batches += 1
+
+    def _run_bucket(self, n_pad, reqs):
+        """Synchronous dispatch+resolve (warmup path)."""
+        self._resolve_bucket(self._dispatch_bucket(n_pad, reqs), reqs)

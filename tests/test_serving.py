@@ -75,15 +75,41 @@ def test_same_rid_same_result_regardless_of_cobatching(m1):
 
 
 def test_bucketing_splits_length_groups(m1):
-    """A 0.3 s and a 4 s request must land in different padded buckets
-    (separate device programs), and both resolve."""
+    """A 0.3 s and an 8 s request exceed the pad-waste budget (bucket 128
+    vs 512 -> 75% waste) and must run as separate device programs."""
     slow = ServeConfig(engine="xla", label_mode="none",
                        noise_model="nmf", max_wait_ms=1000.0)
     with EnhancementService(m1, cfg=CFG, serve=slow) as svc:
         f1 = svc.submit(_wav(4, 0.3))
-        f2 = svc.submit(_wav(5, 4.0))
+        f2 = svc.submit(_wav(5, 8.0))
         o1, o2 = f1.result(timeout=600), f2.result(timeout=600)
         assert o1["batch_size"] == 1 and o2["batch_size"] == 1
+        assert svc.stats()["batches"] == 2
+
+
+def test_coalescing_merges_adjacent_buckets(m1):
+    """A 1.9 s and a 3.9 s request (buckets 128 and 256, 50% waste) merge
+    into ONE dispatch under the default max_pad_waste=0.5; with
+    coalescing disabled they split."""
+    slow = ServeConfig(engine="xla", label_mode="none",
+                       noise_model="nmf", max_wait_ms=1000.0)
+    with EnhancementService(m1, cfg=CFG, serve=slow) as svc:
+        f1 = svc.submit(_wav(4, 1.9))
+        f2 = svc.submit(_wav(5, 3.9))
+        o1, o2 = f1.result(timeout=600), f2.result(timeout=600)
+        assert o1["batch_size"] == 2 and o2["batch_size"] == 2
+        assert svc.stats()["batches"] == 1
+        # the short request still comes back at its own length, finite
+        assert o1["s"].shape == (int(16000 * 1.9),)
+        assert np.all(np.isfinite(o1["s"]))
+
+    off = ServeConfig(engine="xla", label_mode="none",
+                      noise_model="nmf", max_wait_ms=1000.0,
+                      max_pad_waste=0.0)
+    with EnhancementService(m1, cfg=CFG, serve=off) as svc:
+        f1 = svc.submit(_wav(4, 1.9))
+        f2 = svc.submit(_wav(5, 3.9))
+        f1.result(timeout=600), f2.result(timeout=600)
         assert svc.stats()["batches"] == 2
 
 
