@@ -15,6 +15,7 @@ from .pallas_engine import (
     mh_chain_pallas,
 )
 from .peem import (
+    HybridConfig,
     PEEMConfig,
     peem_run,
     peem_m1_batch,

@@ -146,12 +146,49 @@ def peem_m2_batch(dgm_params, X_abs2, mask, y, keys, cfg: PEEMConfig,
     return jax.vmap(one)(X_abs2, mask, y, keys, Vb_fixed)
 
 
+@dataclass(frozen=True)
+class HybridConfig:
+    """PEEM->MCEM hybrid: deterministic gradient EM for `niter`
+    iterations, then `refine` warm-started MCEM sampling iterations +
+    the sampled Wiener filter. The 162x-realtime operating point at the
+    paper's 500-iteration config (VALIDATION.md paper-config table);
+    select with --algorithm hybrid on the evaluate CLIs."""
+
+    niter: int = 500                 # PEEM iterations
+    refine: int = 150                # MCEM refinement iterations
+    e_steps: int = 5
+    lr: float = 5e-3
+    nmf_rank: int = 10
+    eps: float = 1e-8
+    nsamples_E_step: int = 10
+    burnin_E_step: int = 30
+    nsamples_WF: int = 25
+    burnin_WF: int = 75
+    var_RW: float = 0.01
+
+    def split(self):
+        from .engine import MCEMConfig
+
+        pcfg = PEEMConfig(niter=self.niter, e_steps=self.e_steps,
+                          lr=self.lr, nmf_rank=self.nmf_rank,
+                          eps=self.eps)
+        mcfg = MCEMConfig(niter=self.refine,
+                          nsamples_E_step=self.nsamples_E_step,
+                          burnin_E_step=self.burnin_E_step,
+                          nsamples_WF=self.nsamples_WF,
+                          burnin_WF=self.burnin_WF, var_RW=self.var_RW,
+                          nmf_rank=self.nmf_rank, eps=self.eps)
+        return pcfg, mcfg
+
+
 def peem_mcem_m2_batch(dgm_params, X_abs2, mask, y, keys,
-                       pcfg: PEEMConfig, mcfg, **fused_kw):
+                       pcfg: PEEMConfig, mcfg, update_nmf=True,
+                       Vb_fixed=None, **fused_kw):
     """PEEM warm start + short fused-MCEM refinement (the paper-config
     fast mode): run the deterministic gradient EM for pcfg.niter
     iterations, then hand its (W, H, g, Z) state to the fused Pallas MCEM
     for mcfg.niter sampling iterations and the sampled Wiener filter.
+    y=None runs the label-free M1 family.
 
     Rationale: at the paper's 500-iteration budget (reference
     evaluate_M1.py:92) the MH chain spends most iterations converging
@@ -162,10 +199,16 @@ def peem_mcem_m2_batch(dgm_params, X_abs2, mask, y, keys,
     """
     from .pallas_engine import mcem_batch_fused
 
-    r = peem_m2_batch(dgm_params, X_abs2, mask, y, keys, pcfg)
+    if y is None:
+        r = peem_m1_batch(dgm_params, X_abs2, mask, keys, pcfg,
+                          update_nmf=update_nmf, Vb_fixed=Vb_fixed)
+    else:
+        r = peem_m2_batch(dgm_params, X_abs2, mask, y, keys, pcfg,
+                          update_nmf=update_nmf, Vb_fixed=Vb_fixed)
     keys_m = jax.vmap(lambda k: jax.random.fold_in(k, 7331))(keys)
     init = {"W": r["W"], "H": r["H"], "g": r["g"], "Z": r["Z"]}
     out = mcem_batch_fused(dgm_params, X_abs2, mask, y, keys_m, mcfg,
-                           init=init, **fused_kw)
+                           init=init, update_nmf=update_nmf,
+                           Vb_fixed=Vb_fixed, **fused_kw)
     out["cost"] = jnp.concatenate([r["cost"], out["cost"]], axis=-1)
     return out

@@ -35,6 +35,7 @@ from .dsp import (
 from .data import read_wav, write_wav
 from .models import classifier_apply
 from .mcem import (
+    HybridConfig,
     MCEMConfig,
     PEEMConfig,
     mcem_m1_batch,
@@ -162,7 +163,23 @@ def _mcem_wf_istft(vae_params, X_re, X_im, X_p, mask, y, keys, cfg,
     if noise_model == "hybrid":
         use_fused = False  # the fused kernel models Vb = W@H xor fixed
 
-    if isinstance(cfg, PEEMConfig):
+    if isinstance(cfg, HybridConfig):
+        # PEEM warm start + short fused-MCEM refinement (the 162x paper-
+        # config operating point; --algorithm hybrid on the CLIs). Not to
+        # be confused with noise_model='hybrid' (SPP floor + NMF residual)
+        from .mcem import peem_mcem_m2_batch
+
+        if noise_model == "hybrid":
+            raise ValueError("algorithm 'hybrid' supports noise_model "
+                             "'nmf' or 'spp' only")
+
+        pcfg, mcfg = cfg.split()
+        kw = dict(samples_dtype=jnp.bfloat16, approx_recip=True,
+                  compute_cost=False) if fast else {}
+        out = peem_mcem_m2_batch(vae_params, X_p, mask, y, keys, pcfg,
+                                 mcfg, update_nmf=update_nmf,
+                                 Vb_fixed=Vb_fixed, **kw)
+    elif isinstance(cfg, PEEMConfig):
         fn = peem_m1_batch if y is None else peem_m2_batch
         args = (vae_params, X_p, mask) + (() if y is None else (y,))
         out = fn(*args, keys, cfg, update_nmf=update_nmf,
@@ -426,6 +443,9 @@ def enhance_to_audio(vae_params, X_tfs, t_origs, ys=None, keys=None,
     if noise_model not in ("nmf", "spp", "hybrid"):
         raise ValueError(f"noise_model must be 'nmf', 'spp' or 'hybrid', "
                          f"got {noise_model!r}")
+    if isinstance(cfg, HybridConfig) and noise_model == "hybrid":
+        raise ValueError("algorithm 'hybrid' supports noise_model 'nmf' "
+                         "or 'spp' only")
     n_pad = bucket_frames(max(X.shape[1] for X in X_tfs), bucket_multiple)
     X_c, X_p, mask, y_b = _pad_batch(X_tfs, ys, n_pad)
     B = len(X_tfs)
@@ -478,6 +498,9 @@ def enhance_batch(vae_params, X_tfs, ys=None, keys=None,
     if noise_model not in ("nmf", "spp", "hybrid"):
         raise ValueError(f"noise_model must be 'nmf', 'spp' or 'hybrid', "
                          f"got {noise_model!r}")
+    if isinstance(cfg, HybridConfig) and noise_model == "hybrid":
+        raise ValueError("algorithm 'hybrid' supports noise_model 'nmf' "
+                         "or 'spp' only")
     n_pad = bucket_frames(max(X.shape[1] for X in X_tfs), bucket_multiple)
     X_c, X_p, mask, y_b = _pad_batch(X_tfs, ys, n_pad)
     B = len(X_tfs)
@@ -605,6 +628,9 @@ def enhance_files(file_paths, processed_dir, output_dir, vae_params,
     if noise_model not in ("nmf", "spp", "hybrid"):
         raise ValueError(f"noise_model must be 'nmf', 'spp' or 'hybrid', "
                          f"got {noise_model!r}")
+    if isinstance(cfg, HybridConfig) and noise_model == "hybrid":
+        raise ValueError("algorithm 'hybrid' supports noise_model 'nmf' "
+                         "or 'spp' only")
     if model_type == "m2" and classif_type not in (
             "dnn", "oracle", "timo", "ones", "zeros"):
         raise ValueError(f"unknown classif_type: {classif_type!r}")

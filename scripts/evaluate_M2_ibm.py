@@ -25,7 +25,14 @@ def main(argv=None):
     argv = argv or sys.argv[1:]
     paths, rest = apply_overrides(PathsConfig(), argv)
     cfg, rest = apply_overrides(MCEMConfig(), rest)
-    if flag(rest, "algorithm", "mcem") == "peem":
+    algo = flag(rest, "algorithm", "mcem")
+    if algo == "hybrid":
+        # PEEM warm start + fused-MCEM refinement (VALIDATION paper-config
+        # table: 162x realtime at niter=500 + refine=150)
+        from guided_vae_nmf_tpu.mcem import HybridConfig
+
+        cfg, rest = apply_overrides(HybridConfig(), rest)
+    elif algo == "peem":
         # point-estimate EM (gradient E-step; arXiv:1905.01209) — ~5-8x
         # cheaper per iteration than MCEM at near-identical quality
         cfg, rest = apply_overrides(PEEMConfig(), rest)

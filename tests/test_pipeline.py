@@ -326,3 +326,34 @@ def test_plan_batches_mesh_aware():
     k8 = {p: tuple(np.asarray(k)) for b in plan8
           for p, k in zip(b[0], np.asarray(b[2]))}
     assert k1 == k8
+
+
+def test_enhance_files_hybrid_algorithm(tmp_path):
+    """--algorithm hybrid (HybridConfig) routes the sweep through PEEM +
+    warm-started fused-MCEM refinement; outputs keep the reconstruction
+    invariant and the file contract."""
+    from guided_vae_nmf_tpu.mcem import HybridConfig
+
+    files = _test_files()[:2]
+    dgm = dgm_init(KEY, [513, 513, 8, [32]])
+    hcfg = HybridConfig(niter=3, refine=2, e_steps=2, nmf_rank=3,
+                        nsamples_E_step=2, burnin_E_step=1,
+                        nsamples_WF=2, burnin_WF=1)
+    dt = enhance_files(
+        files, PROCESSED, str(tmp_path), dgm, model_type="m2",
+        classif_type="oracle", cfg=hcfg, batch_size=2,
+    )
+    assert dt > 0
+    for p in files:
+        base = str(tmp_path / os.path.splitext(p)[0])
+        s_est, _ = read_wav(base + "_s_est.wav")
+        n_est, _ = read_wav(base + "_n_est.wav")
+        x, _ = read_wav(os.path.join(PROCESSED,
+                                     os.path.splitext(p)[0]) + "_x.wav")
+        assert np.all(np.isfinite(s_est))
+        assert_allclose(s_est + n_est, x, atol=5e-3)
+
+    with pytest.raises(ValueError, match="noise_model"):
+        enhance_files(files, PROCESSED, str(tmp_path / "h2"), dgm,
+                      model_type="m2", classif_type="oracle", cfg=hcfg,
+                      batch_size=2, noise_model="hybrid")

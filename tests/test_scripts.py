@@ -107,6 +107,20 @@ def test_m2_oracle_cli_and_metrics(data_root):
                      os.path.join(models_dir, "M2_oracle_enhanced/"))
     assert "F1" in out
 
+    # --algorithm hybrid: PEEM + warm-started fused-MCEM refinement
+    out = run_script(
+        "evaluate_M2_ibm.py", "--data_root", data_root, "--model", m2_dir,
+        "--classif_type", "oracle", "--algorithm", "hybrid",
+        "--niter", "3", "--refine", "2", "--e_steps", "2",
+        "--nsamples_E_step", "2", "--burnin_E_step", "1",
+        "--nsamples_WF", "2", "--burnin_WF", "1",
+        "--output", os.path.join(models_dir, "M2_hybrid_enhanced/"),
+    )
+    assert "Finished" in out
+    est = os.path.join(models_dir, "M2_hybrid_enhanced",
+                       "CSR-1-WSJ-0/WAV/wsj0/si_et_05/440")
+    assert any(f.endswith("_s_est.wav") for f in os.listdir(est))
+
 
 def test_m2_vad_ablation_and_wiener_cli(data_root):
     models_dir = os.path.join(data_root, "subset", "models")
