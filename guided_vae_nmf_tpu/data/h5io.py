@@ -178,10 +178,20 @@ class H5StreamSource:
         self.std = self._reader.std
         if self.n_frames < self.chunk_frames:
             self.chunk_frames = self.n_frames
-        self.n_chunks = self.n_frames // self.chunk_frames
+        # Cover the n_frames % chunk_frames tail with a final FULL-SIZE
+        # chunk starting at n_frames - chunk_frames: every frame is seen
+        # each epoch (the tail-overlap rows repeat — benign under the
+        # two-level shuffle) and the device keeps one compiled chunk
+        # shape. A ragged tail chunk would instead silently drop up to
+        # chunk_frames-1 frames per epoch.
+        self._starts = list(range(0, self.n_frames - self.chunk_frames + 1,
+                                  self.chunk_frames))
+        if self._starts[-1] + self.chunk_frames < self.n_frames:
+            self._starts.append(self.n_frames - self.chunk_frames)
+        self.n_chunks = len(self._starts)
 
     def _load_chunk(self, chunk_idx):
-        lo = chunk_idx * self.chunk_frames
+        lo = self._starts[chunk_idx]
         hi = lo + self.chunk_frames
         # contiguous column block, shipped unshuffled: within-chunk
         # shuffling happens on device through the epoch-scan's batch

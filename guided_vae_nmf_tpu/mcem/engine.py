@@ -300,7 +300,7 @@ def _masked_cost(X_abs2, mask, Vb, g, Vs_samples, axis_name=None):
 
 def mcem_run(vae_params, X_abs2, mask, y, key, cfg: MCEMConfig,
              update_nmf=True, Vb_fixed=None, axis_name=None,
-             init_nmf=None):
+             init_nmf=None, init_Z=None):
     """Run the full MCEM loop on one utterance.
 
     Args:
@@ -319,6 +319,8 @@ def mcem_run(vae_params, X_abs2, mask, y, key, cfg: MCEMConfig,
       init_nmf: optional (W0, H0, g0) overriding the random NMF init —
         used by the frame-sharded path so every shard starts from its
         slice of one global init (and by fixed-randomness tests).
+      init_Z: optional (L, N) latent warm start replacing the encoder
+        posterior-mean init (PEEM->MCEM hybrid on the XLA engine).
 
     Returns dict with WFs, WFn (F, N), cost (niter,), W, H, g, Z.
     """
@@ -341,11 +343,15 @@ def mcem_run(vae_params, X_abs2, mask, y, key, cfg: MCEMConfig,
         H = jnp.zeros((1, N), X_abs2.dtype)
         g = jnp.ones((N,), X_abs2.dtype)
 
-    # Z0 = encoder posterior mean of the (label-conditioned) power frames
-    # (reference mcem.py:214-215,367-368)
-    enc_in = X_abs2.T if y is None else jnp.concatenate([X_abs2, y], 0).T
-    _, mu, _ = encoder_apply(enc_params, enc_in)
-    Z = mu.T  # (L, N)
+    if init_Z is not None:
+        Z = init_Z
+    else:
+        # Z0 = encoder posterior mean of the (label-conditioned) power
+        # frames (reference mcem.py:214-215,367-368)
+        enc_in = (X_abs2.T if y is None
+                  else jnp.concatenate([X_abs2, y], 0).T)
+        _, mu, _ = encoder_apply(enc_params, enc_in)
+        Z = mu.T  # (L, N)
 
     y_pre = _precompute_label_proj(dec_params, y, L)
     Vs = _decode_cond(dec_params, y_pre, Z)

@@ -762,9 +762,12 @@ def mcem_batch_fused(vae_params, X_abs2, mask, y, keys,
         Vbf = None if update_nmf else jnp.swapaxes(Vb_fixed, 1, 2)
     elif update_nmf:
         k_w, k_h = jax.random.split(k_init)
-        # sampled in the reference (B, F, K) orientation (same stream as
-        # the XLA engine), carried transposed as Wt (B, K, F) — the layout
-        # the kernels consume
+        # sampled in the reference (B, F, K) orientation, carried
+        # transposed as Wt (B, K, F) — the layout the kernels consume.
+        # NOTE: drawn from the batch's leading key over the PADDED N
+        # (unlike the XLA engine's per-utterance framewise_uniform), so
+        # fused outputs depend on the batch plan / padded length —
+        # statistically equivalent, not bit-stable across plans.
         W0 = jnp.maximum(jax.random.uniform(k_w, (B, F, cfg.nmf_rank)),
                          cfg.eps)
         Wt = jnp.swapaxes(W0, 1, 2)

@@ -183,7 +183,7 @@ class HybridConfig:
 
 def peem_mcem_m2_batch(dgm_params, X_abs2, mask, y, keys,
                        pcfg: PEEMConfig, mcfg, update_nmf=True,
-                       Vb_fixed=None, **fused_kw):
+                       Vb_fixed=None, use_fused=True, **fused_kw):
     """PEEM warm start + short fused-MCEM refinement (the paper-config
     fast mode): run the deterministic gradient EM for pcfg.niter
     iterations, then hand its (W, H, g, Z) state to the fused Pallas MCEM
@@ -206,9 +206,39 @@ def peem_mcem_m2_batch(dgm_params, X_abs2, mask, y, keys,
         r = peem_m2_batch(dgm_params, X_abs2, mask, y, keys, pcfg,
                           update_nmf=update_nmf, Vb_fixed=Vb_fixed)
     keys_m = jax.vmap(lambda k: jax.random.fold_in(k, 7331))(keys)
-    init = {"W": r["W"], "H": r["H"], "g": r["g"], "Z": r["Z"]}
-    out = mcem_batch_fused(dgm_params, X_abs2, mask, y, keys_m, mcfg,
-                           init=init, update_nmf=update_nmf,
-                           Vb_fixed=Vb_fixed, **fused_kw)
+    if use_fused:
+        init = {"W": r["W"], "H": r["H"], "g": r["g"], "Z": r["Z"]}
+        out = mcem_batch_fused(dgm_params, X_abs2, mask, y, keys_m, mcfg,
+                               init=init, update_nmf=update_nmf,
+                               Vb_fixed=Vb_fixed, **fused_kw)
+    else:
+        # XLA-scan refinement (CPU / portable path): the Pallas
+        # interpreter's PRNG is a stub, so the fused chain would run with
+        # meaningless MH randomness off-accelerator (pipeline._use_fused
+        # makes the same call for plain MCEM)
+        from .engine import mcem_run
+
+        params = {k: v for k, v in dgm_params.items() if k != "y_dim"}
+
+        def one(X, m, yy, k, W, H, g, Z, Vb):
+            return mcem_run(params, X, m, yy, k, mcfg,
+                            update_nmf=update_nmf, Vb_fixed=Vb,
+                            init_nmf=(W, H, g), init_Z=Z)
+
+        args = (X_abs2, mask, y, keys_m, r["W"], r["H"], r["g"], r["Z"])
+        if y is None:
+            def one_m1(X, m, k, W, H, g, Z, Vb):
+                return one(X, m, None, k, W, H, g, Z, Vb)
+
+            args = (X_abs2, mask, keys_m, r["W"], r["H"], r["g"], r["Z"])
+            if Vb_fixed is None:
+                out = jax.vmap(
+                    lambda *a: one_m1(*a, None))(*args)
+            else:
+                out = jax.vmap(one_m1)(*args, Vb_fixed)
+        elif Vb_fixed is None:
+            out = jax.vmap(lambda *a: one(*a, None))(*args)
+        else:
+            out = jax.vmap(one)(*args, Vb_fixed)
     out["cost"] = jnp.concatenate([r["cost"], out["cost"]], axis=-1)
     return out

@@ -178,7 +178,8 @@ def _mcem_wf_istft(vae_params, X_re, X_im, X_p, mask, y, keys, cfg,
                   compute_cost=False) if fast else {}
         out = peem_mcem_m2_batch(vae_params, X_p, mask, y, keys, pcfg,
                                  mcfg, update_nmf=update_nmf,
-                                 Vb_fixed=Vb_fixed, **kw)
+                                 Vb_fixed=Vb_fixed, use_fused=use_fused,
+                                 **kw)
     elif isinstance(cfg, PEEMConfig):
         fn = peem_m1_batch if y is None else peem_m2_batch
         args = (vae_params, X_p, mask) + (() if y is None else (y,))
@@ -256,7 +257,7 @@ def _enhance_waveform_jit(vae_params, x_pad, s_pad, y_in, classifier_params,
     return bit-packed uint8 (MSB-first, np.unpackbits layout); soft labels
     are fetched (f16) only for 'dnn' — for the other sources soft == hard
     and the host reconstructs them. Returns (s_i16, n_i16,
-    y_soft f16 | None, y_hard_packed u8 | None, finite_ok bool scalar).
+    y_soft f16 | None, y_hard_packed u8 | None, finite_ok (B,) per-row bool).
     """
     from .dsp import (
         stft_batch_padded_jax, clean_speech_IBM_jax, clean_speech_VAD_jax,
@@ -315,9 +316,12 @@ def _enhance_waveform_jit(vae_params, x_pad, s_pad, y_in, classifier_params,
     s_est, n_est, _, _ = _mcem_wf_istft(
         vae_params, X_re, X_im, X_p, mask, y, keys, cfg, use_fused,
         noise_model, fast)
-    finite_ok = jnp.all(jnp.isfinite(s_est))
+    # per-ROW flags: a co-batched healthy request must not be degraded by
+    # another row's numeric failure (serving resolves rows independently;
+    # enhance_files np.all()s the flags and keeps whole-batch retry)
+    finite_ok = jnp.all(jnp.isfinite(s_est), axis=-1)
     if return_noise:
-        finite_ok = finite_ok & jnp.all(jnp.isfinite(n_est))
+        finite_ok = finite_ok & jnp.all(jnp.isfinite(n_est), axis=-1)
 
     def to_pcm16(w):
         return jnp.clip(jnp.round(w * 32768.0), -32768, 32767).astype(
@@ -556,8 +560,13 @@ def plan_batches(file_paths, n_frames_all, batch_size=16,
         groups[bucket_frames(nf, bucket_multiple)].append(i)
 
     # per-utterance keys derive from the utterance's LIST INDEX, not the
-    # batch cut, so the stochastic trajectory is invariant to the plan
-    # (single-device and mesh-aware plans produce identical outputs)
+    # batch cut, so on the XLA engine (engine='xla', per-utterance key
+    # streams + framewise_uniform inits) the stochastic trajectory is
+    # invariant to the plan — single-device and mesh-aware plans produce
+    # identical outputs. The fused Pallas engine derives its chain PRNG
+    # streams and NMF init from the whole batch's leading key and the
+    # padded length, so its outputs are plan-dependent (statistically
+    # equivalent MH noise, not bit-stable across plans).
     keys_all = jax.random.split(jax.random.PRNGKey(seed),
                                 max(len(file_paths), 1))
     batches = []  # (paths, n_pad, keys)

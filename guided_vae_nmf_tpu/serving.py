@@ -321,10 +321,15 @@ class EnhancementService:
         for j in range(B, Bp):               # benign duplicate tail rows
             x_b[j] = x_b[B - 1]
             mask_b[j] = mask_b[B - 1]
-        keys = jnp.asarray(np.stack([
-            np.asarray(jax.random.PRNGKey(sv.seed * 1_000_003 + r.rid))
-            for r in (reqs + [reqs[-1]] * (Bp - B))
-        ]))
+        # host-side threefry seeds, bit-identical to
+        # jax.random.PRNGKey(x) under the default x64-disabled config
+        # (the seed canonicalizes to int32, so the key is [0, x mod 2^32])
+        # — per-request PRNGKey() calls would each be a tiny device
+        # program, up to max_batch synchronous round-trips per dispatch
+        seeds = [sv.seed * 1_000_003 + r.rid
+                 for r in (reqs + [reqs[-1]] * (Bp - B))]
+        keys = jnp.asarray(np.array(
+            [[0, x & 0xFFFFFFFF] for x in seeds], np.uint32))
         use_fused = _use_fused(sv.engine, self._vae, n_pad)
         s_i16, n_i16, _, _, finite_ok = _enhance_waveform_jit(
             self._vae, jnp.asarray(x_b), None, None,
@@ -344,11 +349,11 @@ class EnhancementService:
         s_np = np.asarray(s_i16, np.float32) / 32768.0
         n_np = (None if n_i16 is None
                 else np.asarray(n_i16, np.float32) / 32768.0)
-        ok = bool(finite_ok)
+        ok = np.asarray(finite_ok)          # (Bp,) per-row flags
         now = time.perf_counter()
         for j, r in enumerate(reqs):
             T = len(r.x)
-            if not ok:                      # degrade to passthrough
+            if not ok[j]:                   # degrade THIS row only
                 s, n = r.x.copy(), np.zeros(T, np.float32)
             else:
                 s = s_np[j, :T]
@@ -356,8 +361,13 @@ class EnhancementService:
             lat = now - r.t_submit
             with self._cv:
                 self._lat.append((lat, B))
-            r.future.set_result({"s": s, "n": n, "latency_s": lat,
-                                 "batch_size": B})
+            try:                            # client may have cancelled
+                if not r.future.done():
+                    r.future.set_result({"s": s, "n": n,
+                                         "latency_s": lat,
+                                         "batch_size": B})
+            except Exception:               # cancel raced the done() check
+                pass
         self._batches += 1
 
     def _run_bucket(self, n_pad, reqs):

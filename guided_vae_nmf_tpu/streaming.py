@@ -326,6 +326,9 @@ class StreamingM2Enhancer(_StreamingOLA):
 
         if label_mode == "dnn" and classifier_params is None:
             raise ValueError("label_mode='dnn' needs classifier_params")
+        # guidance dimension from the model (513 for IBM-guided M2, 1 for
+        # the VAD-guided family), NOT from label_mode
+        self.y_dim = int(dgm_params.get("y_dim", NFFT // 2 + 1))
         self.dgm = {k: v for k, v in dgm_params.items() if k != "y_dim"}
         self.enc = self.dgm["encoder"]
         self.dec = self.dgm["decoder"]
@@ -349,18 +352,30 @@ class StreamingM2Enhancer(_StreamingOLA):
         super().reset()
         if hasattr(self, "_est"):
             self._est.reset()
+            from .mcem.spp import SPPNoiseEstimator
+
+            self._vad_est = SPPNoiseEstimator(frame_length=0)
             F = NFFT // 2 + 1
             C = self.C
             self._ctx_X = np.zeros((F, C), np.float32)
-            self._ctx_y = np.zeros((F if self.label_mode != "vad" else 1,
-                                    C), np.float32)
+            self._ctx_y = np.zeros((self.y_dim, C), np.float32)
             self._ctx_Vb = np.ones((F, C), np.float32)
             self._ctx_g = np.ones((C,), np.float32)
             self._ctx_Z = None
             self._ctx_valid = np.zeros((C,), np.float32)
 
-    def _labels(self, power, spp):
+    def _labels(self, power, spp, k):
+        """(chunk, y_dim) hard guidance labels; only the first `k` rows
+        are real frames (the causal VAD tracker must not see pad rows)."""
         if self.label_mode == "timo":
+            if self.y_dim == 1:
+                # frame VAD = SPP of summed power (spp.timo_vad_estimation)
+                vad = np.zeros((power.shape[0], 1), np.float32)
+                for i in range(k):
+                    _, s1 = self._vad_est.update(
+                        np.atleast_1d(power[i].sum()))
+                    vad[i, 0] = s1[0]
+                return (vad > 0.5).astype(np.float32)
             return (spp > 0.5).astype(np.float32)
         p = jnp.asarray(power)
         if self.mean is not None:
@@ -378,7 +393,7 @@ class StreamingM2Enhancer(_StreamingOLA):
         spp = np.zeros_like(power)
         for i in range(k):                 # causal SPP recurrence
             Vb_new[i], spp[i] = self._est.update(power[i])
-        y_new = self._labels(power, spp)   # (chunk, y_dim)
+        y_new = self._labels(power, spp, k)   # (chunk, y_dim)
 
         Z_new = np.asarray(_m2_init_z_jit(
             self.enc, jnp.asarray(power), jnp.asarray(y_new)))
@@ -408,17 +423,23 @@ class StreamingM2Enhancer(_StreamingOLA):
         g = np.asarray(g)
         m = np.asarray(WFs)[:, self.C:].T  # (chunk, F) gains, new frames
 
-        # roll the context: keep the last C VALID frames of the window
+        # rebuild the context: right-align the last (up to C) VALID frames
+        # of the window, benign-fill the rest and mark it invalid. (A roll
+        # of the old buffer would duplicate frames during stream warm-up:
+        # the shifted prefix still holds frames that `keep` re-selects.)
         keep = np.flatnonzero(maskw)[-self.C:]
         n_keep = len(keep)
-        for buf, src in ((self._ctx_X, Xw), (self._ctx_y, yw),
-                         (self._ctx_Vb, Vbw), (self._ctx_Z, Z)):
-            buf[:, :] = np.roll(buf, -n_keep, axis=1)
-            buf[:, self.C - n_keep:] = src[:, keep]
-        self._ctx_g = np.roll(self._ctx_g, -n_keep)
-        self._ctx_g[self.C - n_keep:] = g[keep]
-        self._ctx_valid = np.roll(self._ctx_valid, -n_keep)
-        self._ctx_valid[self.C - n_keep:] = 1.0
+        lead = self.C - n_keep
+        for buf, src, fill in ((self._ctx_X, Xw, 0.0),
+                               (self._ctx_y, yw, 0.0),
+                               (self._ctx_Vb, Vbw, 1.0),
+                               (self._ctx_Z, Z, 0.0)):
+            buf[:, :lead] = fill
+            buf[:, lead:] = src[:, keep]
+        self._ctx_g[:lead] = 1.0
+        self._ctx_g[lead:] = g[keep]
+        self._ctx_valid[:lead] = 0.0
+        self._ctx_valid[lead:] = 1.0
 
         y = _synth_frames_jit(re, im, jnp.asarray(m))
         return y, m.astype(np.float16)

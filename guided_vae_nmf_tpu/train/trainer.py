@@ -293,7 +293,9 @@ def fit(params, family, train_data, valid_data, cfg: TrainConfig, model_dir,
 
     saver = ThreadPoolExecutor(max_workers=1)
     save_futs = []
-    xfer_pool = ThreadPoolExecutor(max_workers=1)  # stream H2D lookahead
+    # stream H2D lookahead; shut down with `saver` (a per-fit() leak
+    # otherwise), and only needed on the streaming path
+    xfer_pool = ThreadPoolExecutor(max_workers=1) if use_stream else None
 
     history = []
     for epoch in range(start_epoch, cfg.end_epoch + 1):
@@ -420,6 +422,8 @@ def fit(params, family, train_data, valid_data, cfg: TrainConfig, model_dir,
     for f in save_futs:
         f.result()  # surface saver exceptions
     saver.shutdown(wait=True)
+    if xfer_pool is not None:
+        xfer_pool.shutdown(wait=True)
     return _merge(params, tparams), history
 
 

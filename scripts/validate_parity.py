@@ -277,7 +277,13 @@ def gate_report(work, files, niter):
     hdr = ("utterance", "metric", "ours mean±sd", "ref mean±sd",
            "Δmean", "95% CI")
     print("{:<14} {:<7} {:>14} {:>14} {:>8} {:>18}".format(*hdr))
-    tcrit = sps.t.ppf(0.975, K - 1)
+    # K=1: sd/CI are undefined (ddof=1 variance of one sample, t with
+    # df=0) — print means with zero spread instead of NaNs
+    tcrit = sps.t.ppf(0.975, K - 1) if K > 1 else 0.0
+    sd = ((lambda v: v.std(ddof=1)) if K > 1
+          else (lambda v: 0.0))
+    var1 = ((lambda v: v.var(ddof=1)) if K > 1
+            else (lambda v: 0.0))
     agg = {"SI-SDR": [], "ESTOI": [], "PESQ": []}
     for name in files:
         o = np.asarray([o_all[s][name] for s in common])
@@ -287,13 +293,13 @@ def gate_report(work, files, niter):
             # the same MH process, so the unpaired Welch CI is the right
             # bound on the mean difference
             d = o[:, i].mean() - r[:, i].mean()
-            se = np.sqrt(o[:, i].var(ddof=1) / K + r[:, i].var(ddof=1) / K)
+            se = np.sqrt(var1(o[:, i]) / K + var1(r[:, i]) / K)
             agg[met].append(d)
             print("{:<14} {:<7} {:>7.3f}±{:<5.3f} {:>7.3f}±{:<5.3f} "
                   "{:>+8.3f} [{:+.3f}, {:+.3f}]".format(
                       os.path.basename(name), met,
-                      o[:, i].mean(), o[:, i].std(ddof=1),
-                      r[:, i].mean(), r[:, i].std(ddof=1), d,
+                      o[:, i].mean(), sd(o[:, i]),
+                      r[:, i].mean(), sd(r[:, i]), d,
                       d - tcrit * se, d + tcrit * se))
     for met, ds in agg.items():
         print(f"mean |Δ{met}| over utterances: "

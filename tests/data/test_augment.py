@@ -93,3 +93,30 @@ def test_h5_stream_source_and_trainer(tmp_path):
     assert hist[1]["train"] < hist[0]["train"]
     assert np.isfinite(hist[1]["valid"])
     src.close()
+
+
+def test_h5_stream_source_covers_ragged_tail(tmp_path):
+    """Round-3 review fix: a store whose size is not a chunk multiple must
+    still see every frame each epoch — the final chunk starts at
+    n_frames - chunk_frames (full-size, overlapping), instead of the old
+    behavior of silently dropping the tail."""
+    from guided_vae_nmf_tpu.data import H5FrameWriter, H5StreamSource
+
+    h5p = str(tmp_path / "r.h5")
+    rng = np.random.RandomState(1)
+    n = 1300                                # 2 full 512-chunks + 276 tail
+    X = rng.rand(513, n).astype(np.float32)
+    Y = (rng.rand(513, n) > 0.5).astype(np.float32)
+    w = H5FrameWriter(h5p, "train")
+    w.append(X, Y)
+    w.finalize()
+
+    src = H5StreamSource(h5p, "train", chunk_frames=512, seed=0)
+    assert src.n_chunks == 3                # ceil coverage, not floor
+    rows = np.concatenate([c for c, _ in src.epoch_chunks(0)])
+    assert rows.shape == (3 * 512, 513)     # fixed chunk shape kept
+    # every frame of the store appears at least once
+    seen = {tuple(np.round(r, 5)) for r in rows}
+    missing = sum(tuple(np.round(r, 5)) not in seen for r in X.T)
+    assert missing == 0
+    src.close()

@@ -94,3 +94,34 @@ def test_peem_mcem_hybrid_batch():
         dgm, X, mask, y, keys_m, mcfg,
         init={"W": r["W"], "H": r["H"], "g": r["g"], "Z": r["Z"]})
     assert_array_equal(np.asarray(out["WFs"]), np.asarray(ref["WFs"]))
+
+
+def test_hybrid_xla_refinement_has_real_randomness():
+    """Round-3 review fix: on CPU the hybrid must refine on the XLA
+    engine (use_fused=False) — the Pallas interpreter's PRNG is a stub,
+    which (with the warm start removing the random NMF init) would make
+    every seed produce the identical chain. The XLA path must be
+    seed-sensitive and replayable."""
+    from guided_vae_nmf_tpu.mcem import (
+        MCEMConfig, peem_mcem_m2_batch,
+    )
+
+    B, Ff, Nn, ydim = 2, 65, 128, 10
+    dgm = dgm_init(KEY, [Ff, ydim, 8, [16, 16]])
+    X = jax.random.uniform(jax.random.PRNGKey(7), (B, Ff, Nn)) + 0.05
+    y = (jax.random.uniform(jax.random.PRNGKey(8), (B, ydim, Nn)) > 0.5)
+    y = y.astype(jnp.float32)
+    mask = jnp.ones((B, Nn))
+    pcfg = PEEMConfig(niter=3, e_steps=2, nmf_rank=3)
+    mcfg = MCEMConfig(niter=2, nsamples_E_step=2, burnin_E_step=1,
+                      nsamples_WF=2, burnin_WF=1, nmf_rank=3)
+
+    def run(seed):
+        keys = jax.random.split(jax.random.PRNGKey(seed), B)
+        return np.asarray(peem_mcem_m2_batch(
+            dgm, X, mask, y, keys, pcfg, mcfg, use_fused=False)["WFs"])
+
+    a, b, a2 = run(0), run(1), run(0)
+    assert np.array_equal(a, a2)            # replayable
+    assert np.abs(a - b).max() > 1e-6       # seed-sensitive (real RNG)
+    assert np.all(np.isfinite(a))

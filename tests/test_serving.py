@@ -144,3 +144,13 @@ def test_bad_input_rejected(m1):
             svc.submit(np.zeros((2, 100), np.float32))
         with pytest.raises(ValueError):
             svc.submit(np.zeros(0, np.float32))
+
+
+def test_host_key_layout_matches_prngkey():
+    """The serving layer builds threefry keys on the host; pin the layout
+    against jax.random.PRNGKey so a jax-side change cannot silently alter
+    request RNG streams."""
+    for x in (0, 5, 1_000_003 * 7 + 42, 2**40 + 17):
+        np.testing.assert_array_equal(
+            np.asarray(jax.random.PRNGKey(x)),
+            np.array([0, x & 0xFFFFFFFF], np.uint32))

@@ -177,3 +177,54 @@ def test_streaming_m2_runs_and_enhances():
     assert np.mean((y - x[:len(y)]) ** 2) > 1e-10
     with pytest.raises(RuntimeError):
         enh.push(x[:100])
+
+
+def test_streaming_m2_warmup_context_validity():
+    """Regression (round-3 review): during stream warm-up the context must
+    hold exactly the real frames seen so far — the old np.roll logic
+    duplicated frames and inflated ctx_valid before the context filled."""
+    from guided_vae_nmf_tpu.models import dgm_init
+    from guided_vae_nmf_tpu.streaming import StreamingM2Enhancer, HOP
+
+    F_BINS = 513
+    dgm = dgm_init(jax.random.PRNGKey(0), [F_BINS, F_BINS, 8, [32]])
+    enh = StreamingM2Enhancer(dgm, label_mode="timo", chunk_frames=2,
+                              context_frames=8, block_iters=1, e_steps=1)
+    rng = np.random.RandomState(0)
+    frames_seen = 0
+    x = (0.05 * rng.randn(8 * 16000)).astype(np.float32)
+    lo = 0
+    for chunk in (2500, 2000, 3000, 2600):
+        enh.push(x[lo:lo + chunk])
+        lo += chunk
+        frames_seen = enh._t_done
+        want = min(8, frames_seen)
+        got = int(enh._ctx_valid.sum())
+        assert got == want, (frames_seen, got)
+        # valid context = right-aligned block, no stale prefix validity
+        assert np.all(enh._ctx_valid[:8 - got] == 0.0)
+        assert np.all(enh._ctx_valid[8 - got:] == 1.0)
+
+
+def test_streaming_m2_vad_family():
+    """The VAD-guided M2 (y_dim=1) streams with both label sources —
+    regression for the _ctx_y shape being keyed on label_mode."""
+    from guided_vae_nmf_tpu.models import dgm_init, classifier_init
+    from guided_vae_nmf_tpu.streaming import StreamingM2Enhancer
+
+    F_BINS = 513
+    dgm = dgm_init(jax.random.PRNGKey(0), [F_BINS, 1, 8, [32]])
+    rng = np.random.RandomState(1)
+    x = (0.05 * rng.randn(16000)).astype(np.float32)
+
+    for kwargs in (
+        {"label_mode": "timo"},
+        {"label_mode": "dnn",
+         "classifier_params": classifier_init(
+             jax.random.PRNGKey(1), [F_BINS, [16], 1])},
+    ):
+        enh = StreamingM2Enhancer(dgm, chunk_frames=4, context_frames=8,
+                                  block_iters=2, e_steps=2, **kwargs)
+        y = np.concatenate([enh.push(x), enh.flush()])
+        assert len(y) == len(x)
+        assert np.all(np.isfinite(y))
