@@ -399,7 +399,7 @@ def _enhance_waveform_sharded(mesh, vae_params, x_pad, s_pad, y_in,
             outs.append(ys)
         if yh is not None:
             outs.append(yh)
-        outs.append(jnp.full((s_e.shape[0],), ok))
+        outs.append(ok)                     # (local_B,) per-row flags
         return tuple(outs)
 
     data = P(axis)

@@ -99,9 +99,19 @@ class EnhancementService:
 
     def __init__(self, vae_params, classifier_params=None, mean=None,
                  std=None, cfg: MCEMConfig = MCEMConfig(),
-                 serve: ServeConfig = ServeConfig()):
+                 serve: ServeConfig = ServeConfig(), mesh=None):
+        """mesh: optional jax.sharding.Mesh with a "data" axis — batches
+        shard over it (pipeline._enhance_waveform_sharded), with the
+        batch lattice floored at the mesh size so every dispatch divides
+        evenly (single requests then pay duplicate-row padding: a
+        latency-vs-utilization tradeoff the caller opts into)."""
         if serve.label_mode == "dnn" and classifier_params is None:
             raise ValueError("label_mode 'dnn' needs classifier_params")
+        self._mesh = mesh
+        self._n_dev = 1 if mesh is None else mesh.shape["data"]
+        if mesh is not None and serve.batch_lattice[-1] % self._n_dev:
+            raise ValueError("max batch_lattice entry must divide by the "
+                             "mesh data axis")
         self._vae = vae_params
         self._cls = classifier_params
         self._mean = None if mean is None else jnp.asarray(
@@ -309,7 +319,8 @@ class EnhancementService:
         without blocking on the computation."""
         sv = self._serve
         B = len(reqs)
-        Bp = next(b for b in sv.batch_lattice if b >= B)
+        Bp = next(b for b in sv.batch_lattice
+                  if b >= max(B, self._n_dev))
         L = (n_pad - 1) * HOP + NFFT
         x_b = np.zeros((Bp, L), np.int16)
         mask_b = np.zeros((Bp, n_pad), np.float32)
@@ -331,16 +342,25 @@ class EnhancementService:
         keys = jnp.asarray(np.array(
             [[0, x & 0xFFFFFFFF] for x in seeds], np.uint32))
         use_fused = _use_fused(sv.engine, self._vae, n_pad)
-        s_i16, n_i16, _, _, finite_ok = _enhance_waveform_jit(
+        args = (
             self._vae, jnp.asarray(x_b), None, None,
             self._cls if sv.label_mode == "dnn" else None,
             self._mean if sv.label_mode == "dnn" else None,
             self._std if sv.label_mode == "dnn" else None,
-            jnp.asarray(mask_b), keys, self._cfg, use_fused=use_fused,
-            noise_model=sv.noise_model, fast=sv.fast,
-            label_mode=sv.label_mode, target=sv.target,
-            return_noise=not use_fused,
+            jnp.asarray(mask_b), keys, self._cfg,
         )
+        kw = dict(use_fused=use_fused, noise_model=sv.noise_model,
+                  fast=sv.fast, label_mode=sv.label_mode,
+                  target=sv.target, quantile_fraction=0.98,
+                  quantile_weight=0.999, return_noise=not use_fused)
+        if self._mesh is None:
+            s_i16, n_i16, _, _, finite_ok = _enhance_waveform_jit(
+                *args, **kw)
+        else:
+            from .pipeline import _enhance_waveform_sharded
+
+            s_i16, n_i16, _, _, finite_ok = _enhance_waveform_sharded(
+                self._mesh, *args, **kw)
         return s_i16, n_i16, finite_ok
 
     def _resolve_bucket(self, handles, reqs):

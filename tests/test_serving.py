@@ -154,3 +154,31 @@ def test_host_key_layout_matches_prngkey():
         np.testing.assert_array_equal(
             np.asarray(jax.random.PRNGKey(x)),
             np.array([0, x & 0xFFFFFFFF], np.uint32))
+
+
+def test_mesh_sharded_service_matches_single_device(m1):
+    """Multi-chip serving: the same requests through a mesh-sharded
+    service (8-way virtual CPU mesh, shard_map over the data axis) must
+    produce the single-device service's outputs bit-for-bit (XLA engine,
+    identical per-request keys; zero collectives in the program)."""
+    from guided_vae_nmf_tpu.parallel import make_mesh
+
+    xs = [_wav(30 + i, 0.5) for i in range(3)]
+    slow = ServeConfig(engine="xla", label_mode="none",
+                       noise_model="nmf", max_wait_ms=2000.0)
+
+    def run(mesh):
+        with EnhancementService(m1, cfg=CFG, serve=slow,
+                                mesh=mesh) as svc:
+            futs = [svc.submit(x) for x in xs]
+            return [f.result(timeout=600) for f in futs]
+
+    single = run(None)
+    sharded = run(make_mesh())
+    assert sharded[0]["batch_size"] == 3
+    # per-request keys + per-row programs: agreement to ~1 PCM16 LSB
+    # (the mesh pads B=3 -> 8 rows vs 4 single-device, and XLA may
+    # reorder float reductions across compiled shapes — same bound as
+    # the co-batching test; different MH seeds would differ by ~0.05 RMS)
+    for a, b in zip(single, sharded):
+        np.testing.assert_allclose(a["s"], b["s"], atol=2.0 / 32768.0)
