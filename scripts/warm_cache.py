@@ -77,6 +77,26 @@ def main(argv=None):
                 n_done += 1
                 print(f"compiled bucket={n_pad} B={B} {label_mode}/{nm} "
                       f"({time.perf_counter() - t0:.1f}s)", flush=True)
+    if flag(argv, "serving", 0, int):
+        # the online endpoint's (batch x bucket) lattice at its default
+        # config (SPP noise + DNN labels) — shape-keyed, so random
+        # weights warm the same programs real checkpoints hit
+        from guided_vae_nmf_tpu.serving import (
+            EnhancementService, ServeConfig,
+        )
+
+        svc = EnhancementService(
+            params, classifier_params=cls, mean=mean, std=std, cfg=cfg,
+            serve=ServeConfig(noise_model="spp"))
+        try:
+            srv_buckets = tuple(
+                bucket_frames(b) for b in buckets) or (128, 256, 512)
+            dt = svc.warmup(buckets=srv_buckets)
+            n_done += len(srv_buckets) * 5
+            print(f"serving lattice warmed ({dt:.1f}s)", flush=True)
+        finally:
+            svc.close()
+
     print(f"warmed {n_done} programs into "
           f"{os.environ['GVNMF_CACHE_DIR']}")
 
