@@ -145,6 +145,8 @@ class EnhancementService:
         x = np.asarray(x, np.float32)
         if x.ndim != 1 or len(x) == 0:
             raise ValueError("submit expects a non-empty 1-D waveform")
+        if not np.all(np.isfinite(x)):
+            raise ValueError("waveform contains non-finite samples")
         req = _Request(x=x, t_submit=time.perf_counter(),
                        n_frames=frame_count(len(x)))
         with self._cv:

@@ -144,6 +144,10 @@ def test_bad_input_rejected(m1):
             svc.submit(np.zeros((2, 100), np.float32))
         with pytest.raises(ValueError):
             svc.submit(np.zeros(0, np.float32))
+        bad = np.zeros(1000, np.float32)
+        bad[3] = np.nan
+        with pytest.raises(ValueError):
+            svc.submit(bad)
 
 
 def test_host_key_layout_matches_prngkey():
