@@ -85,7 +85,25 @@ class ModelDims:
 def apply_overrides(cfg, argv):
     """Apply `--field value` CLI overrides onto a (frozen or mutable)
     dataclass; returns a new instance. Unknown flags are returned for the
-    caller."""
+    caller.
+
+    `--help`/`-h` anywhere in argv prints the invoking script's module
+    docstring (every scripts/*.py CLI documents its usage there) plus the
+    overridable fields of `cfg`, then exits 0 — apply_overrides is the
+    first parse step of every CLI, so this gives all of them a uniform
+    help surface without an argparse dependency.
+    """
+    if any(a in ("--help", "-h") for a in argv):
+        import sys as _sys
+
+        main_mod = _sys.modules.get("__main__")
+        doc = (getattr(main_mod, "__doc__", None) or "").strip()
+        if doc:
+            print(doc)
+        print(f"\n{type(cfg).__name__} overrides (--field value):")
+        for f in dataclasses.fields(cfg):
+            print(f"  --{f.name} (default: {getattr(cfg, f.name)!r})")
+        raise SystemExit(0)
     fields = {f.name: f for f in dataclasses.fields(cfg)}
     updates, rest = {}, []
     i = 0

@@ -1,6 +1,7 @@
 """Shared helpers for the evaluation/reconstruction scripts."""
 
 import os
+import sys
 
 import numpy as np
 
@@ -43,6 +44,14 @@ def load_norm_stats(model_dir):
 
 
 def flag(rest, name, default=None, cast=str):
+    if "--help" in rest or "-h" in rest:
+        # Uniform help surface for the flag()-parsed aux CLIs (the
+        # apply_overrides-parsed reference CLIs handle --help in
+        # config.apply_overrides the same way).
+        main_mod = sys.modules.get("__main__")
+        doc = (getattr(main_mod, "__doc__", None) or "").strip()
+        print(doc or "usage: see --flags in the script source")
+        raise SystemExit(0)
     key = f"--{name}"
     if key in rest:
         return cast(rest[rest.index(key) + 1])

@@ -155,3 +155,19 @@ def test_reconstruct_and_visualization(data_root):
                      "--dataset_type", "test",
                      "--output", os.path.join(models_dir, "figs/"))
     assert "wrote" in out
+
+
+def test_help_flag_exits_zero():
+    """Every CLI script must answer --help with its usage docstring and
+    rc=0 (the apply_overrides help surface) without touching data/models."""
+    import glob
+
+    scripts = sorted(
+        os.path.basename(p)
+        for p in glob.glob(os.path.join(REPO, "scripts", "*.py"))
+        if not os.path.basename(p).startswith("_")
+    )
+    assert scripts, "no CLI scripts found"
+    for name in scripts:
+        out = run_script(name, "--help")
+        assert "--" in out, f"{name} --help printed no flags:\n{out}"
