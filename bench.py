@@ -22,8 +22,46 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+if os.environ.get("GVNMF_PLATFORM"):
+    # Honor an explicit platform request before the first backend touch
+    # (the _wait_for_backend probe) — same contract as the package
+    # __init__, which would otherwise apply it too late for the probe.
+    jax.config.update("jax_platforms", os.environ["GVNMF_PLATFORM"])
+
+
+def _wait_for_backend(timeout_s: float = 600.0) -> bool:
+    """Block until the JAX backend initializes, up to `timeout_s`.
+
+    Remote-accelerator init can hang indefinitely (e.g. the device grant
+    is held by a dead client); a benchmark that never prints is worse
+    than one that reports the outage, so bound the wait and let main()
+    emit a diagnostic JSON line on failure.
+    """
+    import threading
+
+    ok = {}
+
+    def probe():
+        try:
+            ok["n"] = len(jax.devices())
+        except Exception:
+            ok["n"] = 0
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    return ok.get("n", 0) > 0
+
 
 def main():
+    if not _wait_for_backend():
+        print(json.dumps({
+            "metric": "realtime_factor", "value": 0.0, "unit": "x_realtime",
+            "vs_baseline": 0.0,
+            "error": "accelerator backend init unresponsive (device grant "
+                     "not released?); benchmark could not run",
+        }))
+        raise SystemExit(1)
     from guided_vae_nmf_tpu.data import read_wav, speech_list
     from guided_vae_nmf_tpu.dsp import stft, clean_speech_IBM
     from guided_vae_nmf_tpu.models import dgm_init
