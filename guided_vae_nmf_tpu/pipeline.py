@@ -145,58 +145,85 @@ def _pad_batch(X_tfs, ys, n_pad):
     return X_c, X_p, mask, y_b
 
 
+def _ema_time(P, alpha):
+    """First-order IIR smoothing along the frame axis of (B, F, N)."""
+    def step(v, p):
+        v = alpha * v + (1.0 - alpha) * p
+        return v, v
+
+    _, out = jax.lax.scan(step, P[..., 0], jnp.moveaxis(P, -1, 0))
+    return jnp.moveaxis(out, 0, -1)
+
+
 def _mcem_wf_istft(vae_params, X_re, X_im, X_p, mask, y, keys, cfg,
                    use_fused, noise_model, fast):
     """Shared traced core: engine selection -> MCEM -> Wiener filtering ->
     masked batched ISTFT. Called from inside the jitted entry points.
 
     noise_model: 'nmf' (reference default), 'spp' (fixed SPP-tracked noise
-    variance, the *_noNMF variants), or 'hybrid' (SPP floor + learned
-    low-rank NMF residual: Vb = W@H + Vb_spp; runs on the XLA engine)."""
-    update_nmf = noise_model != "spp"
-    Vb_fixed = None
-    if noise_model in ("spp", "hybrid"):
+    variance, the *_noNMF variants), 'hybrid' (SPP floor + learned
+    low-rank NMF residual: Vb = W@H + Vb_spp; runs on the XLA engine), or
+    'spp2' (two-pass: pass 1 = 'spp'; pass 2 re-runs the engine with
+    Vb = max(Vb_spp, ema((1-WFs1)^2 * |X|^2)) — the pass-1 residual sees
+    per-frame noise the stationary tracker underestimates; VALIDATION.md
+    two-pass table: +1.7 dB SI-SDR on the QUT car mixture)."""
+    update_nmf = noise_model not in ("spp", "spp2")
+    Vb_spp = None
+    if noise_model in ("spp", "hybrid", "spp2"):
         from .mcem import spp_track_jax
 
         psd, _ = jax.vmap(spp_track_jax)(X_p)
-        Vb_fixed = jnp.maximum(psd, 1e-6)
+        Vb_spp = jnp.maximum(psd, 1e-6)
+    Vb_fixed = Vb_spp
     if noise_model == "hybrid":
         use_fused = False  # the fused kernel models Vb = W@H xor fixed
 
-    if isinstance(cfg, HybridConfig):
-        # PEEM warm start + short fused-MCEM refinement (the 162x paper-
-        # config operating point; --algorithm hybrid on the CLIs). Not to
-        # be confused with noise_model='hybrid' (SPP floor + NMF residual)
-        from .mcem import peem_mcem_m2_batch
+    if isinstance(cfg, HybridConfig) and noise_model == "hybrid":
+        raise ValueError("algorithm 'hybrid' supports noise_model "
+                         "'nmf', 'spp' or 'spp2' only")
 
-        if noise_model == "hybrid":
-            raise ValueError("algorithm 'hybrid' supports noise_model "
-                             "'nmf' or 'spp' only")
+    def run_engine(Vb_fixed, keys):
+        if isinstance(cfg, HybridConfig):
+            # PEEM warm start + short fused-MCEM refinement (the 162x
+            # paper-config operating point; --algorithm hybrid on the
+            # CLIs). Not to be confused with noise_model='hybrid' (SPP
+            # floor + NMF residual)
+            from .mcem import peem_mcem_m2_batch
 
-        pcfg, mcfg = cfg.split()
-        kw = dict(samples_dtype=jnp.bfloat16, approx_recip=True,
-                  compute_cost=False) if fast else {}
-        out = peem_mcem_m2_batch(vae_params, X_p, mask, y, keys, pcfg,
-                                 mcfg, update_nmf=update_nmf,
-                                 Vb_fixed=Vb_fixed, use_fused=use_fused,
-                                 **kw)
-    elif isinstance(cfg, PEEMConfig):
-        fn = peem_m1_batch if y is None else peem_m2_batch
-        args = (vae_params, X_p, mask) + (() if y is None else (y,))
-        out = fn(*args, keys, cfg, update_nmf=update_nmf,
-                 Vb_fixed=Vb_fixed)
-    elif use_fused:
-        kw = dict(samples_dtype=jnp.bfloat16, approx_recip=True,
-                  compute_cost=False) if fast else {}
-        out = mcem_batch_fused(vae_params, X_p, mask, y, keys, cfg,
-                               update_nmf=update_nmf, Vb_fixed=Vb_fixed,
-                               **kw)
-    elif y is None:
-        out = mcem_m1_batch(vae_params, X_p, mask, keys, cfg,
-                            update_nmf=update_nmf, Vb_fixed=Vb_fixed)
-    else:
-        out = mcem_m2_batch(vae_params, X_p, mask, y, keys, cfg,
-                            update_nmf=update_nmf, Vb_fixed=Vb_fixed)
+            pcfg, mcfg = cfg.split()
+            kw = dict(samples_dtype=jnp.bfloat16, approx_recip=True,
+                      compute_cost=False) if fast else {}
+            return peem_mcem_m2_batch(vae_params, X_p, mask, y, keys, pcfg,
+                                      mcfg, update_nmf=update_nmf,
+                                      Vb_fixed=Vb_fixed, use_fused=use_fused,
+                                      **kw)
+        if isinstance(cfg, PEEMConfig):
+            fn = peem_m1_batch if y is None else peem_m2_batch
+            args = (vae_params, X_p, mask) + (() if y is None else (y,))
+            return fn(*args, keys, cfg, update_nmf=update_nmf,
+                      Vb_fixed=Vb_fixed)
+        if use_fused:
+            kw = dict(samples_dtype=jnp.bfloat16, approx_recip=True,
+                      compute_cost=False) if fast else {}
+            return mcem_batch_fused(vae_params, X_p, mask, y, keys, cfg,
+                                    update_nmf=update_nmf,
+                                    Vb_fixed=Vb_fixed, **kw)
+        if y is None:
+            return mcem_m1_batch(vae_params, X_p, mask, keys, cfg,
+                                 update_nmf=update_nmf, Vb_fixed=Vb_fixed)
+        return mcem_m2_batch(vae_params, X_p, mask, y, keys, cfg,
+                             update_nmf=update_nmf, Vb_fixed=Vb_fixed)
+
+    out = run_engine(Vb_fixed, keys)
+    if noise_model == "spp2":
+        # Pass-1 residual power: (1-WFs1)^2 |X|^2 is exactly the energy the
+        # first pass removed — a per-bin, per-frame noise estimate that
+        # tracks level changes the stationary SPP tracker smooths away.
+        # Floored at the SPP PSD so pass 2 never under-models the noise.
+        res = jnp.square(1.0 - out["WFs"]) * X_p
+        Vb2 = jnp.maximum(Vb_spp, _ema_time(res, 0.5))
+        keys2 = jax.vmap(lambda k: jax.random.fold_in(k, 2))(keys)
+        out = run_engine(Vb2, keys2)
     X = X_re + 1j * X_im
     S = out["WFs"] * X
     Nc = out["WFn"] * X
@@ -444,12 +471,12 @@ def enhance_to_audio(vae_params, X_tfs, t_origs, ys=None, keys=None,
     """Batched wav-domain enhancement: complex spectrograms in, trimmed
     time-domain (s_est, n_est) lists out — engine, Wiener filtering and
     ISTFT all inside one jit (no host round-trips between stages)."""
-    if noise_model not in ("nmf", "spp", "hybrid"):
-        raise ValueError(f"noise_model must be 'nmf', 'spp' or 'hybrid', "
-                         f"got {noise_model!r}")
+    if noise_model not in ("nmf", "spp", "hybrid", "spp2"):
+        raise ValueError(f"noise_model must be 'nmf', 'spp', 'hybrid' or "
+                         f"'spp2', got {noise_model!r}")
     if isinstance(cfg, HybridConfig) and noise_model == "hybrid":
-        raise ValueError("algorithm 'hybrid' supports noise_model 'nmf' "
-                         "or 'spp' only")
+        raise ValueError("algorithm 'hybrid' supports noise_model "
+                         "'nmf', 'spp' or 'spp2' only")
     n_pad = bucket_frames(max(X.shape[1] for X in X_tfs), bucket_multiple)
     X_c, X_p, mask, y_b = _pad_batch(X_tfs, ys, n_pad)
     B = len(X_tfs)
@@ -496,42 +523,55 @@ def enhance_batch(vae_params, X_tfs, ys=None, keys=None,
     noise_model: 'nmf' (the reference default), 'spp' — a fixed noise
     variance from the SPP tracker instead of NMF with only the gain g
     updated (the reference's *_noNMF variants, mcem.py:493-760 fed by
-    spp_estimation's noise PSD) — or 'hybrid' (SPP floor + learned NMF
-    residual; XLA engine).
+    spp_estimation's noise PSD) — 'hybrid' (SPP floor + learned NMF
+    residual; XLA engine) — or 'spp2' (two-pass: the pass-1 residual
+    power, EMA-smoothed and floored at the SPP PSD, becomes pass 2's
+    fixed per-frame noise variance).
     """
-    if noise_model not in ("nmf", "spp", "hybrid"):
-        raise ValueError(f"noise_model must be 'nmf', 'spp' or 'hybrid', "
-                         f"got {noise_model!r}")
+    if noise_model not in ("nmf", "spp", "hybrid", "spp2"):
+        raise ValueError(f"noise_model must be 'nmf', 'spp', 'hybrid' or "
+                         f"'spp2', got {noise_model!r}")
     if isinstance(cfg, HybridConfig) and noise_model == "hybrid":
-        raise ValueError("algorithm 'hybrid' supports noise_model 'nmf' "
-                         "or 'spp' only")
+        raise ValueError("algorithm 'hybrid' supports noise_model "
+                         "'nmf', 'spp' or 'spp2' only")
     n_pad = bucket_frames(max(X.shape[1] for X in X_tfs), bucket_multiple)
     X_c, X_p, mask, y_b = _pad_batch(X_tfs, ys, n_pad)
     B = len(X_tfs)
     if keys is None:
         keys = jax.random.split(jax.random.PRNGKey(0), B)
 
-    update_nmf = noise_model != "spp"
-    Vb_fixed = None
-    if noise_model in ("spp", "hybrid"):
+    update_nmf = noise_model not in ("spp", "spp2")
+    Vb_spp = None
+    if noise_model in ("spp", "hybrid", "spp2"):
         from .mcem import spp_track_jax
 
         psd, _ = jax.vmap(spp_track_jax)(jnp.asarray(X_p))
-        Vb_fixed = jnp.maximum(psd, 1e-6)  # SPP noise PSD, floored
+        Vb_spp = jnp.maximum(psd, 1e-6)  # SPP noise PSD, floored
 
-    if _use_fused(engine, vae_params, n_pad) and noise_model != "hybrid":
-        y_arg = None if ys is None else jnp.asarray(y_b)
-        out = mcem_batch_fused(vae_params, jnp.asarray(X_p),
-                               jnp.asarray(mask), y_arg, keys, cfg,
-                               update_nmf=update_nmf, Vb_fixed=Vb_fixed)
-    elif ys is None:
-        out = mcem_m1_batch(vae_params, jnp.asarray(X_p), jnp.asarray(mask),
-                            keys, cfg, update_nmf=update_nmf,
-                            Vb_fixed=Vb_fixed)
-    else:
-        out = mcem_m2_batch(vae_params, jnp.asarray(X_p), jnp.asarray(mask),
-                            jnp.asarray(y_b), keys, cfg,
-                            update_nmf=update_nmf, Vb_fixed=Vb_fixed)
+    def run_engine(Vb_fixed, keys):
+        if _use_fused(engine, vae_params, n_pad) and noise_model != "hybrid":
+            y_arg = None if ys is None else jnp.asarray(y_b)
+            return mcem_batch_fused(vae_params, jnp.asarray(X_p),
+                                    jnp.asarray(mask), y_arg, keys, cfg,
+                                    update_nmf=update_nmf, Vb_fixed=Vb_fixed)
+        if ys is None:
+            return mcem_m1_batch(vae_params, jnp.asarray(X_p),
+                                 jnp.asarray(mask), keys, cfg,
+                                 update_nmf=update_nmf, Vb_fixed=Vb_fixed)
+        return mcem_m2_batch(vae_params, jnp.asarray(X_p), jnp.asarray(mask),
+                             jnp.asarray(y_b), keys, cfg,
+                             update_nmf=update_nmf, Vb_fixed=Vb_fixed)
+
+    out = run_engine(Vb_spp, keys)
+    if noise_model == "spp2":
+        # Two-pass noise model: pass-1 residual power (the energy the
+        # first Wiener filter removed), EMA-smoothed and floored at the
+        # SPP PSD, becomes pass 2's per-frame noise variance (same
+        # construction as _mcem_wf_istft).
+        res = jnp.square(1.0 - jnp.asarray(out["WFs"])) * jnp.asarray(X_p)
+        Vb2 = jnp.maximum(Vb_spp, _ema_time(res, 0.5))
+        keys2 = jax.vmap(lambda k: jax.random.fold_in(k, 2))(keys)
+        out = run_engine(Vb2, keys2)
     WFs = np.asarray(out["WFs"])
     WFn = np.asarray(out["WFn"])
     S_hat = [WFs[i, :, : X.shape[1]] * X for i, X in enumerate(X_tfs)]
@@ -634,12 +674,12 @@ def enhance_files(file_paths, processed_dir, output_dir, vae_params,
     from .dsp import pad_signal_for_stft
     from .dsp.stft import frame_count
 
-    if noise_model not in ("nmf", "spp", "hybrid"):
-        raise ValueError(f"noise_model must be 'nmf', 'spp' or 'hybrid', "
-                         f"got {noise_model!r}")
+    if noise_model not in ("nmf", "spp", "hybrid", "spp2"):
+        raise ValueError(f"noise_model must be 'nmf', 'spp', 'hybrid' or "
+                         f"'spp2', got {noise_model!r}")
     if isinstance(cfg, HybridConfig) and noise_model == "hybrid":
-        raise ValueError("algorithm 'hybrid' supports noise_model 'nmf' "
-                         "or 'spp' only")
+        raise ValueError("algorithm 'hybrid' supports noise_model "
+                         "'nmf', 'spp' or 'spp2' only")
     if model_type == "m2" and classif_type not in (
             "dnn", "oracle", "timo", "ones", "zeros"):
         raise ValueError(f"unknown classif_type: {classif_type!r}")

@@ -69,7 +69,7 @@ def main(argv=None):
     for sysname in systems:
         out = os.path.join(work, artifacts.replace("/", "_"), sysname)
         t0 = time.perf_counter()
-        if sysname == "m2dnn_spp":
+        if sysname.startswith("m2dnn_"):
             cls = load_model(os.path.join(artifacts, "classifier_ibm"),
                              kind="classifier")
             mean, std = load_norm_stats(
@@ -77,18 +77,16 @@ def main(argv=None):
             enhance_files(files, processed, out, m2, model_type="m2",
                           classif_type="dnn", classifier_params=cls,
                           mean=mean, std=std, cfg=cfg, batch_size=4,
-                          noise_model="spp")
-        elif sysname == "m2oracle_spp":
+                          noise_model=sysname.split("_", 1)[1])
+        elif sysname.startswith("m2oracle_"):
             enhance_files(files, processed, out, m2, model_type="m2",
                           classif_type="oracle", cfg=cfg, batch_size=4,
-                          noise_model="spp")
-        elif sysname == "m2oracle_nmf":
-            enhance_files(files, processed, out, m2, model_type="m2",
-                          classif_type="oracle", cfg=cfg, batch_size=4)
-        elif sysname == "m1_spp":
+                          noise_model=sysname.split("_", 1)[1])
+        elif sysname.startswith("m1_"):
             m1 = load_model(os.path.join(artifacts, "M1"), kind="vae")
             enhance_files(files, processed, out, m1, model_type="m1",
-                          cfg=cfg, batch_size=4, noise_model="spp")
+                          cfg=cfg, batch_size=4,
+                          noise_model=sysname.split("_", 1)[1])
         elif sysname == "wiener":
             w = load_model(os.path.join(artifacts, "wiener"),
                            kind="classifier")

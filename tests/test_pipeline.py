@@ -357,3 +357,45 @@ def test_enhance_files_hybrid_algorithm(tmp_path):
         enhance_files(files, PROCESSED, str(tmp_path / "h2"), dgm,
                       model_type="m2", classif_type="oracle", cfg=hcfg,
                       batch_size=2, noise_model="hybrid")
+
+
+def test_enhance_batch_spp2_noise_model_matches_manual_composition():
+    """noise_model='spp2' (two-pass): pass 1 = SPP-fixed engine; pass 2
+    re-runs with Vb = max(Vb_spp, ema(pass-1 residual power)) and folded
+    keys. Must equal the manual composition of the same two engine calls,
+    and keep the reconstruction invariant."""
+    import jax.numpy as jnp
+
+    from guided_vae_nmf_tpu.mcem import mcem_m1_batch, spp_track_jax
+    from guided_vae_nmf_tpu.pipeline import _ema_time, _pad_batch
+
+    files = _test_files()[:2]
+    X_tfs = [load_mixture(
+        os.path.join(PROCESSED, os.path.splitext(p)[0]))[2] for p in files]
+    vae = vae_init(KEY, [513, 8, [32]])
+    keys = jax.random.split(jax.random.PRNGKey(3), len(X_tfs))
+
+    S_hat, N_hat, out = enhance_batch(vae, X_tfs, keys=keys, cfg=FAST_CFG,
+                                      engine="xla", noise_model="spp2",
+                                      return_masks=True)
+    for S, N, X in zip(S_hat, N_hat, X_tfs):
+        assert np.all(np.isfinite(S)) and np.all(np.isfinite(N))
+        assert_allclose(S + N, X, atol=2e-4 * np.abs(X).max())
+
+    n_pad = bucket_frames(max(X.shape[1] for X in X_tfs))
+    _, X_p, mask, _ = _pad_batch(X_tfs, None, n_pad)
+    X_p, mask = jnp.asarray(X_p), jnp.asarray(mask)
+    psd, _ = jax.vmap(spp_track_jax)(X_p)
+    Vb_spp = jnp.maximum(psd, 1e-6)
+    out1 = mcem_m1_batch(vae, X_p, mask, keys, FAST_CFG,
+                         update_nmf=False, Vb_fixed=Vb_spp)
+    res = jnp.square(1.0 - out1["WFs"]) * X_p
+    Vb2 = jnp.maximum(Vb_spp, _ema_time(res, 0.5))
+    keys2 = jax.vmap(lambda k: jax.random.fold_in(k, 2))(keys)
+    out2 = mcem_m1_batch(vae, X_p, mask, keys2, FAST_CFG,
+                         update_nmf=False, Vb_fixed=Vb2)
+    assert_allclose(np.asarray(out["WFs"]), np.asarray(out2["WFs"]),
+                    atol=1e-6)
+    # pass 2 actually moved the solution away from pass 1
+    assert not np.allclose(np.asarray(out["WFs"]),
+                           np.asarray(out1["WFs"]), atol=1e-3)
