@@ -37,7 +37,7 @@ def main(argv=None):
     model_path = flag(rest, "model", paths.models_dir)
     output = flag(rest, "output", paths.models_dir + "M1_enhanced/")
     batch_size = flag(rest, "batch_size", 16, int)
-    noise_model = flag(rest, "noise_model", "nmf")  # 'nmf' | 'spp' (noNMF)
+    noise_model = flag(rest, "noise_model", "nmf")  # nmf | spp (noNMF) | hybrid | spp2
     mesh = None
     if flag(rest, "data_parallel", "0") in ("1", "true"):
         from guided_vae_nmf_tpu.parallel import make_mesh

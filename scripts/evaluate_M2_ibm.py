@@ -39,7 +39,7 @@ def main(argv=None):
     model_path = flag(rest, "model", paths.models_dir)
     classifier_path = flag(rest, "classifier")
     classif_type = flag(rest, "classif_type", "dnn")
-    noise_model = flag(rest, "noise_model", "nmf")  # 'nmf' | 'spp' (noNMF)
+    noise_model = flag(rest, "noise_model", "nmf")  # nmf | spp (noNMF) | hybrid | spp2
     output = flag(rest, "output",
                   paths.models_dir + f"M2_ibm_{classif_type}_enhanced/")
     batch_size = flag(rest, "batch_size", 16, int)

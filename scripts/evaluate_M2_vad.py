@@ -43,7 +43,7 @@ def main(argv=None):
     output = flag(rest, "output",
                   paths.models_dir + f"M2_vad_{classif_type}_enhanced/")
     batch_size = flag(rest, "batch_size", 16, int)
-    noise_model = flag(rest, "noise_model", "nmf")  # 'nmf' | 'spp' (noNMF)
+    noise_model = flag(rest, "noise_model", "nmf")  # nmf | spp (noNMF) | hybrid | spp2
     mesh = None
     if flag(rest, "data_parallel", "0") in ("1", "true"):
         from guided_vae_nmf_tpu.parallel import make_mesh
