@@ -186,3 +186,20 @@ def test_mesh_sharded_service_matches_single_device(m1):
     # the co-batching test; different MH seeds would differ by ~0.05 RMS)
     for a, b in zip(single, sharded):
         np.testing.assert_allclose(a["s"], b["s"], atol=2.0 / 32768.0)
+
+
+def test_spp2_noise_model_serving_path(m1):
+    """noise_model='spp2' (two-pass) through the serving program: output
+    is finite, mixture-consistent, and differs from single-pass 'spp'."""
+    sv2 = ServeConfig(engine="xla", label_mode="none", noise_model="spp2",
+                      max_wait_ms=20.0)
+    sv1 = ServeConfig(engine="xla", label_mode="none", noise_model="spp",
+                      max_wait_ms=20.0)
+    x = _wav(11, 0.5)
+    with EnhancementService(m1, cfg=CFG, serve=sv2) as svc:
+        out2 = svc.submit(x).result(timeout=300)
+    with EnhancementService(m1, cfg=CFG, serve=sv1) as svc:
+        out1 = svc.submit(x).result(timeout=300)
+    assert np.all(np.isfinite(out2["s"]))
+    np.testing.assert_allclose(out2["s"] + out2["n"], x, atol=3.0 / 32768.0)
+    assert not np.array_equal(out2["s"], out1["s"])
