@@ -399,3 +399,20 @@ def test_enhance_batch_spp2_noise_model_matches_manual_composition():
     # pass 2 actually moved the solution away from pass 1
     assert not np.allclose(np.asarray(out["WFs"]),
                            np.asarray(out1["WFs"]), atol=1e-3)
+
+
+def test_ema_time_matches_host_loop():
+    """_ema_time (lax.scan IIR along frames) == the straightforward host
+    recurrence, including the v0 = P[..., 0] initialization."""
+    import jax.numpy as jnp
+
+    from guided_vae_nmf_tpu.pipeline import _ema_time
+
+    r = np.random.RandomState(0).rand(2, 5, 7).astype(np.float32)
+    v = r[..., 0].copy()
+    want = np.empty_like(r)
+    for t in range(r.shape[-1]):
+        v = 0.5 * v + 0.5 * r[..., t]
+        want[..., t] = v
+    assert_allclose(np.asarray(_ema_time(jnp.asarray(r), 0.5)), want,
+                    atol=1e-7)
