@@ -73,6 +73,7 @@ class ServeConfig:
     noise_model: str = "spp"         # serving default = real-noise config
     engine: str = "auto"             # 'auto' | 'fused' | 'xla'
     fast: bool = False
+    soft_guidance: bool = False      # condition on classifier probabilities
     seed: int = 0
 
 
@@ -354,7 +355,8 @@ class EnhancementService:
         kw = dict(use_fused=use_fused, noise_model=sv.noise_model,
                   fast=sv.fast, label_mode=sv.label_mode,
                   target=sv.target, quantile_fraction=0.98,
-                  quantile_weight=0.999, return_noise=not use_fused)
+                  quantile_weight=0.999, return_noise=not use_fused,
+                  soft_guidance=sv.soft_guidance)
         if self._mesh is None:
             s_i16, n_i16, _, _, finite_ok = _enhance_waveform_jit(
                 *args, **kw)

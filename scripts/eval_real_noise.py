@@ -59,6 +59,7 @@ def main(argv=None):
     work = flag(argv, "work", "/tmp/real_noise_eval")
     systems = flag(
         argv, "systems", "m2dnn_spp,m2oracle_spp,wiener,m1_spp").split(",")
+    soft_labels = flag(argv, "soft_labels", "0") in ("1", "true")
 
     files = speech_list(f"{SUB}/raw/", "test")
     processed = f"{SUB}/processed/"
@@ -67,7 +68,10 @@ def main(argv=None):
     m2 = load_model(os.path.join(artifacts, "M2_ibm"), kind="dgm")
     results = {}
     for sysname in systems:
-        out = os.path.join(work, artifacts.replace("/", "_"), sysname)
+        suffix = "_soft" if soft_labels and sysname.startswith("m2dnn_") \
+            else ""
+        out = os.path.join(work, artifacts.replace("/", "_"),
+                           sysname + suffix)
         t0 = time.perf_counter()
         if sysname.startswith("m2dnn_"):
             cls = load_model(os.path.join(artifacts, "classifier_ibm"),
@@ -77,7 +81,8 @@ def main(argv=None):
             enhance_files(files, processed, out, m2, model_type="m2",
                           classif_type="dnn", classifier_params=cls,
                           mean=mean, std=std, cfg=cfg, batch_size=4,
-                          noise_model=sysname.split("_", 1)[1])
+                          noise_model=sysname.split("_", 1)[1],
+                          soft_guidance=soft_labels)
         elif sysname.startswith("m2oracle_"):
             enhance_files(files, processed, out, m2, model_type="m2",
                           classif_type="oracle", cfg=cfg, batch_size=4,

@@ -40,6 +40,7 @@ def main(argv=None):
     classifier_path = flag(rest, "classifier")
     classif_type = flag(rest, "classif_type", "dnn")
     noise_model = flag(rest, "noise_model", "nmf")  # nmf | spp (noNMF) | hybrid | spp2
+    soft_labels = flag(rest, "soft_labels", "0") in ("1", "true")
     output = flag(rest, "output",
                   paths.models_dir + f"M2_ibm_{classif_type}_enhanced/")
     batch_size = flag(rest, "batch_size", 16, int)
@@ -66,7 +67,8 @@ def main(argv=None):
                   model_type="m2", classif_type=classif_type, target="ibm",
                   classifier_params=classifier, mean=mean, std=std, cfg=cfg,
                   batch_size=batch_size, verbose=True,
-                  noise_model=noise_model, mesh=mesh)
+                  noise_model=noise_model, mesh=mesh,
+                  soft_guidance=soft_labels)
     print(f"Finished in {time.perf_counter() - t0:.1f} seconds "
           f"({len(files)} utterances)")
 

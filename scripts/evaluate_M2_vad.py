@@ -44,6 +44,7 @@ def main(argv=None):
                   paths.models_dir + f"M2_vad_{classif_type}_enhanced/")
     batch_size = flag(rest, "batch_size", 16, int)
     noise_model = flag(rest, "noise_model", "nmf")  # nmf | spp (noNMF) | hybrid | spp2
+    soft_labels = flag(rest, "soft_labels", "0") in ("1", "true")
     mesh = None
     if flag(rest, "data_parallel", "0") in ("1", "true"):
         from guided_vae_nmf_tpu.parallel import make_mesh
@@ -67,7 +68,8 @@ def main(argv=None):
                   model_type="m2", classif_type=classif_type, target="vad",
                   classifier_params=classifier, mean=mean, std=std, cfg=cfg,
                   batch_size=batch_size, verbose=True,
-                  noise_model=noise_model, mesh=mesh)
+                  noise_model=noise_model, mesh=mesh,
+                  soft_guidance=soft_labels)
     print(f"Finished in {time.perf_counter() - t0:.1f} seconds "
           f"({len(files)} utterances)")
 

@@ -416,3 +416,29 @@ def test_ema_time_matches_host_loop():
         want[..., t] = v
     assert_allclose(np.asarray(_ema_time(jnp.asarray(r), 0.5)), want,
                     atol=1e-7)
+
+
+def test_soft_guidance_device_path(tmp_path):
+    """soft_guidance=True conditions MCEM on the classifier probabilities
+    (not the >0.5 IBM): outputs are finite and differ from the hard run;
+    the label side-outputs (soft/hard npy) are unchanged."""
+    files = _test_files()[:1]
+    dgm = dgm_init(KEY, [513, 513, 8, [32]])
+    cls = classifier_init(KEY, [513, [32], 513])
+    out_h = str(tmp_path / "hard")
+    out_s = str(tmp_path / "soft")
+    for out, soft in ((out_h, False), (out_s, True)):
+        enhance_files(files, PROCESSED, out, dgm, model_type="m2",
+                      classif_type="dnn", classifier_params=cls,
+                      cfg=FAST_CFG, soft_guidance=soft)
+    base = os.path.splitext(files[0])[0]
+    sh, _ = read_wav(os.path.join(out_h, base + "_s_est.wav"))
+    ss, _ = read_wav(os.path.join(out_s, base + "_s_est.wav"))
+    assert np.all(np.isfinite(sh)) and np.all(np.isfinite(ss))
+    assert not np.array_equal(sh, ss)
+    # label artifacts identical: soft guidance changes what MCEM consumes,
+    # not what the sweep reports
+    for suffix in ("_ibm_soft_est.npy", "_ibm_hard_est.npy"):
+        a = np.load(os.path.join(out_h, base + suffix))
+        b = np.load(os.path.join(out_s, base + suffix))
+        assert_allclose(a, b, atol=1e-6)
