@@ -320,7 +320,7 @@ class StreamingM2Enhancer(_StreamingOLA):
     def __init__(self, dgm_params, classifier_params=None, mean=None,
                  std=None, chunk_frames=8, context_frames=24,
                  block_iters=6, e_steps=4, lr=5e-3, label_mode="dnn",
-                 eps=1e-8):
+                 soft_guidance=False, eps=1e-8):
         from .mcem.spp import SPPNoiseEstimator
         from .mcem.engine import _precompute_label_proj
 
@@ -338,6 +338,9 @@ class StreamingM2Enhancer(_StreamingOLA):
         self.std = None if std is None else jnp.asarray(
             np.asarray(std, np.float32))
         self.label_mode = label_mode
+        # condition on classifier probabilities instead of the >0.5 IBM
+        # (same opt-in as the offline pipeline's soft_guidance)
+        self.soft_guidance = soft_guidance
         self.C = context_frames
         self.block_iters = block_iters
         self.e_steps = e_steps
@@ -365,7 +368,8 @@ class StreamingM2Enhancer(_StreamingOLA):
             self._ctx_valid = np.zeros((C,), np.float32)
 
     def _labels(self, power, spp, k):
-        """(chunk, y_dim) hard guidance labels; only the first `k` rows
+        """(chunk, y_dim) guidance labels (hard IBM by default,
+        probabilities when soft_guidance); only the first `k` rows
         are real frames (the causal VAD tracker must not see pad rows)."""
         if self.label_mode == "timo":
             if self.y_dim == 1:
@@ -375,15 +379,21 @@ class StreamingM2Enhancer(_StreamingOLA):
                     _, s1 = self._vad_est.update(
                         np.atleast_1d(power[i].sum()))
                     vad[i, 0] = s1[0]
+                if self.soft_guidance:
+                    return vad
                 return (vad > 0.5).astype(np.float32)
+            if self.soft_guidance:
+                return spp.astype(np.float32)
             return (spp > 0.5).astype(np.float32)
         p = jnp.asarray(power)
         if self.mean is not None:
             p = (p - self.mean[None, :]) / (self.std[None, :] + self.eps)
         from .models import classifier_apply
 
-        return np.asarray(
-            (classifier_apply(self.cls, p) > 0.5).astype(jnp.float32))
+        y = classifier_apply(self.cls, p)
+        if not self.soft_guidance:
+            y = (y > 0.5)
+        return np.asarray(y, np.float32)
 
     def _enhance_frame_batch(self, frames, k):
         re, im, power = _analyze_frames_jit(jnp.asarray(frames))

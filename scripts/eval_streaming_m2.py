@@ -43,6 +43,7 @@ def main(argv=None):
     label_mode = flag(argv, "label_mode", "dnn")
     niter = flag(argv, "niter_offline", 100, int)
     work = flag(argv, "work", "/tmp/streaming_m2_eval")
+    soft = flag(argv, "soft_labels", "0") in ("1", "true")
 
     files = speech_list(f"{SUB}/raw/", "test")
     processed = f"{SUB}/processed/"
@@ -95,7 +96,8 @@ def main(argv=None):
         for name, s, n, x in utts:
             enh = StreamingM2Enhancer(
                 m2, classifier_params=cls, mean=mean, std=std,
-                chunk_frames=cf, label_mode=label_mode)
+                chunk_frames=cf, label_mode=label_mode,
+                soft_guidance=soft)
             outs = []
             for lo in range(0, len(x), 4096):
                 outs.append(enh.push(x[lo:lo + 4096]))

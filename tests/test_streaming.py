@@ -228,3 +228,29 @@ def test_streaming_m2_vad_family():
         y = np.concatenate([enh.push(x), enh.flush()])
         assert len(y) == len(x)
         assert np.all(np.isfinite(y))
+
+
+def test_streaming_m2_soft_guidance():
+    """soft_guidance=True conditions the stream on label probabilities:
+    finite output that differs from the hard-label stream."""
+    from guided_vae_nmf_tpu.models import dgm_init
+    from guided_vae_nmf_tpu.streaming import StreamingM2Enhancer
+
+    F_BINS = 513
+    dgm = dgm_init(jax.random.PRNGKey(0), [F_BINS, F_BINS, 8, [32]])
+    rng = np.random.RandomState(5)
+    n = 16000
+    x = (0.05 * np.sin(2 * np.pi * 220 * np.arange(n) / 16000)
+         + 0.02 * rng.randn(n)).astype(np.float32)
+
+    ys = {}
+    for soft in (False, True):
+        enh = StreamingM2Enhancer(dgm, label_mode="timo", chunk_frames=8,
+                                  context_frames=16, block_iters=2,
+                                  e_steps=2, soft_guidance=soft)
+        outs = [enh.push(x)]
+        outs.append(enh.flush())
+        ys[soft] = np.concatenate(outs)
+    assert np.all(np.isfinite(ys[True]))
+    assert len(ys[True]) == len(ys[False]) == n
+    assert not np.array_equal(ys[True], ys[False])
