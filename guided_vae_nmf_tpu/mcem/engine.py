@@ -57,6 +57,12 @@ class MCEMConfig:
     var_RW: float = 0.01
     nmf_rank: int = 10
     eps: float = 1e-8
+    # noise_model='spp2' only: EM iterations of the residual-estimating
+    # first pass (pass 2 runs the full `niter`). A short pass 1 keeps the
+    # full two-pass gain — sweeping 10/25/50/100 on QUT left every metric
+    # flat-to-better at 10 (VALIDATION.md) — so the default makes spp2
+    # cost ~1.25x a single pass instead of 2x. None = use `niter`.
+    spp2_pass1_niter: int = 25
 
 
 # ---------------------------------------------------------------------------

@@ -155,6 +155,17 @@ def _ema_time(P, alpha):
     return jnp.moveaxis(out, 0, -1)
 
 
+def _spp2_pass1_cfg(cfg):
+    """Reduced-iteration copy of an MCEMConfig for spp2's first pass
+    (None or non-MCEM configs pass through unchanged)."""
+    import dataclasses as _dc
+
+    p1 = getattr(cfg, "spp2_pass1_niter", None)
+    if not p1 or p1 >= cfg.niter:
+        return cfg
+    return _dc.replace(cfg, niter=p1)
+
+
 def _mcem_wf_istft(vae_params, X_re, X_im, X_p, mask, y, keys, cfg,
                    use_fused, noise_model, fast):
     """Shared traced core: engine selection -> MCEM -> Wiener filtering ->
@@ -182,7 +193,7 @@ def _mcem_wf_istft(vae_params, X_re, X_im, X_p, mask, y, keys, cfg,
         raise ValueError("algorithm 'hybrid' supports noise_model "
                          "'nmf', 'spp' or 'spp2' only")
 
-    def run_engine(Vb_fixed, keys):
+    def run_engine(Vb_fixed, keys, cfg=cfg):
         if isinstance(cfg, HybridConfig):
             # PEEM warm start + short fused-MCEM refinement (the 162x
             # paper-config operating point; --algorithm hybrid on the
@@ -214,16 +225,20 @@ def _mcem_wf_istft(vae_params, X_re, X_im, X_p, mask, y, keys, cfg,
         return mcem_m2_batch(vae_params, X_p, mask, y, keys, cfg,
                              update_nmf=update_nmf, Vb_fixed=Vb_fixed)
 
-    out = run_engine(Vb_fixed, keys)
     if noise_model == "spp2":
         # Pass-1 residual power: (1-WFs1)^2 |X|^2 is exactly the energy the
         # first pass removed — a per-bin, per-frame noise estimate that
         # tracks level changes the stationary SPP tracker smooths away.
         # Floored at the SPP PSD so pass 2 never under-models the noise.
+        # Pass 1 runs a reduced iteration budget (cfg.spp2_pass1_niter):
+        # the residual saturates within ~10 EM iterations (VALIDATION.md).
+        out = run_engine(Vb_fixed, keys, cfg=_spp2_pass1_cfg(cfg))
         res = jnp.square(1.0 - out["WFs"]) * X_p
         Vb2 = jnp.maximum(Vb_spp, _ema_time(res, 0.5))
         keys2 = jax.vmap(lambda k: jax.random.fold_in(k, 2))(keys)
         out = run_engine(Vb2, keys2)
+    else:
+        out = run_engine(Vb_fixed, keys)
     X = X_re + 1j * X_im
     S = out["WFs"] * X
     Nc = out["WFn"] * X
@@ -555,7 +570,7 @@ def enhance_batch(vae_params, X_tfs, ys=None, keys=None,
         psd, _ = jax.vmap(spp_track_jax)(jnp.asarray(X_p))
         Vb_spp = jnp.maximum(psd, 1e-6)  # SPP noise PSD, floored
 
-    def run_engine(Vb_fixed, keys):
+    def run_engine(Vb_fixed, keys, cfg=cfg):
         if _use_fused(engine, vae_params, n_pad) and noise_model != "hybrid":
             y_arg = None if ys is None else jnp.asarray(y_b)
             return mcem_batch_fused(vae_params, jnp.asarray(X_p),
@@ -569,16 +584,18 @@ def enhance_batch(vae_params, X_tfs, ys=None, keys=None,
                              jnp.asarray(y_b), keys, cfg,
                              update_nmf=update_nmf, Vb_fixed=Vb_fixed)
 
-    out = run_engine(Vb_spp, keys)
     if noise_model == "spp2":
         # Two-pass noise model: pass-1 residual power (the energy the
         # first Wiener filter removed), EMA-smoothed and floored at the
         # SPP PSD, becomes pass 2's per-frame noise variance (same
-        # construction as _mcem_wf_istft).
+        # construction + reduced pass-1 budget as _mcem_wf_istft).
+        out = run_engine(Vb_spp, keys, cfg=_spp2_pass1_cfg(cfg))
         res = jnp.square(1.0 - jnp.asarray(out["WFs"])) * jnp.asarray(X_p)
         Vb2 = jnp.maximum(Vb_spp, _ema_time(res, 0.5))
         keys2 = jax.vmap(lambda k: jax.random.fold_in(k, 2))(keys)
         out = run_engine(Vb2, keys2)
+    else:
+        out = run_engine(Vb_spp, keys)
     WFs = np.asarray(out["WFs"])
     WFn = np.asarray(out["WFn"])
     S_hat = [WFs[i, :, : X.shape[1]] * X for i, X in enumerate(X_tfs)]

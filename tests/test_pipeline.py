@@ -442,3 +442,20 @@ def test_soft_guidance_device_path(tmp_path):
         a = np.load(os.path.join(out_h, base + suffix))
         b = np.load(os.path.join(out_s, base + suffix))
         assert_allclose(a, b, atol=1e-6)
+
+
+def test_spp2_pass1_budget_config():
+    """spp2's first pass runs cfg.spp2_pass1_niter EM iterations (clamped
+    to niter); non-MCEM configs pass through unchanged."""
+    from guided_vae_nmf_tpu.mcem import PEEMConfig
+    from guided_vae_nmf_tpu.pipeline import _spp2_pass1_cfg
+
+    full = MCEMConfig(niter=100)
+    assert _spp2_pass1_cfg(full).niter == 25
+    assert _spp2_pass1_cfg(full).nsamples_E_step == full.nsamples_E_step
+    assert _spp2_pass1_cfg(MCEMConfig(niter=10)).niter == 10  # no inflation
+    assert _spp2_pass1_cfg(MCEMConfig(niter=100, spp2_pass1_niter=0)) is not None
+    assert _spp2_pass1_cfg(
+        MCEMConfig(niter=100, spp2_pass1_niter=0)).niter == 100  # 0 = off
+    pe = PEEMConfig()
+    assert _spp2_pass1_cfg(pe) is pe
