@@ -36,6 +36,8 @@ def main(argv=None):
     wait_ms = flag(argv, "wait_ms", 30.0, float)
     niter = flag(argv, "niter", 100, int)
     mean_s = flag(argv, "seconds", 4.0, float)
+    noise_model = flag(argv, "noise_model", "spp")
+    soft = flag(argv, "soft_labels", "0") in ("1", "true")
 
     from _common import load_model, load_norm_stats
     from guided_vae_nmf_tpu.mcem import MCEMConfig
@@ -54,8 +56,8 @@ def main(argv=None):
 
     out = {"niter": niter, "wait_ms": wait_ms, "n_per_rate": n_req,
            "loads": []}
-    sv = ServeConfig(max_wait_ms=wait_ms, noise_model="spp",
-                     label_mode="dnn")
+    sv = ServeConfig(max_wait_ms=wait_ms, noise_model=noise_model,
+                     label_mode="dnn", soft_guidance=soft)
     svc = EnhancementService(m2, classifier_params=cls, mean=mean,
                              std=std, cfg=MCEMConfig(niter=niter),
                              serve=sv)
