@@ -30,18 +30,20 @@ widths/edges are derived from it by the tiling identity
 `width[k] = 2*(centre[k] - edge[k])` that the table satisfies by
 construction. The absolute-threshold curve, Sp/Sl loudness scalings,
 Zwicker exponent, WB filter coefficients and both output mappings are
-likewise the published constants. The one remaining non-normative
-element is the FFT-bin -> band assignment: the standard ships it as an
-integer `nr_of_hz_bands_per_bark_band` table, which is reconstructed
-here from a C1 frequency warp (exactly `z = f/100` below 500 Hz — the
-relation the published tables themselves satisfy, centre_hz = 100 *
-centre_bark for every band below 500 Hz — continued by a quadratic-in-
-log(f) segment pinned to the layout's top edge at Nyquist). Residual
-nonconformance is therefore confined to boundary FFT bins (31.25 Hz
-wide at 16 kHz) possibly landing one band off in the upper range, a
-second-order effect on band powers that the coverage-based power-
-density correction further damps. The identical-signal endpoint
-(MOS-LQO 4.6439) and the mappings are exact. `scripts/validate_pesq.py`
+likewise the published constants. The FFT-bin -> band assignment is the
+standard's integer `nr_of_hz_bands_per_bark_band_16k` table
+(NR_OF_HZ_BANDS_PER_BARK_BAND_16K below), import-checked for the two
+invariants the published layout satisfies by construction: the counts
+consume exactly the Nf/2 = 256 rfft bins of the 32 ms frame, and they
+agree bin-for-bin with the normative `z = f/100` scale throughout the
+region that scale covers. Remaining known deviations from the ITU C
+code: per-band power-density correction factors are computed from band
+coverage (nominal band Hz width over the Hz width of the integer bins,
+the factor's definition) instead of the C code's precomputed rounding
+of the same quantity, and the crude+fine time-alignment search is a
+simplified implementation of the same histogram design — both
+second-order against the disturbance aggregation. The identical-signal
+endpoint (MOS-LQO 4.6439) and the mappings are exact. `scripts/validate_pesq.py`
 computes per-utterance deltas against the ITU `pesq` wheel whenever it
 is importable (it is not in this environment); tests/metrics/
 test_pesq.py pins the degradation-family behaviour instead.
@@ -127,6 +129,46 @@ _ABS_THRESH_DB_16K = np.array([
     -2.8, -2.8, -2.9, -3.2, -3.7, -4.3, -4.4, -3.8, -2.7,
 ])
 
+# The standard's integer FFT-bin -> Bark-band assignment
+# (`nr_of_hz_bands_per_bark_band_16k` of the P.862 reference code): entry k
+# is the number of consecutive 31.25 Hz rfft bins summed into band k,
+# consuming exactly the Nf/2 = 256 bins the reference's short_term_fft
+# produces (DC is bin 0, zeroed before warping, so band 0's single bin
+# carries no power). Self-consistency checks, asserted at import below:
+# the counts sum to 256, and they agree bin-for-bin with the normative
+# `z = f/100` scale (100*centre_bark == centre_hz) through the region that
+# scale covers (every bin below the 500 Hz break). The 8 kHz mode uses the
+# 42-band prefix clipped at its 128-bin spectrum, matching the prefix
+# structure the band-centre and threshold tables share across the rates.
+NR_OF_HZ_BANDS_PER_BARK_BAND_16K = np.array([
+    1, 1, 1, 1, 1, 1, 1, 1, 2, 1,
+    1, 1, 1, 1, 2, 1, 1, 2, 2, 2,
+    2, 2, 2, 2, 2, 3, 3, 3, 3, 4,
+    3, 4, 5, 4, 5, 6, 6, 7, 8, 9,
+    9, 12, 12, 15, 16, 18, 21, 25, 20,
+], dtype=np.int64)
+
+assert NR_OF_HZ_BANDS_PER_BARK_BAND_16K.sum() == 256
+assert NR_OF_HZ_BANDS_PER_BARK_BAND_16K.shape == CENTRE_OF_BAND_BARK.shape
+
+
+def _check_band_table_consistency():
+    """Assert the integer bin-count table agrees with the normative
+    `z = f/100` frequency scale wherever that scale applies (every rfft
+    bin below the 500 Hz break): the band each bin lands in by cumulative
+    count must be the band whose Bark interval (from the published
+    centres, tiling identity) contains z = bin_hz*k/100."""
+    _, edges, _ = _band_layout(49)
+    by_count = np.repeat(np.arange(49), NR_OF_HZ_BANDS_PER_BARK_BAND_16K)
+    bin_hz = 16000.0 / 512.0
+    for k in range(1, int(500.0 // bin_hz) + 1):
+        z = bin_hz * k / 100.0
+        by_scale = int(np.searchsorted(edges, z, side="right") - 1)
+        assert by_count[k] == by_scale, (k, by_count[k], by_scale)
+
+
+_check_band_table_consistency()
+
 
 _WARP_BREAK_HZ = 500.0     # below this the standard's scale is exactly f/100
 
@@ -190,12 +232,14 @@ class _BandTables:
         self.centre_bark = centres
         self.warp = _Warp(fs / 2.0, edges[-1])
 
-        # FFT bin -> band assignment via the warp (bins 1..n_bins-1)
-        bins = np.arange(1, self.n_bins)
-        bark_of_bin = self.warp(bins * self.bin_hz)
-        self.band_of_bin = np.clip(
-            np.searchsorted(edges, bark_of_bin, side="right") - 1, 0, nb - 1
-        )
+        # FFT bin -> band assignment: the standard's integer bin-count
+        # table. At 16 kHz it is used verbatim; at 8 kHz its 42-band prefix
+        # is clipped to the 128-bin spectrum (the final band keeps whatever
+        # bins remain below Nyquist). Bin 0 (DC) is zeroed by the framing
+        # code, so only bins 1..n_bins-1 are assigned here.
+        counts = NR_OF_HZ_BANDS_PER_BARK_BAND_16K[:nb].copy()
+        counts[-1] -= max(0, int(counts.sum()) - self.n_bins)
+        self.band_of_bin = np.repeat(np.arange(nb), counts)[1:]
         self.nr_bins = np.bincount(self.band_of_bin, minlength=nb)
 
         # Power-density correction: nominal band Hz width over the Hz width

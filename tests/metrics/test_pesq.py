@@ -159,6 +159,35 @@ def test_band_tables_match_published_constants():
                                t16.abs_thresh_power[:42], rtol=1e-12)
 
 
+def test_bin_assignment_is_the_published_integer_table():
+    """FFT-bin -> band assignment comes from the standard's
+    `nr_of_hz_bands_per_bark_band_16k` integer table, not a warp: the
+    counts consume exactly the Nf/2 rfft bins the framing produces (DC
+    carries no power), the 8 kHz mode is the table's 42-band prefix
+    clipped at its 128-bin spectrum, and the counts agree with the
+    normative z = f/100 scale over the region it covers."""
+    from guided_vae_nmf_tpu.metrics.pesq import (
+        NR_OF_HZ_BANDS_PER_BARK_BAND_16K as T,
+    )
+    assert T.sum() == 256 and len(T) == 49
+    t16 = _tables(16000)
+    np.testing.assert_array_equal(
+        t16.band_of_bin, np.repeat(np.arange(49), T)[1:])
+    t8 = _tables(8000)
+    c8 = T[:42].copy()
+    c8[-1] -= c8.sum() - 128
+    np.testing.assert_array_equal(
+        t8.band_of_bin, np.repeat(np.arange(42), c8)[1:])
+    # below the 500 Hz break the scale is exactly f/100: each bin's band
+    # by cumulative count equals its band by that scale
+    edges = np.concatenate([[0.0], np.cumsum(t16.width_bark)])
+    by_count = np.repeat(np.arange(49), T)
+    for k in range(1, 16):                      # 31.25*15 Hz < 500
+        z = 31.25 * k / 100.0
+        assert by_count[k] == int(
+            np.searchsorted(edges, z, side="right") - 1)
+
+
 # ---------------------------------------------------------------------------
 # degradation-family battery (recorded drift pins + normative structure)
 # ---------------------------------------------------------------------------
@@ -194,9 +223,9 @@ def test_family_noise_sweep_fine():
     x = _speech_like()
     rng = np.random.RandomState(11)
     noise = rng.randn(len(x))
-    expected = {45: 4.4086, 40: 3.8324, 35: 3.0972, 30: 2.7660,
-                25: 2.4469, 20: 2.1193, 15: 1.7970, 10: 1.5334,
-                5: 1.3902, 0: 1.3328}
+    expected = {45: 4.4100, 40: 3.8331, 35: 3.1016, 30: 2.7698,
+                25: 2.4509, 20: 2.1241, 15: 1.8036, 10: 1.5398,
+                5: 1.3945, 0: 1.3373}
     scores = []
     for snr, exp in expected.items():
         nn = noise * np.sqrt(np.mean(x ** 2) * 10 ** (-snr / 10.0))
@@ -216,7 +245,7 @@ def test_family_constant_delays():
     """Recorded scores for constant delays; a delay inside the utterance's
     silence margin is fully recovered (perfect score)."""
     x = _speech_like()
-    expected = {-1000: 4.3586, -160: 4.2992, 160: 4.2992, 800: 4.2992}
+    expected = {-1000: 4.3591, -160: 4.2974, 160: 4.2974, 800: 4.2974}
     for shift, exp in expected.items():
         assert pesq(FS, x, np.roll(x, shift)) == pytest.approx(
             exp, abs=2e-3), f"shift={shift}"
@@ -230,8 +259,8 @@ def test_family_bandwidth_reduction():
     (with recorded pins); telephone band and high-pass also penalised."""
     x = _speech_broadband()
     assert pesq(FS, x, x) == pytest.approx(4.6439, abs=1e-3)
-    expected = {6000: 4.5262, 4000: 4.4593, 3000: 4.3642,
-                2000: 4.2966, 1000: 4.0925}
+    expected = {6000: 4.5443, 4000: 4.4808, 3000: 4.3642,
+                2000: 4.2816, 1000: 4.0434}
     prev = 4.6439
     for fc, exp in expected.items():
         s = pesq(FS, x, _brickwall(x, 0, fc))
@@ -239,15 +268,15 @@ def test_family_bandwidth_reduction():
         assert s < prev + 1e-6
         prev = s
     assert pesq(FS, x, _brickwall(x, 300, 3400)) == pytest.approx(
-        4.1380, abs=2e-3)
+        4.1382, abs=2e-3)
     assert pesq(FS, x, _brickwall(x, 500, 8000)) == pytest.approx(
-        4.2734, abs=2e-3)
+        4.2741, abs=2e-3)
 
 
 def test_family_clipping():
     """Amplitude clipping: harsher clipping scores lower (recorded pins)."""
     x = _speech_like()
-    expected = {0.5: 2.6507, 0.2: 2.0272, 0.1: 1.8396}
+    expected = {0.5: 2.5699, 0.2: 1.9807, 0.1: 1.8211}
     prev = np.inf
     for frac, exp in expected.items():
         thr = frac * np.max(np.abs(x))
@@ -263,8 +292,8 @@ def test_nb_wb_consistency_on_same_material():
     x = _speech_like()
     rng = np.random.RandomState(11)
     noise = rng.randn(len(x))
-    expected = {40: (3.8324, 3.9151), 20: (2.1193, 2.1095),
-                10: (1.5334, 1.6341), 0: (1.3328, 1.3947)}
+    expected = {40: (3.8331, 3.8351), 20: (2.1241, 2.0580),
+                10: (1.5398, 1.5827), 0: (1.3373, 1.3569)}
     for snr, (wb_exp, nb_exp) in expected.items():
         nn = noise * np.sqrt(np.mean(x ** 2) * 10 ** (-snr / 10.0))
         wb = pesq(FS, x, x + nn)
