@@ -72,10 +72,56 @@ def _normal(shape):
     return jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(_TWO_PI * u2)
 
 
+_LN2 = 0.6931471805599453
+_SQRT2 = 1.4142135623730951
+
+
+def _fast_log(x):
+    """Natural log of positive normal float32s via exponent extraction.
+
+    log x = e*ln2 + log m with m in [sqrt(1/2), sqrt(2)); the mantissa log
+    uses the odd atanh series 2s(1 + s^2/3 + s^4/5 + s^6/7), s =
+    (m-1)/(m+1) in [-0.1716, 0.1716] (|rel err| < 2e-7). Everything is
+    single-slot VPU ALU work (bitcasts, shifts, FMAs) instead of the
+    transcendental unit — the MH chain's accept term is one log per bin
+    per step, so this trades a serialized transcendental for pipelined
+    lanes. Caller guarantees x >= VX_FLOOR (no zeros/denormals/NaNs).
+    """
+    bits = lax.bitcast_convert_type(x, jnp.int32)
+    e = ((bits >> 23) & 0xFF) - 127
+    m = lax.bitcast_convert_type(
+        (bits & 0x007FFFFF) | 0x3F800000, jnp.float32)
+    big = m > _SQRT2
+    m = jnp.where(big, 0.5 * m, m)
+    e = (e + big.astype(jnp.int32)).astype(jnp.float32)
+    s = (m - 1.0) / (m + 1.0)
+    s2 = s * s
+    p = 2.0 * s * (1.0 + s2 * (0.33333333 + s2 * (0.2 + s2 * 0.14285714)))
+    return e * _LN2 + p
+
+
+def _fast_exp(x):
+    """exp for float32 via exponent assembly: a rounded multiple of ln2 is
+    bit-shifted into the exponent field and the Cody-Waite-reduced
+    residual r in [-ln2/2, ln2/2] evaluated by a degree-6 Taylor
+    (|rel err| < 3e-7). Input clamped to the finite range so the
+    assembled exponent stays normal."""
+    x = jnp.clip(x, -87.0, 88.0)
+    zi = jnp.floor(x * (1.0 / _LN2) + 0.5)
+    # two-constant reduction: ln2_hi exact in f32, so x - zi*ln2_hi is too
+    r = (x - zi * 0.693359375) + zi * 2.12194440e-4
+    p = 1.0 + r * (1.0 + r * (0.5 + r * (0.16666666666666666
+        + r * (0.041666666666666664 + r * (0.008333333333333333
+        + r * 0.001388888888888889)))))
+    scale = lax.bitcast_convert_type(
+        (zi.astype(jnp.int32) + 127) << 23, jnp.float32)
+    return scale * p
+
+
 def _make_chain_kernel(mode, n_steps, burnin, var_RW, T, L, F, depth=2,
                        samples_dtype=jnp.float32,
                        matmul_dtype=jnp.float32, approx_recip=False,
-                       inject=False, nmf=False):
+                       approx_trans=False, inject=False, nmf=False):
     """`depth` = number of decoder hidden layers (the reference family is
     tanh^depth -> exp; evaluate configs use 2, training_M1's default 1).
 
@@ -98,6 +144,13 @@ def _make_chain_kernel(mode, n_steps, burnin, var_RW, T, L, F, depth=2,
         if approx_recip:
             return pl.reciprocal(x, approx=True)
         return 1.0 / x
+
+    # approx_trans swaps the chain's two per-bin-per-step transcendentals
+    # (the decoder-output exp and the data term's log) for exponent-field
+    # bit arithmetic + short polynomials (<2e-7 rel) — ALU work the VPU
+    # pipelines instead of serialized transcendental-unit issues.
+    log_ = _fast_log if approx_trans else jnp.log
+    exp_ = _fast_exp if approx_trans else jnp.exp
 
     def mm(a, b):
         return jnp.dot(a.astype(matmul_dtype), b.astype(matmul_dtype),
@@ -168,7 +221,7 @@ def _make_chain_kernel(mode, n_steps, burnin, var_RW, T, L, F, depth=2,
             h = jnp.tanh(mm(Zc, w1_ref[:]) + ypre)           # (T, H1)
             for w_ref, b_ref in mid:
                 h = jnp.tanh(mm(h, w_ref[:]) + b_ref[:])
-            return jnp.exp(mm(h, wo_ref[:]) + bo_ref[:])     # (T, F)
+            return exp_(mm(h, wo_ref[:]) + bo_ref[:])        # (T, F)
 
         def propose(m, Z, s):
             """One MH proposal + accept decision. Returns (accept column,
@@ -181,7 +234,7 @@ def _make_chain_kernel(mode, n_steps, burnin, var_RW, T, L, F, depth=2,
             Vsp = decode(Zp)
             Vxp = jnp.maximum(G * Vsp + Vb, VX_FLOOR)
             invVxp = recip(Vxp)
-            sp = nll_rowsum(jnp.log(Vxp), invVxp)            # (T, 1)
+            sp = nll_rowsum(log_(Vxp), invVxp)               # (T, 1)
             acc = (s - sp)[:, 0] + 0.5 * jnp.sum(
                 Z * Z - Zp * Zp, axis=1
             )                                                # (T,)
@@ -189,7 +242,7 @@ def _make_chain_kernel(mode, n_steps, burnin, var_RW, T, L, F, depth=2,
                 u = u_ref[0, pl.ds(m, 1)].reshape(T)
             else:
                 u = _uniform01((T, 1))[:, 0]
-            return (jnp.log(u) < acc)[:, None], Zp, Vsp, invVxp, sp
+            return (log_(u) < acc)[:, None], Zp, Vsp, invVxp, sp
 
         def burn_body(m, carry):
             # Burn-in carries only (Z, s): the accepted Vs / 1/Vx arrays
@@ -225,7 +278,7 @@ def _make_chain_kernel(mode, n_steps, burnin, var_RW, T, L, F, depth=2,
         Vx0 = jnp.maximum(G * Vs0 + Vb, VX_FLOOR)
         Z, s = lax.fori_loop(
             0, burnin, burn_body,
-            (z_ref[0], nll_rowsum(jnp.log(Vx0), recip(Vx0))),
+            (z_ref[0], nll_rowsum(log_(Vx0), recip(Vx0))),
         )
         Vs = decode(Z)
         invVx = recip(jnp.maximum(G * Vs + Vb, VX_FLOOR))
@@ -271,13 +324,13 @@ def _default_interpret():
     jax.jit,
     static_argnames=("mode", "nsamples", "burnin", "var_RW", "tile",
                      "samples_dtype", "matmul_dtype", "interpret",
-                     "approx_recip"),
+                     "approx_recip", "approx_trans"),
 )
 def mh_chain_pallas(dec_w, X2, Vb, g, ypre, Z, Vs, seeds, mode="e",
                     nsamples=10, burnin=30, var_RW=0.01, tile=128,
                     samples_dtype=jnp.float32, matmul_dtype=jnp.float32,
-                    interpret=None, approx_recip=False, noise=None,
-                    WH=None, mask=None):
+                    interpret=None, approx_recip=False, approx_trans=False,
+                    noise=None, WH=None, mask=None):
     """Run the fused MH chain over a frames-major batch.
 
     Args (frames-major layout):
@@ -321,6 +374,7 @@ def mh_chain_pallas(dec_w, X2, Vb, g, ypre, Z, Vs, seeds, mode="e",
                                 samples_dtype=samples_dtype,
                                 matmul_dtype=matmul_dtype,
                                 approx_recip=approx_recip,
+                                approx_trans=approx_trans,
                                 inject=noise is not None, nmf=nmf)
 
     def tiled(shape_tail):
@@ -694,14 +748,15 @@ def _masked_cost_batched(X2, mask, Vb, g, Vs):
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "update_nmf", "tile", "compute_cost",
-                     "samples_dtype", "matmul_dtype", "approx_recip"),
+                     "samples_dtype", "matmul_dtype", "approx_recip",
+                     "approx_trans"),
 )
 def mcem_batch_fused(vae_params, X_abs2, mask, y, keys,
                      cfg: MCEMConfig = MCEMConfig(), update_nmf=True,
                      Vb_fixed=None, tile=128, compute_cost=True,
                      samples_dtype=jnp.float32,
                      matmul_dtype=jnp.float32, approx_recip=False,
-                     init=None):
+                     approx_trans=False, init=None):
     """Full batched MCEM with the fused Pallas chains.
 
     Same contract as engine.mcem_m1_batch / mcem_m2_batch: X_abs2 (B, F, N)
@@ -780,7 +835,8 @@ def mcem_batch_fused(vae_params, X_abs2, mask, y, keys,
         Vbf = jnp.swapaxes(Vb_fixed, 1, 2)
     g = jnp.ones((B, N), X2.dtype) if init is None else init["g"]
     kern_kw = dict(tile=tile, samples_dtype=samples_dtype,
-                   matmul_dtype=matmul_dtype, approx_recip=approx_recip)
+                   matmul_dtype=matmul_dtype, approx_recip=approx_recip,
+                   approx_trans=approx_trans)
 
     def em_iter(carry, _):
         Wt, H, g, Z, Vs, key = carry
@@ -846,6 +902,7 @@ def mcem_batch_fused(vae_params, X_abs2, mask, y, keys,
         mode="wf", nsamples=cfg.nsamples_WF, burnin=cfg.burnin_WF,
         var_RW=cfg.var_RW, WH=(Wt, H) if update_nmf else None,
         tile=tile, matmul_dtype=matmul_dtype, approx_recip=approx_recip,
+        approx_trans=approx_trans,
     )
     WFs = jnp.swapaxes(ws / cfg.nsamples_WF, 1, 2)       # back to (F,N)
     WFn = jnp.swapaxes(wn / cfg.nsamples_WF, 1, 2)

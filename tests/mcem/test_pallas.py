@@ -247,3 +247,75 @@ def test_injected_noise_wf_mode_matches_xla_engine():
         assert_allclose(np.asarray(wn[b] / nsamples), np.asarray(WFn).T,
                         atol=2e-5)
         assert_allclose(np.asarray(Zo[b]), np.asarray(Ze).T, atol=2e-5)
+
+
+def test_approx_trans_helpers_accuracy():
+    """The fast-mode exp/log replacements (exponent-field bit arithmetic +
+    short polynomials) stay within ~f32 roundoff of the natives across
+    their kernel operating ranges."""
+    from guided_vae_nmf_tpu.mcem.pallas_engine import _fast_exp, _fast_log
+
+    rng = np.random.RandomState(0)
+    x = np.concatenate([
+        10.0 ** rng.uniform(-30, 30, 50000),     # Vx range above VX_FLOOR
+        rng.uniform(6e-8, 1.0, 20000),           # accept-test uniforms
+    ]).astype(np.float32)
+    got = np.asarray(jax.jit(_fast_log)(x))
+    ref = np.log(x.astype(np.float64))
+    assert np.abs(got - ref).max() < 1e-5        # abs err in a log-domain sum
+
+    y = rng.uniform(-87.0, 88.0, 50000).astype(np.float32)
+    got = np.asarray(jax.jit(_fast_exp)(y))
+    ref = np.exp(y.astype(np.float64))
+    assert (np.abs(got - ref) / ref).max() < 1e-6
+
+
+def test_approx_trans_chain_matches_exact():
+    """approx_trans swaps the chain's exp/log for the bit-arithmetic
+    versions; with identical injected noise streams the trajectory must
+    track the exact chain (same accept decisions at these margins, state
+    equal to ~1e-4)."""
+    _, dec_w, X2, Vb, g, ypre, Z, Vs0, seeds = _setup()
+    nsamples, burnin, var_rw = 3, 2, 0.01
+    n_steps = nsamples + burnin
+    rng = np.random.RandomState(7)
+    noise = (jnp.asarray(rng.randn(B, n_steps, N, L).astype(np.float32)),
+             jnp.asarray(rng.uniform(1e-6, 1.0, (B, n_steps, N))
+                         .astype(np.float32)))
+
+    out = {}
+    for approx in (False, True):
+        Zo, Vso, (samp, s1, s2) = mh_chain_pallas(
+            dec_w, X2, Vb, g, ypre, Z, Vs0, seeds, mode="e",
+            nsamples=nsamples, burnin=burnin, var_RW=var_rw,
+            approx_trans=approx, noise=noise,
+        )
+        out[approx] = (Zo, Vso, samp, s1, s2)
+    assert not np.allclose(np.asarray(out[False][0]), np.asarray(Z))
+    assert_allclose(np.asarray(out[True][0]), np.asarray(out[False][0]),
+                    atol=1e-5)
+    assert_allclose(np.asarray(out[True][1]), np.asarray(out[False][1]),
+                    rtol=1e-4)
+    assert_allclose(np.asarray(out[True][2]), np.asarray(out[False][2]),
+                    rtol=1e-4)
+
+
+def test_mcem_batch_fused_approx_trans_runs():
+    """Full fused MCEM with the approx-transcendental fast mode: shapes,
+    finiteness, and Wiener masks in [0, 1]."""
+    dgm = dgm_init(KEY, [F, 10, L, [H, H]])
+    X2 = jnp.asarray(
+        np.random.RandomState(3).uniform(0.05, 1.0, (B, F, N)), jnp.float32)
+    y = (jax.random.uniform(jax.random.PRNGKey(5), (B, 10, N)) > 0.5)
+    y = y.astype(jnp.float32)
+    mask = jnp.ones((B, N))
+    keys = jax.random.split(jax.random.PRNGKey(9), 2)
+    res = mcem_batch_fused(
+        dgm, X2, mask, y, keys, MCEMConfig(niter=2), approx_trans=True,
+        approx_recip=True, samples_dtype=jnp.bfloat16,
+    )
+    assert res["WFs"].shape == (B, F, N)
+    for k in ("WFs", "WFn", "W", "H", "g", "Z"):
+        assert np.isfinite(np.asarray(res[k])).all(), k
+    assert (np.asarray(res["WFs"]) >= 0).all()
+    assert (np.asarray(res["WFs"]) <= 1.0 + 1e-5).all()
