@@ -17,7 +17,7 @@ import subprocess
 
 import numpy as np
 
-_NATIVE_DIR = os.path.join(
+_NATIVE_DIR = os.environ.get("GVNMF_NATIVE_DIR") or os.path.join(
     os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
     "native",
 )
