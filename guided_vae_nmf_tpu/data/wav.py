@@ -43,14 +43,19 @@ def read_wav(path):
     Handles both RIFF wav and NIST SPHERE (WSJ0) containers. Matches
     soundfile.read's default float64 conversion for PCM16/PCM32 and passes
     float wavs through unchanged. Multi-channel audio keeps its
-    (samples, channels) orientation.
+    (samples, channels) orientation. `path` may be a filesystem path or a
+    seekable binary file object (RIFF only — e.g. an in-memory request
+    body; SPHERE stays path-only).
     """
-    with open(path, "rb") as f:
-        magic = f.read(8)
-    if magic.startswith(b"NIST_1A"):
-        fs, data = _read_nist_sphere(path)
-    else:
+    if hasattr(path, "read"):
         fs, data = wavfile.read(path)
+    else:
+        with open(path, "rb") as f:
+            magic = f.read(8)
+        if magic.startswith(b"NIST_1A"):
+            fs, data = _read_nist_sphere(path)
+        else:
+            fs, data = wavfile.read(path)
     if data.dtype == np.int16:
         x = data.astype(np.float64) / 32768.0
     elif data.dtype == np.int32:

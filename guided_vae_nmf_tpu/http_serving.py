@@ -1,0 +1,172 @@
+"""HTTP front end for the online enhancement service (stdlib-only).
+
+The reference has no serving story (its deployment mode is batch scripts,
+reference scripts/evaluate_M1.py:186-222); this framework's
+:class:`~guided_vae_nmf_tpu.serving.EnhancementService` provides
+dynamic-batched shared-device enhancement, and this module exposes it
+over HTTP so non-Python clients can use it. No third-party dependencies:
+`http.server.ThreadingHTTPServer` gives one thread per connection, each
+blocking on `service.enhance()` — the service's collector thread then
+co-batches concurrent requests onto the device exactly as it does for
+in-process callers.
+
+API:
+  POST /v1/enhance      body = RIFF wav (16 kHz PCM16/float), response =
+                        RIFF wav (PCM16) of the enhanced speech track.
+                        `?track=noise` returns the noise estimate instead;
+                        `?track=both` returns one run's exact Wiener
+                        partition as a stereo wav (ch0 speech, ch1 noise).
+                        Response headers: X-Latency-S (service-side
+                        latency), X-Batch-Size (device batch the request
+                        rode in).
+  GET  /healthz         {"status": "ok", "requests": N} once the service
+                        is accepting work.
+  GET  /stats           the service's latency/batching stats as JSON.
+
+Use :class:`EnhancementHTTPServer` programmatically or
+``scripts/serve_http.py`` as the deployable entry point.
+"""
+
+import io
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import urlparse, parse_qs
+
+import numpy as np
+
+from .data.wav import read_wav, write_wav
+
+_MAX_BODY = 64 * 1024 * 1024            # 64 MB ~ 35 min of 16 kHz PCM16
+
+
+class _Handler(BaseHTTPRequestHandler):
+    # set by the server factory
+    service = None
+    fs = 16000
+    quiet = True
+
+    protocol_version = "HTTP/1.1"
+
+    def log_message(self, fmt, *args):   # stdlib default logs every hit
+        if not self.quiet:
+            super().log_message(fmt, *args)
+
+    # ---- helpers ---------------------------------------------------------
+
+    def _send(self, code, body, ctype="application/json", headers=()):
+        self.send_response(code)
+        self.send_header("Content-Type", ctype)
+        self.send_header("Content-Length", str(len(body)))
+        for k, v in headers:
+            self.send_header(k, v)
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _send_json(self, code, obj):
+        self._send(code, json.dumps(obj).encode())
+
+    def _error(self, code, msg):
+        self._send_json(code, {"error": msg})
+
+    # ---- routes ----------------------------------------------------------
+
+    def do_GET(self):
+        path = urlparse(self.path).path
+        if path == "/healthz":
+            self._send_json(200, {
+                "status": "ok",
+                "requests": self.service.stats().get("requests", 0),
+            })
+        elif path == "/stats":
+            self._send_json(200, self.service.stats())
+        else:
+            self._error(404, f"unknown path {path}")
+
+    def do_POST(self):
+        url = urlparse(self.path)
+        if url.path != "/v1/enhance":
+            return self._error(404, f"unknown path {url.path}")
+        try:
+            length = int(self.headers.get("Content-Length", "0"))
+        except ValueError:
+            return self._error(400, "bad Content-Length")
+        if length <= 0:
+            return self._error(400, "empty body (expected RIFF wav)")
+        if length > _MAX_BODY:
+            return self._error(413, f"body over {_MAX_BODY} bytes")
+        body = self.rfile.read(length)
+
+        try:
+            x, fs = read_wav(io.BytesIO(body))
+        except Exception as e:
+            return self._error(400, f"not a readable RIFF wav: {e}")
+        if fs != self.fs:
+            return self._error(
+                400, f"sample rate {fs} != service rate {self.fs}")
+        if x.ndim > 1:                   # multi-channel: first channel,
+            x = x[:, 0]                  # matching the noise-DB convention
+        x = np.ascontiguousarray(x, np.float32)
+        if x.size == 0:
+            return self._error(400, "zero-length audio")
+        if not np.all(np.isfinite(x)):
+            return self._error(400, "waveform contains non-finite samples")
+
+        track = parse_qs(url.query).get("track", ["speech"])[0]
+        if track not in ("speech", "noise", "both"):
+            return self._error(400, f"unknown track {track!r}")
+        try:
+            out = self.service.enhance(x)
+        except RuntimeError as e:        # closed service
+            return self._error(503, str(e))
+        if track == "both":
+            # one run's exact Wiener partition as a stereo wav:
+            # ch0 = speech, ch1 = noise (s + n reconstructs the mixture)
+            y = np.stack([out["s"], out["n"]], axis=1)
+        else:
+            y = out["n" if track == "noise" else "s"]
+        buf = io.BytesIO()
+        write_wav(buf, y, self.fs)
+        self._send(
+            200, buf.getvalue(), ctype="audio/wav",
+            headers=(("X-Latency-S", f"{out['latency_s']:.4f}"),
+                     ("X-Batch-Size", str(out["batch_size"]))),
+        )
+
+
+class EnhancementHTTPServer:
+    """Threaded HTTP wrapper around an EnhancementService.
+
+    >>> srv = EnhancementHTTPServer(service, port=0)   # 0 = ephemeral
+    >>> srv.start()
+    >>> srv.port                                        # bound port
+    >>> srv.close()                                     # stops HTTP only
+
+    Closing the HTTP server does NOT close the underlying service (it may
+    have in-process users); `scripts/serve_http.py` owns both lifetimes.
+    """
+
+    def __init__(self, service, host="127.0.0.1", port=8571, fs=16000,
+                 quiet=True):
+        handler = type("BoundHandler", (_Handler,), {
+            "service": service, "fs": fs, "quiet": quiet,
+        })
+        self._httpd = ThreadingHTTPServer((host, port), handler)
+        self._thread = None
+
+    @property
+    def port(self):
+        return self._httpd.server_address[1]
+
+    def start(self):
+        self._thread = threading.Thread(
+            target=self._httpd.serve_forever, daemon=True,
+            name="gvnmf-http")
+        self._thread.start()
+        return self
+
+    def close(self):
+        self._httpd.shutdown()
+        self._httpd.server_close()
+        if self._thread is not None:
+            self._thread.join(timeout=10)

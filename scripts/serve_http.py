@@ -1,0 +1,77 @@
+"""Deployable HTTP enhancement endpoint (wav in -> enhanced wav out).
+
+Serves the flagship configuration (M2 + DNN classifier, SPP noise model)
+from the shipped pretrained artifacts over plain HTTP via the
+dynamic-batching EnhancementService — concurrent POSTs co-batch onto the
+device. stdlib HTTP only; see guided_vae_nmf_tpu/http_serving.py for the
+API (POST /v1/enhance, GET /healthz, GET /stats).
+
+Usage: python scripts/serve_http.py [--host 0.0.0.0] [--port 8571]
+       [--models artifacts/pretrained] [--niter 100]
+       [--noise_model spp] [--soft_labels 0] [--fast 0]
+       [--wait_ms 20] [--warmup 0]
+"""
+
+import os
+import sys
+
+sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+os.environ.setdefault(
+    "GVNMF_CACHE_DIR", os.path.expanduser("~/.cache/gvnmf_xla")
+)
+
+from _common import flag, load_model, load_norm_stats
+
+
+def main(argv=None):
+    argv = argv if argv is not None else sys.argv[1:]
+    host = flag(argv, "host", "127.0.0.1")
+    port = flag(argv, "port", 8571, int)
+    models = flag(argv, "models", "artifacts/pretrained")
+    niter = flag(argv, "niter", 100, int)
+    noise_model = flag(argv, "noise_model", "spp")
+    soft = flag(argv, "soft_labels", "0") in ("1", "true")
+    fast = flag(argv, "fast", "0") in ("1", "true")
+    wait_ms = flag(argv, "wait_ms", 20.0, float)
+    warmup = flag(argv, "warmup", "0") in ("1", "true")
+
+    from guided_vae_nmf_tpu.http_serving import EnhancementHTTPServer
+    from guided_vae_nmf_tpu.mcem import MCEMConfig
+    from guided_vae_nmf_tpu.serving import EnhancementService, ServeConfig
+
+    m2 = load_model(os.path.join(models, "M2_ibm"), kind="dgm")
+    cls = load_model(os.path.join(models, "classifier_ibm"),
+                     kind="classifier")
+    mean, std = load_norm_stats(os.path.join(models, "classifier_ibm"))
+
+    svc = EnhancementService(
+        m2, classifier_params=cls, mean=mean, std=std,
+        cfg=MCEMConfig(niter=niter),
+        serve=ServeConfig(max_wait_ms=wait_ms, label_mode="dnn",
+                          noise_model=noise_model, soft_guidance=soft,
+                          fast=fast),
+    )
+    if warmup:
+        print(f"warmup: {svc.warmup():.1f}s", flush=True)
+        svc.reset_stats()
+
+    srv = EnhancementHTTPServer(svc, host=host, port=port, quiet=False)
+    srv.start()
+    print(f"serving on http://{host}:{srv.port} "
+          f"(niter={niter}, noise_model={noise_model}, "
+          f"soft={soft}, fast={fast})", flush=True)
+    try:
+        import time
+        while True:
+            time.sleep(3600)
+    except KeyboardInterrupt:
+        pass
+    finally:
+        srv.close()
+        svc.close()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,129 @@
+"""HTTP front end (guided_vae_nmf_tpu/http_serving.py): a real client
+(urllib over a bound ephemeral port) drives POST /v1/enhance with RIFF
+bodies against a live EnhancementService, plus healthz/stats and every
+rejection path."""
+
+import io
+import json
+import urllib.error
+import urllib.request
+
+import numpy as np
+import jax
+import pytest
+
+from guided_vae_nmf_tpu.data.wav import read_wav, write_wav
+from guided_vae_nmf_tpu.http_serving import EnhancementHTTPServer
+from guided_vae_nmf_tpu.mcem import MCEMConfig
+from guided_vae_nmf_tpu.models import vae_init
+from guided_vae_nmf_tpu.serving import EnhancementService, ServeConfig
+
+F, L, H = 513, 8, 16
+CFG = MCEMConfig(niter=2, nsamples_E_step=2, burnin_E_step=1,
+                 nsamples_WF=2, burnin_WF=1, nmf_rank=2)
+SV = ServeConfig(engine="xla", label_mode="none", noise_model="nmf",
+                 max_wait_ms=20.0)
+
+
+@pytest.fixture(scope="module")
+def server():
+    m1 = vae_init(jax.random.PRNGKey(0), [F, L, [H]])
+    svc = EnhancementService(m1, cfg=CFG, serve=SV)
+    srv = EnhancementHTTPServer(svc, port=0).start()   # ephemeral port
+    yield srv
+    srv.close()
+    svc.close()
+
+
+def _wav_bytes(x, fs=16000):
+    buf = io.BytesIO()
+    write_wav(buf, x, fs)
+    return buf.getvalue()
+
+
+def _post(srv, body, path="/v1/enhance"):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{srv.port}{path}", data=body,
+        headers={"Content-Type": "audio/wav"})
+    return urllib.request.urlopen(req, timeout=300)
+
+
+def test_enhance_roundtrip(server):
+    rng = np.random.RandomState(0)
+    x = (0.1 * rng.randn(8000)).astype(np.float32)
+    resp = _post(server, _wav_bytes(x))
+    assert resp.status == 200
+    assert resp.headers["Content-Type"] == "audio/wav"
+    assert float(resp.headers["X-Latency-S"]) > 0
+    s, fs = read_wav(io.BytesIO(resp.read()))
+    assert fs == 16000 and s.shape == x.shape
+    assert np.all(np.isfinite(s))
+
+    # noise track (independent request -> independent MH run): shape only
+    resp_n = _post(server, _wav_bytes(x), path="/v1/enhance?track=noise")
+    n, _ = read_wav(io.BytesIO(resp_n.read()))
+    assert n.shape == x.shape and np.all(np.isfinite(n))
+
+    # track=both: ONE run's exact Wiener partition as a stereo wav —
+    # s + n reconstructs the (PCM16-quantized) request body
+    resp_b = _post(server, _wav_bytes(x), path="/v1/enhance?track=both")
+    sn, _ = read_wav(io.BytesIO(resp_b.read()))
+    assert sn.shape == (len(x), 2)
+    xq = np.round(x * 32768.0) / 32768.0        # body was PCM16-quantized
+    np.testing.assert_allclose(sn.sum(axis=1), xq, atol=4.0 / 32768.0)
+
+
+def test_healthz_and_stats(server):
+    with urllib.request.urlopen(
+            f"http://127.0.0.1:{server.port}/healthz", timeout=60) as r:
+        h = json.loads(r.read())
+    assert h["status"] == "ok"
+    with urllib.request.urlopen(
+            f"http://127.0.0.1:{server.port}/stats", timeout=60) as r:
+        st = json.loads(r.read())
+    assert st["requests"] >= 1          # roundtrip test above counted
+
+
+def test_rejections(server):
+    def code_of(body=b"", path="/v1/enhance", method="POST"):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{server.port}{path}",
+            data=body if method == "POST" else None)
+        try:
+            with urllib.request.urlopen(req, timeout=60) as r:
+                return r.status
+        except urllib.error.HTTPError as e:
+            e.read()
+            return e.code
+
+    assert code_of(b"") == 400                          # empty body
+    assert code_of(b"not a wav at all" * 4) == 400      # unparseable
+    assert code_of(_wav_bytes(np.zeros(100), fs=8000)) == 400  # wrong rate
+    assert code_of(_wav_bytes(np.ones(100)), "/v1/enhance?track=x") == 400
+    assert code_of(_wav_bytes(np.ones(100)), "/v1/other") == 404
+    assert code_of(path="/nope", method="GET") == 404
+
+
+def test_multichannel_takes_first_channel(server):
+    rng = np.random.RandomState(1)
+    stereo = (0.1 * rng.randn(6000, 2)).astype(np.float32)
+    resp = _post(server, _wav_bytes(stereo))
+    s, _ = read_wav(io.BytesIO(resp.read()))
+    assert s.shape == (6000,)
+
+
+def test_concurrent_clients_cobatch(server):
+    """Concurrent POSTs must all succeed and ride shared device batches
+    (the HTTP threads block on the same collector)."""
+    import concurrent.futures as cf
+
+    rng = np.random.RandomState(2)
+    bodies = [_wav_bytes((0.1 * rng.randn(8000)).astype(np.float32))
+              for _ in range(6)]
+    with cf.ThreadPoolExecutor(6) as pool:
+        resps = list(pool.map(lambda b: _post(server, b), bodies))
+    sizes = [int(r.headers["X-Batch-Size"]) for r in resps]
+    for r in resps:
+        assert r.status == 200
+        r.read()
+    assert max(sizes) >= 2              # at least one shared batch
