@@ -61,6 +61,10 @@ def main(argv=None):
         "fast_bf16mm": dict(samples_dtype=jnp.bfloat16, approx_recip=True,
                             compute_cost=False,
                             matmul_dtype=jnp.bfloat16),
+        # round 3: + bit-arithmetic exp/log in the chain (approx_trans)
+        "fast_trans_r3": dict(samples_dtype=jnp.bfloat16,
+                              approx_recip=True, compute_cost=False,
+                              approx_trans=True),
     }
     out = {"batch": B, "n_frames": N, "niter": niter,
            "audio_s": round(audio_s, 1)}
@@ -138,11 +142,13 @@ def main(argv=None):
               f"{audio_s / dt:.1f}x realtime", flush=True)
 
     if quality:
-        out["quality"] = _quality_check(niter, seeds, refine=refine)
+        out["quality"] = _quality_check(
+            niter, seeds, refine=refine,
+            approx_trans=bool(flag(argv, "approx_trans", 0, int)))
     print(json.dumps(out))
 
 
-def _quality_check(niter, seeds, refine=0):
+def _quality_check(niter, seeds, refine=0, approx_trans=False):
     """Seed-averaged |delta| of the fastest variant vs exact mode on the
     bundled subset mixtures (oracle labels, shipped pretrained M2)."""
     import jax
@@ -195,6 +201,9 @@ def _quality_check(niter, seeds, refine=0):
 
     fast_kw = dict(samples_dtype=jnp.bfloat16, approx_recip=True,
                    compute_cost=False, matmul_dtype=jnp.bfloat16)
+    if approx_trans:
+        fast_kw = dict(samples_dtype=jnp.bfloat16, approx_recip=True,
+                       compute_cost=False, approx_trans=True)
     if refine:
         from guided_vae_nmf_tpu.mcem import (
             PEEMConfig, peem_mcem_m2_batch,
@@ -224,7 +233,8 @@ def _quality_check(niter, seeds, refine=0):
     d = np.abs(fa - ex)
     res = {
         "seeds": seeds,
-        "mode": "hybrid" if refine else "fast_bf16mm",
+        "mode": ("hybrid" if refine else
+                 "fast_trans_r3" if approx_trans else "fast_bf16mm"),
         "mean_abs_dSISDR": round(float(d[:, 0].mean()), 4),
         "mean_abs_dESTOI": round(float(d[:, 1].mean()), 4),
         "mean_abs_dPESQ": round(float(d[:, 2].mean()), 4),
