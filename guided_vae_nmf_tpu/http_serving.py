@@ -36,6 +36,7 @@ from urllib.parse import urlparse, parse_qs
 import numpy as np
 
 from .data.wav import read_wav, write_wav
+from .serving import QueueFullError
 
 _MAX_BODY = 64 * 1024 * 1024            # 64 MB ~ 35 min of 16 kHz PCM16
 
@@ -117,6 +118,10 @@ class _Handler(BaseHTTPRequestHandler):
             return self._error(400, f"unknown track {track!r}")
         try:
             out = self.service.enhance(x)
+        except QueueFullError as e:      # backpressure: retry with backoff
+            return self._send(
+                429, json.dumps({"error": str(e)}).encode(),
+                headers=(("Retry-After", "1"),))
         except RuntimeError as e:        # closed service
             return self._error(503, str(e))
         if track == "both":

@@ -44,6 +44,11 @@ from .dsp.stft import frame_count, pad_signal_for_stft
 from .pipeline import FS, HOP, NFFT, _enhance_waveform_jit, _use_fused
 
 
+class QueueFullError(RuntimeError):
+    """submit() backpressure: the waiting queue is at ServeConfig.max_queue.
+    Transient by design — retry with backoff (HTTP front end: 429)."""
+
+
 @dataclass(frozen=True)
 class ServeConfig:
     """Dynamic-batching policy.
@@ -61,6 +66,11 @@ class ServeConfig:
     max_wait_ms: float = 20.0
     bucket_multiple: int = 128
     batch_lattice: tuple = (1, 2, 4, 8, 16)
+    # backpressure: submit() raises QueueFullError once this many requests
+    # are waiting (un-dispatched) — bounds host memory under request
+    # floods; clients should retry with backoff (HTTP maps it to 429).
+    # 0 disables the bound.
+    max_queue: int = 256
     # under load, merge shorter requests upward into the longest pending
     # bucket (they run correctly at any larger n_pad — the frame mask
     # covers the extra padding) as long as each merged request wastes at
@@ -153,6 +163,11 @@ class EnhancementService:
         with self._cv:
             if self._closed:
                 raise RuntimeError("service is closed")
+            mq = self._serve.max_queue
+            if mq and len(self._queue) >= mq:
+                raise QueueFullError(
+                    f"{len(self._queue)} requests waiting "
+                    f"(ServeConfig.max_queue={mq})")
             self._rid += 1
             req.rid = self._rid
             self._queue.append(req)

@@ -127,3 +127,36 @@ def test_concurrent_clients_cobatch(server):
         assert r.status == 200
         r.read()
     assert max(sizes) >= 2              # at least one shared batch
+
+
+def test_http_429_on_queue_full():
+    """A saturated queue maps to HTTP 429 + Retry-After (backpressure is
+    visible to HTTP clients, not an opaque 500)."""
+    import concurrent.futures as cf
+
+    m1 = vae_init(jax.random.PRNGKey(1), [F, L, [H]])
+    tight = ServeConfig(engine="xla", label_mode="none", noise_model="nmf",
+                        max_wait_ms=2000.0, max_queue=1)
+    svc = EnhancementService(m1, cfg=CFG, serve=tight)
+    srv = EnhancementHTTPServer(svc, port=0).start()
+    try:
+        rng = np.random.RandomState(3)
+        bodies = [_wav_bytes((0.1 * rng.randn(5000)).astype(np.float32))
+                  for _ in range(12)]
+
+        def post(b):
+            try:
+                with _post(srv, b) as r:
+                    r.read()
+                    return r.status
+            except urllib.error.HTTPError as e:
+                e.read()
+                return e.code
+
+        with cf.ThreadPoolExecutor(12) as pool:
+            codes = list(pool.map(post, bodies))
+        assert 429 in codes, codes
+        assert 200 in codes, codes
+    finally:
+        srv.close()
+        svc.close()

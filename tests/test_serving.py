@@ -203,3 +203,27 @@ def test_spp2_noise_model_serving_path(m1):
     assert np.all(np.isfinite(out2["s"]))
     np.testing.assert_allclose(out2["s"] + out2["n"], x, atol=3.0 / 32768.0)
     assert not np.array_equal(out2["s"], out1["s"])
+
+
+def test_queue_backpressure(m1):
+    """max_queue bounds the waiting queue: the overflow submit raises
+    QueueFullError; earlier requests still complete."""
+    from guided_vae_nmf_tpu.serving import QueueFullError
+
+    tight = ServeConfig(engine="xla", label_mode="none", noise_model="nmf",
+                        max_wait_ms=2000.0, max_queue=2)
+    with EnhancementService(m1, cfg=CFG, serve=tight) as svc:
+        futs = []
+        raised = False
+        # the collector may pop the first request(s) into a group before
+        # the flood lands, so keep submitting until the bound trips
+        for i in range(20):
+            try:
+                futs.append(svc.submit(_wav(i, 0.3)))
+            except QueueFullError:
+                raised = True
+                break
+        assert raised, "max_queue=2 never tripped over 20 rapid submits"
+        for f in futs:
+            out = f.result(timeout=300)
+            assert np.all(np.isfinite(out["s"]))
