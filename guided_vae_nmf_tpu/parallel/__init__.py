@@ -4,6 +4,7 @@ from .sweep import (
     sharded_mcem_m2,
     sharded_mcem_fused,
     frame_sharded_mcem,
+    grid_sharded_mcem,
 )
 from . import multihost
 from .mesh import (

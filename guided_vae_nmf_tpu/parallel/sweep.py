@@ -202,3 +202,103 @@ def sharded_mcem_m2(mesh, dgm_params, X_abs2, mask, y, keys,
         cfg,
     )
     return jax.tree_util.tree_map(lambda x: np.asarray(x)[:B], out)
+
+
+def grid_sharded_mcem(mesh, vae_params, X_abs2, mask, y, keys,
+                      cfg: MCEMConfig = MCEMConfig(),
+                      data_axis="data", frame_axis="frame",
+                      update_nmf=True, Vb_fixed=None):
+    """A BATCH of long recordings over a 2-D mesh: utterances split over
+    `data_axis`, every utterance's frames over `frame_axis` — the
+    composition of the per-utterance inference parallelism (SURVEY §2.7
+    P1) with the long-recording frame sharding (SURVEY §5 closing
+    bullet), for pod-scale sweeps where single recordings outgrow one
+    chip's HBM.
+
+    Collectives: identical to `frame_sharded_mcem` — psums of the NMF
+    W-update matmuls and the scalar cost along `frame_axis` only
+    (reference mcem.py:107-115's frame reductions); the data axis is
+    communication-free, so on a (hosts*chips) mesh the frame axis should
+    map to ICI and the data axis may span DCN.
+
+    Args: X_abs2 (B, F, N) with B % mesh.shape[data_axis] == 0 and
+    N % mesh.shape[frame_axis] == 0 (pad with `pad_power` + mask);
+    mask (B, N); y (B, y_dim, N) or None; keys (B, 2) uint32 — per
+    utterance, split exactly like `frame_sharded_mcem`'s single key so a
+    B=1 run reproduces it. Returns the batched result dict (B leading).
+    """
+    from ..mcem.engine import mcem_run
+
+    nd = mesh.shape[data_axis]
+    nf = mesh.shape[frame_axis]
+    B, F, N = X_abs2.shape
+    if B % nd != 0:
+        raise ValueError(f"batch {B} must divide the {data_axis} axis "
+                         f"({nd}); pad the batch (rows are masked per "
+                         f"frame, duplicate + drop)")
+    if N % nf != 0:
+        raise ValueError(f"frame count {N} must divide the {frame_axis} "
+                         f"axis ({nf}); pad with pad_power + mask")
+
+    # Global per-utterance NMF init (shard-count invariant), the same
+    # key derivation as frame_sharded_mcem per utterance.
+    ks = jax.vmap(lambda k: jax.random.split(jnp.asarray(k), 3))(keys)
+    key_run, k_w, k_h = ks[:, 0], ks[:, 1], ks[:, 2]
+    if update_nmf:
+        W0 = jnp.maximum(
+            jax.vmap(lambda k: jax.random.uniform(k, (F, cfg.nmf_rank)))(
+                k_w), cfg.eps)
+        H0 = jnp.maximum(
+            jax.vmap(lambda k: framewise_uniform(k, cfg.nmf_rank, N))(
+                k_h), cfg.eps)
+    else:
+        W0 = jnp.ones((B, F, 1), X_abs2.dtype)
+        H0 = jnp.zeros((B, 1, N), X_abs2.dtype)
+    g0 = jnp.ones((B, N), X_abs2.dtype)
+
+    has_y = y is not None
+    has_vb = Vb_fixed is not None
+
+    def local(params, X, m, W0_, H0_, g0_, k, *rest):
+        yy = rest[0] if has_y else None
+        vb = rest[-1] if has_vb else None
+        k = jax.vmap(jax.random.fold_in, (0, None))(
+            k, jax.lax.axis_index(frame_axis))
+
+        def one(X1, m1, W1, H1, g1, k1, y1, vb1):
+            return mcem_run(params, X1, m1, y1, k1, cfg,
+                            update_nmf=update_nmf, Vb_fixed=vb1,
+                            axis_name=frame_axis,
+                            init_nmf=(W1, H1, g1))
+
+        out = jax.vmap(one, (0, 0, 0, 0, 0, 0,
+                             0 if has_y else None,
+                             0 if has_vb else None))(
+            X, m, W0_, H0_, g0_, k, yy, vb)
+        return {
+            "WFs": out["WFs"], "WFn": out["WFn"], "H": out["H"],
+            "g": out["g"], "Z": out["Z"],
+            "W": jax.lax.psum(out["W"], frame_axis) / nf,
+            "cost": jax.lax.psum(out["cost"], frame_axis) / nf,
+        }
+
+    bf3 = P(data_axis, None, frame_axis)   # (B, F/ydim/K, N)
+    bf2 = P(data_axis, frame_axis)         # (B, N)
+    b_only = P(data_axis)
+    in_specs = [P(), bf3, bf2, b_only, bf3, bf2, b_only]
+    args = [vae_params, X_abs2, mask, W0, H0, g0, key_run]
+    if has_y:
+        in_specs.append(bf3)
+        args.append(y)
+    if has_vb:
+        in_specs.append(bf3)
+        args.append(Vb_fixed)
+    out_specs = {
+        "WFs": bf3, "WFn": bf3, "H": bf3, "g": bf2, "Z": bf3,
+        "W": b_only, "cost": b_only,
+    }
+    fn = jax.shard_map(
+        local, mesh=mesh, in_specs=tuple(in_specs), out_specs=out_specs,
+        check_vma=False,
+    )
+    return fn(*args)

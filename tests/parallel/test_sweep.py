@@ -139,3 +139,60 @@ def test_frame_sharded_stochastic_and_errors():
         frame_sharded_mcem(mesh, vae, jnp.asarray(X[:, :100]),
                            jnp.asarray(mask[:100]), None,
                            jax.random.PRNGKey(3), cfg)
+
+
+def test_grid_sharded_batch_of_long_recordings_matches_single_device():
+    """2-D mesh (data x frame): B=4 recordings over 2 data shards, each
+    recording's frames over 4 frame shards. With var_RW=0 the trajectory
+    is deterministic, so the grid result must equal per-utterance
+    single-device mcem_run from the same global per-utterance NMF init
+    (psum reassociation tolerance)."""
+    from guided_vae_nmf_tpu.parallel import grid_sharded_mcem
+    from guided_vae_nmf_tpu.mcem.engine import mcem_run, framewise_uniform
+
+    mesh = make_mesh(axis_names=("data", "frame"), shape=(2, 4))
+    B2, F2, N2, ydim = 4, 65, 256, 8
+    dgm = dgm_init(KEY, [F2, ydim, 8, [32]])
+    rng = np.random.RandomState(0)
+    X = rng.rand(B2, F2, N2).astype(np.float32) + 0.05
+    y = (rng.rand(B2, ydim, N2) > 0.5).astype(np.float32)
+    mask = np.ones((B2, N2), np.float32)
+    keys = jax.random.split(jax.random.PRNGKey(11), B2)
+    cfg = MCEMConfig(niter=4, nsamples_E_step=3, burnin_E_step=3,
+                     nsamples_WF=3, burnin_WF=3, nmf_rank=4, var_RW=0.0)
+
+    out_g = grid_sharded_mcem(mesh, dgm, jnp.asarray(X), jnp.asarray(mask),
+                              jnp.asarray(y), jnp.asarray(keys), cfg)
+    assert out_g["WFs"].shape == (B2, F2, N2)
+
+    for b in range(B2):
+        k_run, k_w, k_h = jax.random.split(keys[b], 3)
+        W0 = jnp.maximum(jax.random.uniform(k_w, (F2, cfg.nmf_rank)),
+                         cfg.eps)
+        H0 = jnp.maximum(framewise_uniform(k_h, cfg.nmf_rank, N2), cfg.eps)
+        g0 = jnp.ones((N2,), jnp.float32)
+        ref = mcem_run(dgm, jnp.asarray(X[b]), jnp.asarray(mask[b]),
+                       jnp.asarray(y[b]), k_run, cfg,
+                       init_nmf=(W0, H0, g0))
+        for name in ("WFs", "WFn", "g", "W", "H", "cost"):
+            assert_allclose(np.asarray(out_g[name][b]),
+                            np.asarray(ref[name]), rtol=3e-4, atol=1e-6,
+                            err_msg=f"utt {b}: {name}")
+
+
+def test_grid_sharded_shape_errors():
+    from guided_vae_nmf_tpu.parallel import grid_sharded_mcem
+    import pytest
+
+    mesh = make_mesh(axis_names=("data", "frame"), shape=(2, 4))
+    vae = vae_init(KEY, [F, L, [16]])
+    X = np.random.RandomState(1).rand(3, F, 128).astype(np.float32) + 0.05
+    with pytest.raises(ValueError):      # B=3 doesn't divide 2
+        grid_sharded_mcem(mesh, vae, jnp.asarray(X),
+                          jnp.ones((3, 128), np.float32), None,
+                          jax.random.split(KEY, 3), CFG)
+    X2 = X[:2, :, :102]
+    with pytest.raises(ValueError):      # 102 frames don't divide 4
+        grid_sharded_mcem(mesh, vae, jnp.asarray(X2),
+                          jnp.ones((2, 102), np.float32), None,
+                          jax.random.split(KEY, 2), CFG)
