@@ -68,6 +68,9 @@ class _Handler(BaseHTTPRequestHandler):
         self._send(code, json.dumps(obj).encode())
 
     def _error(self, code, msg):
+        # error paths may leave the request body unread — drop the
+        # connection rather than let keep-alive misparse the remainder
+        self.close_connection = True
         self._send_json(code, {"error": msg})
 
     # ---- routes ----------------------------------------------------------
