@@ -48,6 +48,15 @@ class _Handler(BaseHTTPRequestHandler):
     quiet = True
 
     protocol_version = "HTTP/1.1"
+    # per-connection socket timeout: idle/slow clients release their
+    # handler thread instead of pinning it forever (thread-per-connection
+    # server; front public deployments with a reverse proxy for connection
+    # caps/TLS)
+    timeout = 120
+    # how much of an unread (rejected) body to drain so the error response
+    # survives instead of racing a TCP reset
+    _DRAIN_LIMIT = 8 * 1024 * 1024
+    _body_left = 0
 
     def log_message(self, fmt, *args):   # stdlib default logs every hit
         if not self.quiet:
@@ -68,10 +77,19 @@ class _Handler(BaseHTTPRequestHandler):
         self._send(code, json.dumps(obj).encode())
 
     def _error(self, code, msg):
-        # error paths may leave the request body unread — drop the
-        # connection rather than let keep-alive misparse the remainder
-        self.close_connection = True
-        self._send_json(code, {"error": msg})
+        # error paths may leave the request body unread: drain moderate
+        # bodies so keep-alive stays usable and the response isn't lost
+        # to a TCP reset; beyond the drain limit, advertise and perform a
+        # connection close.
+        if 0 < self._body_left <= self._DRAIN_LIMIT:
+            self.rfile.read(self._body_left)
+            self._body_left = 0
+        headers = ()
+        if self._body_left:
+            self.close_connection = True
+            headers = (("Connection", "close"),)
+        self._send(code, json.dumps({"error": msg}).encode(),
+                   headers=headers)
 
     # ---- routes ----------------------------------------------------------
 
@@ -89,17 +107,20 @@ class _Handler(BaseHTTPRequestHandler):
 
     def do_POST(self):
         url = urlparse(self.path)
-        if url.path != "/v1/enhance":
-            return self._error(404, f"unknown path {url.path}")
         try:
             length = int(self.headers.get("Content-Length", "0"))
         except ValueError:
+            self._body_left = _MAX_BODY + 1      # unknown framing: close
             return self._error(400, "bad Content-Length")
+        self._body_left = max(0, length)
+        if url.path != "/v1/enhance":
+            return self._error(404, f"unknown path {url.path}")
         if length <= 0:
             return self._error(400, "empty body (expected RIFF wav)")
         if length > _MAX_BODY:
             return self._error(413, f"body over {_MAX_BODY} bytes")
         body = self.rfile.read(length)
+        self._body_left = 0
 
         try:
             x, fs = read_wav(io.BytesIO(body))
@@ -174,7 +195,7 @@ class EnhancementHTTPServer:
         return self
 
     def close(self):
-        self._httpd.shutdown()
-        self._httpd.server_close()
-        if self._thread is not None:
+        if self._thread is not None:     # shutdown() blocks on an event
+            self._httpd.shutdown()       # only serve_forever() ever sets
             self._thread.join(timeout=10)
+        self._httpd.server_close()

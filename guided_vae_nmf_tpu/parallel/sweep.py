@@ -102,6 +102,22 @@ def sharded_mcem_fused(mesh, vae_params, X_abs2, mask, y, keys,
     return jax.tree_util.tree_map(lambda x: np.asarray(x)[:B], out)
 
 
+def _global_nmf_init(key, F, N, cfg, update_nmf, dtype):
+    """Single source of the shard-count-invariant global NMF init used by
+    BOTH frame_sharded_mcem and grid_sharded_mcem (per utterance): the
+    key splits (run, W, H) exactly like the single-device mcem_run draw,
+    so a B=1 grid run reproduces the frame-sharded trajectory."""
+    key_run, k_w, k_h = jax.random.split(jnp.asarray(key), 3)
+    if update_nmf:
+        W0 = jnp.maximum(jax.random.uniform(k_w, (F, cfg.nmf_rank)),
+                         cfg.eps)
+        H0 = jnp.maximum(framewise_uniform(k_h, cfg.nmf_rank, N), cfg.eps)
+    else:
+        W0 = jnp.ones((F, 1), dtype)
+        H0 = jnp.zeros((1, N), dtype)
+    return key_run, W0, H0, jnp.ones((N,), dtype)
+
+
 def frame_sharded_mcem(mesh, vae_params, X_abs2, mask, y, key,
                        cfg: MCEMConfig = MCEMConfig(), axis="data",
                        update_nmf=True, Vb_fixed=None):
@@ -131,16 +147,8 @@ def frame_sharded_mcem(mesh, vae_params, X_abs2, mask, y, key,
                          f"({n_dev}); pad with pad_power + mask")
 
     # Global NMF init, identical to the single-device mcem_run draw
-    key, k_w, k_h = jax.random.split(jnp.asarray(key), 3)
-    if update_nmf:
-        W0 = jnp.maximum(jax.random.uniform(k_w, (F, cfg.nmf_rank)),
-                         cfg.eps)
-        H0 = jnp.maximum(framewise_uniform(k_h, cfg.nmf_rank, N),
-                         cfg.eps)
-    else:
-        W0 = jnp.ones((F, 1), X_abs2.dtype)
-        H0 = jnp.zeros((1, N), X_abs2.dtype)
-    g0 = jnp.ones((N,), X_abs2.dtype)
+    key, W0, H0, g0 = _global_nmf_init(key, F, N, cfg, update_nmf,
+                                       X_abs2.dtype)
 
     has_y = y is not None
     has_vb = Vb_fixed is not None
@@ -240,21 +248,12 @@ def grid_sharded_mcem(mesh, vae_params, X_abs2, mask, y, keys,
         raise ValueError(f"frame count {N} must divide the {frame_axis} "
                          f"axis ({nf}); pad with pad_power + mask")
 
-    # Global per-utterance NMF init (shard-count invariant), the same
-    # key derivation as frame_sharded_mcem per utterance.
-    ks = jax.vmap(lambda k: jax.random.split(jnp.asarray(k), 3))(keys)
-    key_run, k_w, k_h = ks[:, 0], ks[:, 1], ks[:, 2]
-    if update_nmf:
-        W0 = jnp.maximum(
-            jax.vmap(lambda k: jax.random.uniform(k, (F, cfg.nmf_rank)))(
-                k_w), cfg.eps)
-        H0 = jnp.maximum(
-            jax.vmap(lambda k: framewise_uniform(k, cfg.nmf_rank, N))(
-                k_h), cfg.eps)
-    else:
-        W0 = jnp.ones((B, F, 1), X_abs2.dtype)
-        H0 = jnp.zeros((B, 1, N), X_abs2.dtype)
-    g0 = jnp.ones((B, N), X_abs2.dtype)
+    # Global per-utterance NMF init (shard-count invariant): vmapped
+    # _global_nmf_init, the exact frame_sharded_mcem derivation per
+    # utterance (pinned by the B=1 equivalence test).
+    key_run, W0, H0, g0 = jax.vmap(
+        lambda k: _global_nmf_init(k, F, N, cfg, update_nmf, X_abs2.dtype)
+    )(jnp.asarray(keys))
 
     has_y = y is not None
     has_vb = Vb_fixed is not None

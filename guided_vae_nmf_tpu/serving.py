@@ -135,7 +135,11 @@ class EnhancementService:
         self._cv = threading.Condition()
         self._rid = 0
         self._closed = False
-        self._lat = []               # (latency_s, batch_size) per request
+        # (latency_s, batch_size) per request — bounded sliding window so
+        # a long-lived server's stats()/healthz stay O(window) instead of
+        # sorting an ever-growing list under the collector's lock
+        self._lat = deque(maxlen=10_000)
+        self._n_total = 0            # lifetime request count
         self._batches = 0
         import queue
 
@@ -181,16 +185,19 @@ class EnhancementService:
         """Serving counters: request count, mean batch size, latency
         percentiles (seconds)."""
         with self._cv:
-            lat = sorted(l for l, _ in self._lat)
-            bs = [b for _, b in self._lat]
-        if not lat:
-            return {"requests": 0, "batches": self._batches}
+            snap = list(self._lat)   # O(window) copy; sort outside the lock
+            n_total = self._n_total
+        if not snap:
+            return {"requests": n_total, "batches": self._batches}
+        lat = sorted(l for l, _ in snap)
+        bs = [b for _, b in snap]
 
         def pct(p):
             return lat[min(len(lat) - 1, int(p / 100 * len(lat)))]
 
         return {
-            "requests": len(lat), "batches": self._batches,
+            "requests": n_total, "window": len(lat),
+            "batches": self._batches,
             "mean_batch": float(np.mean(bs)),
             "p50_s": pct(50), "p95_s": pct(95), "max_s": lat[-1],
         }
@@ -218,6 +225,7 @@ class EnhancementService:
     def reset_stats(self):
         with self._cv:
             self._lat.clear()
+            self._n_total = 0
             self._batches = 0
 
     def close(self, timeout=60.0):
@@ -400,6 +408,7 @@ class EnhancementService:
             lat = now - r.t_submit
             with self._cv:
                 self._lat.append((lat, B))
+                self._n_total += 1
             try:                            # client may have cancelled
                 if not r.future.done():
                     r.future.set_result({"s": s, "n": n,

@@ -29,6 +29,13 @@ import numpy as np
 from _common import flag
 
 
+def fast_trans_kw(jnp):
+    """The round-3 fast-mode kwargs — single definition so the timing
+    variant and the quality gate measure the same configuration."""
+    return dict(samples_dtype=jnp.bfloat16, approx_recip=True,
+                compute_cost=False, approx_trans=True)
+
+
 def main(argv=None):
     argv = argv or sys.argv[1:]
     B = flag(argv, "batch", 32, int)
@@ -62,9 +69,7 @@ def main(argv=None):
                             compute_cost=False,
                             matmul_dtype=jnp.bfloat16),
         # round 3: + bit-arithmetic exp/log in the chain (approx_trans)
-        "fast_trans_r3": dict(samples_dtype=jnp.bfloat16,
-                              approx_recip=True, compute_cost=False,
-                              approx_trans=True),
+        "fast_trans_r3": fast_trans_kw(jnp),
     }
     out = {"batch": B, "n_frames": N, "niter": niter,
            "audio_s": round(audio_s, 1)}
@@ -202,8 +207,7 @@ def _quality_check(niter, seeds, refine=0, approx_trans=False):
     fast_kw = dict(samples_dtype=jnp.bfloat16, approx_recip=True,
                    compute_cost=False, matmul_dtype=jnp.bfloat16)
     if approx_trans:
-        fast_kw = dict(samples_dtype=jnp.bfloat16, approx_recip=True,
-                       compute_cost=False, approx_trans=True)
+        fast_kw = fast_trans_kw(jnp)
     if refine:
         from guided_vae_nmf_tpu.mcem import (
             PEEMConfig, peem_mcem_m2_batch,

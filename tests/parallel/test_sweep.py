@@ -196,3 +196,31 @@ def test_grid_sharded_shape_errors():
         grid_sharded_mcem(mesh, vae, jnp.asarray(X2),
                           jnp.ones((2, 102), np.float32), None,
                           jax.random.split(KEY, 2), CFG)
+
+
+def test_grid_b1_reproduces_frame_sharded():
+    """The documented invariant: a B=1 grid run over a (1, 8) mesh equals
+    frame_sharded_mcem over the flat 8-mesh with the same key (shared
+    _global_nmf_init derivation, var_RW=0)."""
+    from guided_vae_nmf_tpu.parallel import (frame_sharded_mcem,
+                                             grid_sharded_mcem)
+
+    mesh1 = make_mesh()
+    mesh2 = make_mesh(axis_names=("data", "frame"), shape=(1, 8))
+    F2, N2 = 33, 512
+    vae = vae_init(KEY, [F2, 4, [16]])
+    X = np.random.RandomState(5).rand(F2, N2).astype(np.float32) + 0.05
+    mask = np.ones((N2,), np.float32)
+    key = jax.random.PRNGKey(77)
+    cfg = MCEMConfig(niter=3, nsamples_E_step=2, burnin_E_step=2,
+                     nsamples_WF=2, burnin_WF=2, nmf_rank=3, var_RW=0.0)
+
+    out_f = frame_sharded_mcem(mesh1, vae, jnp.asarray(X),
+                               jnp.asarray(mask), None, key, cfg)
+    out_g = grid_sharded_mcem(mesh2, vae, jnp.asarray(X)[None],
+                              jnp.asarray(mask)[None], None, key[None],
+                              cfg)
+    for name in ("WFs", "WFn", "g", "W", "H", "cost"):
+        assert_allclose(np.asarray(out_g[name][0]),
+                        np.asarray(out_f[name]), rtol=2e-4, atol=1e-6,
+                        err_msg=name)
