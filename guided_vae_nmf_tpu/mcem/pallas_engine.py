@@ -152,6 +152,13 @@ def _make_chain_kernel(mode, n_steps, burnin, var_RW, T, L, F, depth=2,
     log_ = _fast_log if approx_trans else jnp.log
     exp_ = _fast_exp if approx_trans else jnp.exp
 
+    def normal_(shape):
+        # Box-Muller on the on-core PRNG; rides log_ so approx_trans also
+        # covers the proposal draw's (T, L) logs (sqrt/cos stay native)
+        u1 = _uniform01(shape)
+        u2 = _uniform01(shape)
+        return jnp.sqrt(-2.0 * log_(u1)) * jnp.cos(_TWO_PI * u2)
+
     def mm(a, b):
         return jnp.dot(a.astype(matmul_dtype), b.astype(matmul_dtype),
                        preferred_element_type=jnp.float32)
@@ -229,7 +236,7 @@ def _make_chain_kernel(mode, n_steps, burnin, var_RW, T, L, F, depth=2,
             if inject:
                 zn_m = zn_ref[0, pl.ds(m, 1)].reshape(T, L)
             else:
-                zn_m = _normal((T, L))
+                zn_m = normal_((T, L))
             Zp = Z + sqrt_var * zn_m
             Vsp = decode(Zp)
             Vxp = jnp.maximum(G * Vsp + Vb, VX_FLOOR)
