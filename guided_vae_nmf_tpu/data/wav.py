@@ -115,7 +115,7 @@ def wav_num_samples(path):
                 channels = int.from_bytes(fmt[2:4], "little")
                 bits = int.from_bytes(fmt[14:16], "little")
             elif tag == b"data":
-                return size // (channels * max(bits // 8, 1))
+                return size // (max(channels, 1) * max(bits // 8, 1))
             else:
                 f.seek(size + (size & 1), 1)
 

@@ -15,6 +15,7 @@
 //
 // Build: make -C native   (g++ -O3 -shared -fPIC)
 
+#include <algorithm>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
@@ -69,18 +70,22 @@ bool decode_riff(const std::vector<uint8_t>& buf, Audio* out) {
   while (pos + 8 <= buf.size()) {
     const uint8_t* chunk = buf.data() + pos;
     uint32_t sz = rd_u32le(chunk + 4);
-    if (std::memcmp(chunk, "fmt ", 4) == 0 && sz >= 16) {
+    // A declared chunk size can exceed what the file actually holds
+    // (truncated or hostile input) — clamp every read to the buffer.
+    size_t body = std::min<size_t>(sz, buf.size() - pos - 8);
+    if (std::memcmp(chunk, "fmt ", 4) == 0 && body >= 16) {
       audio_format = rd_u16le(chunk + 8);
       channels = rd_u16le(chunk + 10);
       fs = static_cast<int>(rd_u32le(chunk + 12));
       bits = rd_u16le(chunk + 22);
     } else if (std::memcmp(chunk, "data", 4) == 0) {
       data = chunk + 8;
-      data_len = sz;
+      data_len = body;
     }
     pos += 8 + sz + (sz & 1);
   }
   if (!data || fs == 0) return false;
+  if (bits < 8 || channels < 1 || channels > 1024) return false;
   out->fs = fs;
   size_t bytes_per = static_cast<size_t>(bits / 8) * channels;
   size_t n = data_len / bytes_per;
@@ -138,11 +143,14 @@ bool decode_sphere(const std::vector<uint8_t>& buf, Audio* out) {
   long nbytes = get_int("sample_n_bytes", 2);
   long channels = get_int("channel_count", 1);
   std::string byte_format = get_str("sample_byte_format");
-  if (nbytes != 2 || n <= 0) return false;
+  if (nbytes != 2 || n <= 0 || channels < 1 || channels > 1024) return false;
   bool little = byte_format != "10";
   const uint8_t* data = buf.data() + header;
   size_t avail = (buf.size() - static_cast<size_t>(header)) / 2;
-  size_t total = std::min(static_cast<size_t>(n * channels), avail);
+  // clamp the declared count before the multiply so a hostile
+  // sample_count cannot overflow n * channels
+  size_t want = std::min(static_cast<size_t>(n), avail);
+  size_t total = std::min(want * static_cast<size_t>(channels), avail);
   out->fs = static_cast<int>(fs);
   out->samples.resize(total / channels);
   for (size_t i = 0; i < out->samples.size(); ++i) {
@@ -295,6 +303,7 @@ int gvnmf_assemble_utt(const char* path, int16_t* row, long L,
   if (!decode(path, &a)) return -1;
   if (a.fs != fs_expected) return -2;
   const long T = static_cast<long>(a.samples.size());
+  if (T == 0) return -1;  // reflect indexing below needs >= 1 sample
   *t_orig = T;
 
   // end-pad rule, bit-identical double arithmetic to the Python host path
@@ -321,6 +330,7 @@ int gvnmf_assemble_utt(const char* path, int16_t* row, long L,
     long j = i - half;  // index into x2 with reflect boundary
     if (j < 0) j = -j;
     if (j >= T2) j = 2 * (T2 - 1) - j;
+    if (j < 0) j = 0;  // degenerate tiny-T2 double reflect
     row[i] = pcm16(x2_at(j));
   }
   return 0;
