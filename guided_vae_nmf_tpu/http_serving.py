@@ -19,6 +19,18 @@ API:
                         Response headers: X-Latency-S (service-side
                         latency), X-Batch-Size (device batch the request
                         rode in).
+  POST /v1/enhance_stream
+                        ONLINE enhancement over one connection: body =
+                        raw little-endian PCM16 mono at the service rate
+                        (`audio/L16`), either `Transfer-Encoding: chunked`
+                        or a plain `Content-Length` body — both are read
+                        incrementally; the response streams enhanced
+                        PCM16 back with chunked transfer encoding as the
+                        enhancer finalizes samples (bounded latency, see
+                        streaming.StreamingM2Enhancer). Full duplex: a
+                        live client interleaves writes and reads. Each
+                        connection gets a fresh enhancer from the
+                        server's `stream_factory` (501 if not configured).
   GET  /healthz         {"status": "ok", "requests": N} once the service
                         is accepting work.
   GET  /stats           the service's latency/batching stats as JSON.
@@ -44,6 +56,7 @@ _MAX_BODY = 64 * 1024 * 1024            # 64 MB ~ 35 min of 16 kHz PCM16
 class _Handler(BaseHTTPRequestHandler):
     # set by the server factory
     service = None
+    stream_factory = None       # () -> fresh streaming enhancer, or None
     fs = 16000
     quiet = True
 
@@ -107,6 +120,13 @@ class _Handler(BaseHTTPRequestHandler):
 
     def do_POST(self):
         url = urlparse(self.path)
+        chunked = "chunked" in (
+            self.headers.get("Transfer-Encoding") or "").lower()
+        if url.path == "/v1/enhance_stream":
+            return self._do_enhance_stream(chunked)
+        if chunked:                              # unknown framing: close
+            self._body_left = _MAX_BODY + 1
+            return self._error(400, "chunked body only on /v1/enhance_stream")
         try:
             length = int(self.headers.get("Content-Length", "0"))
         except ValueError:
@@ -162,6 +182,108 @@ class _Handler(BaseHTTPRequestHandler):
                      ("X-Batch-Size", str(out["batch_size"]))),
         )
 
+    # ---- online streaming route ------------------------------------------
+
+    def _iter_chunked(self):
+        """Decode a `Transfer-Encoding: chunked` request body from rfile,
+        yielding payload blocks as they arrive (http.server does not
+        decode chunked requests itself)."""
+        while True:
+            line = self.rfile.readline(64)
+            if not line:
+                return                       # client went away
+            try:
+                size = int(line.split(b";")[0].strip() or b"0", 16)
+            except ValueError:
+                return                       # malformed framing: stop
+            if size == 0:
+                while True:                  # optional trailers, then CRLF
+                    t = self.rfile.readline(1024)
+                    if t in (b"\r\n", b"\n", b""):
+                        return
+            left = size
+            while left:
+                blk = self.rfile.read1(min(left, 65536))
+                if not blk:
+                    return
+                left -= len(blk)
+                yield blk
+            self.rfile.read(2)               # chunk-terminating CRLF
+
+    def _iter_sized(self, length):
+        """Yield a Content-Length body incrementally (read1: emit what
+        the socket has rather than blocking for a full block)."""
+        left = length
+        while left:
+            blk = self.rfile.read1(min(left, 65536))
+            if not blk:
+                return
+            left -= len(blk)
+            yield blk
+
+    def _do_enhance_stream(self, chunked):
+        if self.stream_factory is None:
+            self._body_left = _MAX_BODY + 1  # cannot drain an open stream
+            return self._error(501, "streaming not configured "
+                                    "(server has no stream_factory)")
+        if chunked:
+            reader = self._iter_chunked()
+        else:
+            try:
+                length = int(self.headers.get("Content-Length", ""))
+            except ValueError:
+                self._body_left = _MAX_BODY + 1
+                return self._error(
+                    411, "need Content-Length or Transfer-Encoding: chunked")
+            if length <= 0:
+                return self._error(400, "empty body (expected PCM16)")
+            if length > _MAX_BODY:
+                self._body_left = _MAX_BODY + 1
+                return self._error(413, f"body over {_MAX_BODY} bytes")
+            self._body_left = length         # drained by _iter_sized below
+            reader = self._iter_sized(length)
+        try:
+            enhancer = self.stream_factory()
+        except Exception as e:
+            self._body_left = _MAX_BODY + 1
+            return self._error(500, f"stream enhancer init failed: {e}")
+
+        self.send_response(200)
+        self.send_header("Content-Type",
+                         f"audio/L16; rate={self.fs}; channels=1")
+        self.send_header("Transfer-Encoding", "chunked")
+        self.send_header("X-Chunk-Frames", str(enhancer.chunk_frames))
+        self.end_headers()
+
+        def emit(samples):
+            if samples.size == 0:
+                return
+            pcm = np.clip(np.round(np.asarray(samples) * 32768.0),
+                          -32768, 32767).astype("<i2").tobytes()
+            self.wfile.write(f"{len(pcm):x}\r\n".encode() + pcm + b"\r\n")
+
+        total = 0
+        carry = b""                          # odd-byte PCM16 alignment
+        try:
+            for blk in reader:
+                total += len(blk)
+                if total > _MAX_BODY:        # 200 already sent: cut the
+                    self.close_connection = True   # stream, no trailer
+                    return
+                buf = carry + blk
+                n = len(buf) & ~1
+                carry = buf[n:]
+                if n:
+                    x = np.frombuffer(buf[:n], "<i2").astype(np.float32)
+                    emit(enhancer.push(x / 32768.0))
+            emit(enhancer.flush())
+            self.wfile.write(b"0\r\n\r\n")   # final chunk
+            self._body_left = 0
+        except Exception:
+            # mid-stream failure after 200: the only valid signal is a
+            # truncated chunked body + connection close
+            self.close_connection = True
+
 
 class EnhancementHTTPServer:
     """Threaded HTTP wrapper around an EnhancementService.
@@ -176,9 +298,13 @@ class EnhancementHTTPServer:
     """
 
     def __init__(self, service, host="127.0.0.1", port=8571, fs=16000,
-                 quiet=True):
+                 quiet=True, stream_factory=None):
         handler = type("BoundHandler", (_Handler,), {
             "service": service, "fs": fs, "quiet": quiet,
+            # staticmethod: a bare function stored in the class dict would
+            # otherwise bind as a method and receive the handler as `self`
+            "stream_factory": (None if stream_factory is None
+                               else staticmethod(stream_factory)),
         })
         self._httpd = ThreadingHTTPServer((host, port), handler)
         self._thread = None

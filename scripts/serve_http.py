@@ -6,10 +6,14 @@ dynamic-batching EnhancementService — concurrent POSTs co-batch onto the
 device. stdlib HTTP only; see guided_vae_nmf_tpu/http_serving.py for the
 API (POST /v1/enhance, GET /healthz, GET /stats).
 
+Also serves POST /v1/enhance_stream — ONLINE enhancement (PCM16 in/out,
+chunked transfer both ways, ~chunk_frames x 16 ms + 64 ms latency) via a
+per-connection StreamingM2Enhancer; disable with --stream 0.
+
 Usage: python scripts/serve_http.py [--host 0.0.0.0] [--port 8571]
        [--models artifacts/pretrained] [--niter 100]
        [--noise_model spp] [--soft_labels 0] [--fast 0]
-       [--wait_ms 20] [--warmup 0]
+       [--wait_ms 20] [--warmup 0] [--stream 1] [--chunk_frames 8]
 """
 
 import os
@@ -36,6 +40,8 @@ def main(argv=None):
     fast = flag(argv, "fast", "0") in ("1", "true")
     wait_ms = flag(argv, "wait_ms", 20.0, float)
     warmup = flag(argv, "warmup", "0") in ("1", "true")
+    stream = flag(argv, "stream", "1") in ("1", "true")
+    chunk_frames = flag(argv, "chunk_frames", 8, int)
 
     from guided_vae_nmf_tpu.http_serving import EnhancementHTTPServer
     from guided_vae_nmf_tpu.mcem import MCEMConfig
@@ -57,7 +63,18 @@ def main(argv=None):
         print(f"warmup: {svc.warmup():.1f}s", flush=True)
         svc.reset_stats()
 
-    srv = EnhancementHTTPServer(svc, host=host, port=port, quiet=False)
+    stream_factory = None
+    if stream:
+        from guided_vae_nmf_tpu.streaming import StreamingM2Enhancer
+
+        def stream_factory():
+            return StreamingM2Enhancer(
+                m2, classifier_params=cls, mean=mean, std=std,
+                chunk_frames=chunk_frames, soft_guidance=soft,
+                label_mode="dnn")
+
+    srv = EnhancementHTTPServer(svc, host=host, port=port, quiet=False,
+                                stream_factory=stream_factory)
     srv.start()
     print(f"serving on http://{host}:{srv.port} "
           f"(niter={niter}, noise_model={noise_model}, "

@@ -160,3 +160,137 @@ def test_http_429_on_queue_full():
     finally:
         srv.close()
         svc.close()
+
+
+# ---------------------------------------------------------------------------
+# POST /v1/enhance_stream — online enhancement over chunked HTTP
+# ---------------------------------------------------------------------------
+
+
+def _pcm16(x):
+    return np.clip(np.round(np.asarray(x) * 32768.0),
+                   -32768, 32767).astype("<i2").tobytes()
+
+
+@pytest.fixture(scope="module")
+def stream_server():
+    from guided_vae_nmf_tpu.streaming import StreamingSPPEnhancer
+
+    m1 = vae_init(jax.random.PRNGKey(0), [F, L, [H]])
+    svc = EnhancementService(m1, cfg=CFG, serve=SV)
+    srv = EnhancementHTTPServer(
+        svc, port=0,
+        stream_factory=lambda: StreamingSPPEnhancer(chunk_frames=8),
+    ).start()
+    yield srv
+    srv.close()
+    svc.close()
+
+
+def _offline_reference(x):
+    """Same enhancer driven directly: the HTTP byte stream must match."""
+    from guided_vae_nmf_tpu.streaming import StreamingSPPEnhancer
+
+    enh = StreamingSPPEnhancer(chunk_frames=8)
+    xq = np.frombuffer(_pcm16(x), "<i2").astype(np.float32) / 32768.0
+    out = [enh.push(xq), enh.flush()]
+    return b"".join(_pcm16(o) for o in out if o.size)
+
+
+def test_stream_content_length_roundtrip(stream_server):
+    rng = np.random.RandomState(1)
+    x = (0.1 * rng.randn(9000)).astype(np.float32)
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{stream_server.port}/v1/enhance_stream",
+        data=_pcm16(x), headers={"Content-Type": "audio/L16"})
+    with urllib.request.urlopen(req, timeout=300) as resp:
+        assert resp.status == 200
+        assert resp.headers["Content-Type"].startswith("audio/L16")
+        assert resp.headers.get("X-Chunk-Frames") == "8"
+        body = resp.read()
+    assert body == _offline_reference(x)
+    y = np.frombuffer(body, "<i2")
+    assert len(y) == len(x)
+
+
+def test_stream_chunked_request_odd_boundaries(stream_server):
+    import http.client
+
+    rng = np.random.RandomState(2)
+    x = (0.1 * rng.randn(7001)).astype(np.float32)
+    pcm = _pcm16(x)
+    # deliberately odd-sized chunks: the handler must re-align PCM16
+    cuts = [0, 333, 334, 4097, 9000, len(pcm)]
+    blocks = [pcm[a:b] for a, b in zip(cuts, cuts[1:])]
+    conn = http.client.HTTPConnection(
+        "127.0.0.1", stream_server.port, timeout=300)
+    conn.request("POST", "/v1/enhance_stream", body=iter(blocks),
+                 headers={"Content-Type": "audio/L16",
+                          "Transfer-Encoding": "chunked"},
+                 encode_chunked=True)
+    resp = conn.getresponse()
+    assert resp.status == 200
+    body = resp.read()
+    conn.close()
+    assert body == _offline_reference(x)
+
+
+def test_stream_full_duplex(stream_server):
+    """Interleave: send enough audio to finalize samples, read them BEFORE
+    sending the rest — proves the response streams, not buffers."""
+    import socket
+
+    rng = np.random.RandomState(3)
+    x = (0.1 * rng.randn(16000)).astype(np.float32)
+    pcm = _pcm16(x)
+    first, rest = pcm[:12000], pcm[12000:]
+
+    s = socket.create_connection(
+        ("127.0.0.1", stream_server.port), timeout=120)
+    try:
+        s.sendall(
+            b"POST /v1/enhance_stream HTTP/1.1\r\n"
+            b"Host: x\r\nTransfer-Encoding: chunked\r\n"
+            b"Content-Type: audio/L16\r\n\r\n")
+        s.sendall(f"{len(first):x}\r\n".encode() + first + b"\r\n")
+        # read headers + the first enhanced chunk with the body unfinished
+        got = b""
+        while b"\r\n\r\n" not in got:
+            got += s.recv(65536)
+        head, tail = got.split(b"\r\n\r\n", 1)
+        assert b"200" in head.split(b"\r\n", 1)[0]
+        assert b"Transfer-Encoding: chunked" in head
+        while b"\r\n" not in tail:      # first chunk-size line
+            tail += s.recv(65536)
+        first_chunk = int(tail.split(b"\r\n", 1)[0], 16)
+        assert first_chunk > 0          # samples arrived before body end
+        # finish the request and drain the rest
+        s.sendall(f"{len(rest):x}\r\n".encode() + rest + b"\r\n"
+                  + b"0\r\n\r\n")
+        while b"0\r\n\r\n" not in tail:
+            blk = s.recv(65536)
+            if not blk:
+                break
+            tail += blk
+    finally:
+        s.close()
+    # reassemble the chunked payload and compare with the direct drive
+    payload = b""
+    while tail:
+        if b"\r\n" not in tail:
+            break
+        line, tail = tail.split(b"\r\n", 1)
+        n = int(line or b"0", 16)
+        if n == 0:
+            break
+        payload, tail = payload + tail[:n], tail[n + 2:]
+    assert payload == _offline_reference(x)
+
+
+def test_stream_not_configured_501(server):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{server.port}/v1/enhance_stream",
+        data=b"\x00\x00" * 100, headers={"Content-Type": "audio/L16"})
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(req, timeout=60)
+    assert ei.value.code == 501
