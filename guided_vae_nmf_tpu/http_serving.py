@@ -57,6 +57,8 @@ class _Handler(BaseHTTPRequestHandler):
     # set by the server factory
     service = None
     stream_factory = None       # () -> fresh streaming enhancer, or None
+    stream_sem = None           # bounds concurrent streams (429 beyond)
+    stream_stats = None         # shared dict: started/active/done/samples
     fs = 16000
     quiet = True
 
@@ -114,7 +116,10 @@ class _Handler(BaseHTTPRequestHandler):
                 "requests": self.service.stats().get("requests", 0),
             })
         elif path == "/stats":
-            self._send_json(200, self.service.stats())
+            stats = dict(self.service.stats())
+            if self.stream_stats is not None:
+                stats["streams"] = dict(self.stream_stats)
+            self._send_json(200, stats)
         else:
             self._error(404, f"unknown path {path}")
 
@@ -226,6 +231,26 @@ class _Handler(BaseHTTPRequestHandler):
             self._body_left = _MAX_BODY + 1  # cannot drain an open stream
             return self._error(501, "streaming not configured "
                                     "(server has no stream_factory)")
+        if not self.stream_sem.acquire(blocking=False):
+            # every live stream holds device programs; beyond the cap the
+            # client should retry (mirrors the batch route's 429)
+            self._body_left = _MAX_BODY + 1
+            self.send_response_only(429)
+            self.send_header("Retry-After", "1")
+            body = json.dumps({"error": "stream capacity reached"}).encode()
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.send_header("Connection", "close")
+            self.close_connection = True
+            self.end_headers()
+            self.wfile.write(body)
+            return
+        try:
+            self._enhance_stream_locked(chunked)
+        finally:
+            self.stream_sem.release()
+
+    def _enhance_stream_locked(self, chunked):
         if chunked:
             reader = self._iter_chunked()
         else:
@@ -247,6 +272,9 @@ class _Handler(BaseHTTPRequestHandler):
         except Exception as e:
             self._body_left = _MAX_BODY + 1
             return self._error(500, f"stream enhancer init failed: {e}")
+        st = self.stream_stats
+        st["started"] += 1
+        st["active"] += 1
 
         self.send_response(200)
         self.send_header("Content-Type",
@@ -279,10 +307,15 @@ class _Handler(BaseHTTPRequestHandler):
             emit(enhancer.flush())
             self.wfile.write(b"0\r\n\r\n")   # final chunk
             self._body_left = 0
+            st["done"] += 1
+            st["samples_in"] += total // 2
         except Exception:
             # mid-stream failure after 200: the only valid signal is a
             # truncated chunked body + connection close
             self.close_connection = True
+            st["aborted"] += 1
+        finally:
+            st["active"] -= 1
 
 
 class EnhancementHTTPServer:
@@ -298,13 +331,20 @@ class EnhancementHTTPServer:
     """
 
     def __init__(self, service, host="127.0.0.1", port=8571, fs=16000,
-                 quiet=True, stream_factory=None):
+                 quiet=True, stream_factory=None, max_streams=8):
+        import collections
+
         handler = type("BoundHandler", (_Handler,), {
             "service": service, "fs": fs, "quiet": quiet,
             # staticmethod: a bare function stored in the class dict would
             # otherwise bind as a method and receive the handler as `self`
             "stream_factory": (None if stream_factory is None
                                else staticmethod(stream_factory)),
+            # each live stream holds compiled per-chunk device programs;
+            # beyond the cap new streams get 429 (client retries)
+            "stream_sem": threading.BoundedSemaphore(max_streams),
+            # Counter mutations are GIL-atomic enough for monitoring
+            "stream_stats": collections.defaultdict(int),
         })
         self._httpd = ThreadingHTTPServer((host, port), handler)
         self._thread = None

@@ -294,3 +294,60 @@ def test_stream_not_configured_501(server):
     with pytest.raises(urllib.error.HTTPError) as ei:
         urllib.request.urlopen(req, timeout=60)
     assert ei.value.code == 501
+
+
+def test_stream_capacity_429_and_stats():
+    """max_streams=1: a held-open stream makes the next one 429; /stats
+    exposes the stream counters."""
+    import json as _json
+    import socket
+
+    from guided_vae_nmf_tpu.streaming import StreamingSPPEnhancer
+
+    m1 = vae_init(jax.random.PRNGKey(0), [F, L, [H]])
+    svc = EnhancementService(m1, cfg=CFG, serve=SV)
+    srv = EnhancementHTTPServer(
+        svc, port=0, max_streams=1,
+        stream_factory=lambda: StreamingSPPEnhancer(chunk_frames=8),
+    ).start()
+    try:
+        hold = socket.create_connection(("127.0.0.1", srv.port), timeout=60)
+        hold.sendall(b"POST /v1/enhance_stream HTTP/1.1\r\nHost: x\r\n"
+                     b"Transfer-Encoding: chunked\r\n\r\n")
+        hold.sendall(b"400\r\n" + b"\x01\x00" * 512 + b"\r\n")
+        # wait until the first stream's 200 headers prove the slot is held
+        got = b""
+        while b"\r\n\r\n" not in got:
+            got += hold.recv(65536)
+        assert b"200" in got.split(b"\r\n", 1)[0]
+
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/v1/enhance_stream",
+            data=b"\x01\x00" * 256, headers={"Content-Type": "audio/L16"})
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=60)
+        assert ei.value.code == 429
+        assert ei.value.headers.get("Retry-After") == "1"
+
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{srv.port}/stats", timeout=60) as r:
+            stats = _json.loads(r.read())
+        assert stats["streams"]["active"] == 1
+        assert stats["streams"]["started"] == 1
+
+        hold.sendall(b"0\r\n\r\n")           # finish the held stream
+        while b"0\r\n\r\n" not in got:
+            blk = hold.recv(65536)
+            if not blk:
+                break
+            got += blk
+        hold.close()
+
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{srv.port}/stats", timeout=60) as r:
+            stats = _json.loads(r.read())
+        assert stats["streams"]["active"] == 0
+        assert stats["streams"]["done"] == 1
+    finally:
+        srv.close()
+        svc.close()
