@@ -197,3 +197,11 @@ def test_bench_serving_cli():
     rec = json.loads(out.strip().splitlines()[-1])
     assert rec["loads"] and rec["loads"][0]["p95_ms"] > 0
     assert rec["loads"][0]["achieved_req_s"] > 0
+
+
+def test_doctor_cli():
+    """scripts/doctor.py: every required check passes on the CPU backend
+    and the accelerator probe never hangs."""
+    out = run_script("doctor.py", "--probe_s", "5")
+    assert "doctor: healthy" in out
+    assert "cpu backend compile+run" in out
