@@ -320,7 +320,8 @@ class StreamingM2Enhancer(_StreamingOLA):
     def __init__(self, dgm_params, classifier_params=None, mean=None,
                  std=None, chunk_frames=8, context_frames=24,
                  block_iters=6, e_steps=4, lr=5e-3, label_mode="dnn",
-                 soft_guidance=False, eps=1e-8):
+                 soft_guidance=False, residual_tracking=False,
+                 residual_alpha=0.5, eps=1e-8):
         from .mcem.spp import SPPNoiseEstimator
         from .mcem.engine import _precompute_label_proj
 
@@ -341,6 +342,13 @@ class StreamingM2Enhancer(_StreamingOLA):
         # condition on classifier probabilities instead of the >0.5 IBM
         # (same opt-in as the offline pipeline's soft_guidance)
         self.soft_guidance = soft_guidance
+        # causal analogue of the offline 'spp2' two-pass noise model:
+        # the enhanced residual power (1-WFs)^2 |X|^2 of PAST blocks,
+        # EMA-smoothed with the same alpha as pipeline._ema_time, floors
+        # the next block's noise variance (one-block delay replaces the
+        # offline second pass; same max(spp, ema(residual)) rule)
+        self.residual_tracking = residual_tracking
+        self.residual_alpha = residual_alpha
         self.C = context_frames
         self.block_iters = block_iters
         self.e_steps = e_steps
@@ -366,6 +374,7 @@ class StreamingM2Enhancer(_StreamingOLA):
             self._ctx_g = np.ones((C,), np.float32)
             self._ctx_Z = None
             self._ctx_valid = np.zeros((C,), np.float32)
+            self._res = None          # residual-tracking EMA state (F,)
 
     def _labels(self, power, spp, k):
         """(chunk, y_dim) guidance labels (hard IBM by default,
@@ -403,6 +412,9 @@ class StreamingM2Enhancer(_StreamingOLA):
         spp = np.zeros_like(power)
         for i in range(k):                 # causal SPP recurrence
             Vb_new[i], spp[i] = self._est.update(power[i])
+        if self.residual_tracking and self._res is not None:
+            # noise floor from the enhanced residual of PAST blocks
+            Vb_new[:k] = np.maximum(Vb_new[:k], self._res)
         y_new = self._labels(power, spp, k)   # (chunk, y_dim)
 
         Z_new = np.asarray(_m2_init_z_jit(
@@ -432,6 +444,15 @@ class StreamingM2Enhancer(_StreamingOLA):
         Z = np.asarray(Z)
         g = np.asarray(g)
         m = np.asarray(WFs)[:, self.C:].T  # (chunk, F) gains, new frames
+
+        if self.residual_tracking:
+            # same IIR recurrence as pipeline._ema_time, run causally
+            # over this block's valid frames
+            a = self.residual_alpha
+            for i in range(k):
+                r = (1.0 - m[i]) ** 2 * power[i]
+                self._res = r if self._res is None else \
+                    a * self._res + (1.0 - a) * r
 
         # rebuild the context: right-align the last (up to C) VALID frames
         # of the window, benign-fill the rest and mark it invalid. (A roll

@@ -9,6 +9,10 @@ chunk_frames x 16 ms block + 64 ms STFT window.
 Usage: python scripts/eval_streaming_m2.py
        [--artifacts artifacts/pretrained] [--chunks 4,8,16,32]
        [--label_mode dnn|timo] [--niter_offline 100]
+       [--soft_labels 0] [--residual 0] [--skip_offline 0]
+
+--residual 1 enables causal residual noise tracking (the streaming
+analogue of the offline 'spp2' two-pass model).
 """
 
 import os
@@ -44,6 +48,8 @@ def main(argv=None):
     niter = flag(argv, "niter_offline", 100, int)
     work = flag(argv, "work", "/tmp/streaming_m2_eval")
     soft = flag(argv, "soft_labels", "0") in ("1", "true")
+    residual = flag(argv, "residual", "0") in ("1", "true")
+    skip_offline = flag(argv, "skip_offline", "0") in ("1", "true")
 
     files = speech_list(f"{SUB}/raw/", "test")
     processed = f"{SUB}/processed/"
@@ -74,20 +80,21 @@ def main(argv=None):
     # offline flagship (M2 + SPP noise), the configuration the stream
     # approximates
     out = os.path.join(work, "offline")
-    enhance_files(files, processed, out, m2, model_type="m2",
-                  classif_type="oracle" if label_mode == "timo"
-                  else label_mode,
-                  classifier_params=cls, mean=mean, std=std,
-                  cfg=MCEMConfig(niter=niter), batch_size=4,
-                  noise_model="spp")
-    row = []
-    for p, (name, s, n, x) in zip(files, utts):
-        sh, _ = read_wav(os.path.join(
-            out, os.path.splitext(p)[0]) + "_s_est.wav")
-        a, b, c = mets(s, n, sh)
-        row.append(f"{a:+.2f} {b:.3f} {c:.2f}")
-    print(f"{'offline M2+SPP (MCEM)':<26}{'∞':>9}" + "".join(
-        f"{c:>26}" for c in row))
+    if not skip_offline:
+        enhance_files(files, processed, out, m2, model_type="m2",
+                      classif_type="oracle" if label_mode == "timo"
+                      else label_mode,
+                      classifier_params=cls, mean=mean, std=std,
+                      cfg=MCEMConfig(niter=niter), batch_size=4,
+                      noise_model="spp")
+        row = []
+        for p, (name, s, n, x) in zip(files, utts):
+            sh, _ = read_wav(os.path.join(
+                out, os.path.splitext(p)[0]) + "_s_est.wav")
+            a, b, c = mets(s, n, sh)
+            row.append(f"{a:+.2f} {b:.3f} {c:.2f}")
+        print(f"{'offline M2+SPP (MCEM)':<26}{'∞':>9}" + "".join(
+            f"{c:>26}" for c in row))
 
     for cf in chunks:
         lat_ms = cf * HOP * 1000 // FS + 64
@@ -97,7 +104,7 @@ def main(argv=None):
             enh = StreamingM2Enhancer(
                 m2, classifier_params=cls, mean=mean, std=std,
                 chunk_frames=cf, label_mode=label_mode,
-                soft_guidance=soft)
+                soft_guidance=soft, residual_tracking=residual)
             outs = []
             for lo in range(0, len(x), 4096):
                 outs.append(enh.push(x[lo:lo + 4096]))

@@ -254,3 +254,39 @@ def test_streaming_m2_soft_guidance():
     assert np.all(np.isfinite(ys[True]))
     assert len(ys[True]) == len(ys[False]) == n
     assert not np.array_equal(ys[True], ys[False])
+
+
+def test_streaming_m2_residual_tracking():
+    """Causal residual noise tracking (the streaming analogue of the
+    offline 'spp2' two-pass model): deterministic, finite, engages the
+    EMA state, and on a stationary-noise stream it suppresses at least
+    as much energy in the tail as the plain SPP stream (the residual
+    floor can only raise the noise variance)."""
+    from guided_vae_nmf_tpu.models import dgm_init
+    from guided_vae_nmf_tpu.streaming import StreamingM2Enhancer
+
+    F_BINS = 513
+    dgm = dgm_init(jax.random.PRNGKey(0), [F_BINS, F_BINS, 8, [32]])
+    rng = np.random.RandomState(7)
+    n = 2 * 16000
+    x = (0.05 * rng.randn(n)).astype(np.float32)  # noise-only stream
+
+    def run(tracking):
+        enh = StreamingM2Enhancer(dgm, label_mode="timo", chunk_frames=8,
+                                  context_frames=16, block_iters=2,
+                                  e_steps=2, residual_tracking=tracking)
+        y = np.concatenate([enh.push(x), enh.flush()])
+        return y, enh
+
+    y0, _ = run(False)
+    y1, enh1 = run(True)
+    y1b, _ = run(True)
+    assert np.array_equal(y1, y1b)              # deterministic
+    assert np.all(np.isfinite(y1))
+    assert enh1._res is not None and enh1._res.shape == (F_BINS,)
+    # tail energy (after the EMA has warmed): tracking suppresses >= plain
+    tail = slice(n // 2, n)
+    assert np.sum(y1[tail] ** 2) <= np.sum(y0[tail] ** 2) * 1.02
+    # reset() clears the tracker state
+    enh1.reset()
+    assert enh1._res is None
