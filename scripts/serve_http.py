@@ -14,6 +14,7 @@ Usage: python scripts/serve_http.py [--host 0.0.0.0] [--port 8571]
        [--models artifacts/pretrained] [--niter 100]
        [--noise_model spp] [--soft_labels 0] [--fast 0]
        [--wait_ms 20] [--warmup 0] [--stream 1] [--chunk_frames 8]
+       [--stream_residual 0]   (causal spp2 noise tracking in the stream)
 """
 
 import os
@@ -42,6 +43,7 @@ def main(argv=None):
     warmup = flag(argv, "warmup", "0") in ("1", "true")
     stream = flag(argv, "stream", "1") in ("1", "true")
     chunk_frames = flag(argv, "chunk_frames", 8, int)
+    residual = flag(argv, "stream_residual", "0") in ("1", "true")
 
     from guided_vae_nmf_tpu.http_serving import EnhancementHTTPServer
     from guided_vae_nmf_tpu.mcem import MCEMConfig
@@ -71,7 +73,7 @@ def main(argv=None):
             return StreamingM2Enhancer(
                 m2, classifier_params=cls, mean=mean, std=std,
                 chunk_frames=chunk_frames, soft_guidance=soft,
-                label_mode="dnn")
+                residual_tracking=residual, label_mode="dnn")
 
     srv = EnhancementHTTPServer(svc, host=host, port=port, quiet=False,
                                 stream_factory=stream_factory)
