@@ -35,22 +35,12 @@ def _wait_for_backend(timeout_s: float = 600.0) -> bool:
     Remote-accelerator init can hang indefinitely (e.g. the device grant
     is held by a dead client); a benchmark that never prints is worse
     than one that reports the outage, so bound the wait and let main()
-    emit a diagnostic JSON line on failure.
+    emit a diagnostic JSON line on failure. The bounded probe itself is
+    shared with the dryrun entry (one wedge-protection implementation).
     """
-    import threading
+    from __graft_entry__ import _count_devices_bounded
 
-    ok = {}
-
-    def probe():
-        try:
-            ok["n"] = len(jax.devices())
-        except Exception:
-            ok["n"] = 0
-
-    t = threading.Thread(target=probe, daemon=True)
-    t.start()
-    t.join(timeout_s)
-    return ok.get("n", 0) > 0
+    return _count_devices_bounded(timeout_s) > 0
 
 
 def main():

@@ -192,28 +192,42 @@ class _Handler(BaseHTTPRequestHandler):
     def _iter_chunked(self):
         """Decode a `Transfer-Encoding: chunked` request body from rfile,
         yielding payload blocks as they arrive (http.server does not
-        decode chunked requests itself)."""
+        decode chunked requests itself).
+
+        Raises ValueError on truncated or malformed framing so the
+        handler aborts the stream (truncated chunked response + close)
+        instead of flushing and writing a valid terminating chunk — a
+        framing error must not look like a successful complete response.
+        Only a proper 0-size final chunk ends the body cleanly."""
         while True:
-            line = self.rfile.readline(64)
+            line = self.rfile.readline(8192)
             if not line:
-                return                       # client went away
+                raise ValueError("chunked body truncated (EOF in framing)")
+            if not line.endswith(b"\n"):     # size line over 8 KB
+                raise ValueError("chunk-size line too long")
             try:
                 size = int(line.split(b";")[0].strip() or b"0", 16)
             except ValueError:
-                return                       # malformed framing: stop
+                raise ValueError(f"malformed chunk size {line[:32]!r}")
             if size == 0:
                 while True:                  # optional trailers, then CRLF
                     t = self.rfile.readline(1024)
-                    if t in (b"\r\n", b"\n", b""):
+                    if t in (b"\r\n", b"\n"):
                         return
+                    if not t:
+                        raise ValueError(
+                            "chunked body truncated (EOF in trailers)")
             left = size
             while left:
                 blk = self.rfile.read1(min(left, 65536))
                 if not blk:
-                    return
+                    raise ValueError(
+                        "chunked body truncated (EOF in payload)")
                 left -= len(blk)
                 yield blk
-            self.rfile.read(2)               # chunk-terminating CRLF
+            if len(self.rfile.read(2)) < 2:  # chunk-terminating CRLF
+                raise ValueError(
+                    "chunked body truncated (EOF at chunk CRLF)")
 
     def _iter_sized(self, length):
         """Yield a Content-Length body incrementally (read1: emit what
@@ -276,13 +290,6 @@ class _Handler(BaseHTTPRequestHandler):
         st["started"] += 1
         st["active"] += 1
 
-        self.send_response(200)
-        self.send_header("Content-Type",
-                         f"audio/L16; rate={self.fs}; channels=1")
-        self.send_header("Transfer-Encoding", "chunked")
-        self.send_header("X-Chunk-Frames", str(enhancer.chunk_frames))
-        self.end_headers()
-
         def emit(samples):
             if samples.size == 0:
                 return
@@ -290,9 +297,19 @@ class _Handler(BaseHTTPRequestHandler):
                           -32768, 32767).astype("<i2").tobytes()
             self.wfile.write(f"{len(pcm):x}\r\n".encode() + pcm + b"\r\n")
 
+        # every exit from here on is counted exactly once as 'done' or
+        # 'aborted' and always decrements 'active' — including header-write
+        # failures (client gone before the 200) and the over-limit cut
         total = 0
         carry = b""                          # odd-byte PCM16 alignment
+        outcome = "aborted"
         try:
+            self.send_response(200)
+            self.send_header("Content-Type",
+                             f"audio/L16; rate={self.fs}; channels=1")
+            self.send_header("Transfer-Encoding", "chunked")
+            self.send_header("X-Chunk-Frames", str(enhancer.chunk_frames))
+            self.end_headers()
             for blk in reader:
                 total += len(blk)
                 if total > _MAX_BODY:        # 200 already sent: cut the
@@ -307,14 +324,14 @@ class _Handler(BaseHTTPRequestHandler):
             emit(enhancer.flush())
             self.wfile.write(b"0\r\n\r\n")   # final chunk
             self._body_left = 0
-            st["done"] += 1
+            outcome = "done"
             st["samples_in"] += total // 2
         except Exception:
             # mid-stream failure after 200: the only valid signal is a
             # truncated chunked body + connection close
             self.close_connection = True
-            st["aborted"] += 1
         finally:
+            st[outcome] += 1
             st["active"] -= 1
 
 

@@ -166,6 +166,40 @@ def _spp2_pass1_cfg(cfg):
     return _dc.replace(cfg, niter=p1)
 
 
+NOISE_MODELS = ("nmf", "spp", "hybrid", "spp2")
+
+
+def validate_noise_model(noise_model, cfg=None):
+    """Single whitelist for the noise models (shared by the batch APIs and
+    the serving layer — a typo'd name must error, not silently fall
+    through to 'nmf' behavior)."""
+    if noise_model not in NOISE_MODELS:
+        raise ValueError(f"noise_model must be one of {NOISE_MODELS}, "
+                         f"got {noise_model!r}")
+    if isinstance(cfg, HybridConfig) and noise_model == "hybrid":
+        raise ValueError("algorithm 'hybrid' supports noise_model "
+                         "'nmf', 'spp' or 'spp2' only")
+
+
+def _spp2_two_pass(run_engine, Vb_spp, X_p, keys, cfg):
+    """Two-pass noise model ('spp2'), the one construction both the jitted
+    core and the host batch API use: pass 1 runs the engine with the
+    SPP-tracked noise variance at a reduced iteration budget
+    (cfg.spp2_pass1_niter — the residual saturates within ~10 EM
+    iterations); pass 2 re-runs with Vb = max(Vb_spp, ema((1-WFs1)^2
+    |X|^2)). The pass-1 residual power (1-WFs1)^2 |X|^2 is exactly the
+    energy the first Wiener filter removed — a per-bin, per-frame noise
+    estimate that tracks level changes the stationary SPP tracker smooths
+    away, floored at the SPP PSD so pass 2 never under-models the noise
+    (VALIDATION.md two-pass table: +1.7 dB SI-SDR on the QUT car
+    mixture)."""
+    out = run_engine(Vb_spp, keys, cfg=_spp2_pass1_cfg(cfg))
+    res = jnp.square(1.0 - out["WFs"]) * X_p
+    Vb2 = jnp.maximum(Vb_spp, _ema_time(res, 0.5))
+    keys2 = jax.vmap(lambda k: jax.random.fold_in(k, 2))(keys)
+    return run_engine(Vb2, keys2)
+
+
 def _mcem_wf_istft(vae_params, X_re, X_im, X_p, mask, y, keys, cfg,
                    use_fused, noise_model, fast):
     """Shared traced core: engine selection -> MCEM -> Wiener filtering ->
@@ -226,17 +260,7 @@ def _mcem_wf_istft(vae_params, X_re, X_im, X_p, mask, y, keys, cfg,
                              update_nmf=update_nmf, Vb_fixed=Vb_fixed)
 
     if noise_model == "spp2":
-        # Pass-1 residual power: (1-WFs1)^2 |X|^2 is exactly the energy the
-        # first pass removed — a per-bin, per-frame noise estimate that
-        # tracks level changes the stationary SPP tracker smooths away.
-        # Floored at the SPP PSD so pass 2 never under-models the noise.
-        # Pass 1 runs a reduced iteration budget (cfg.spp2_pass1_niter):
-        # the residual saturates within ~10 EM iterations (VALIDATION.md).
-        out = run_engine(Vb_fixed, keys, cfg=_spp2_pass1_cfg(cfg))
-        res = jnp.square(1.0 - out["WFs"]) * X_p
-        Vb2 = jnp.maximum(Vb_spp, _ema_time(res, 0.5))
-        keys2 = jax.vmap(lambda k: jax.random.fold_in(k, 2))(keys)
-        out = run_engine(Vb2, keys2)
+        out = _spp2_two_pass(run_engine, Vb_spp, X_p, keys, cfg)
     else:
         out = run_engine(Vb_fixed, keys)
     X = X_re + 1j * X_im
@@ -493,12 +517,7 @@ def enhance_to_audio(vae_params, X_tfs, t_origs, ys=None, keys=None,
     """Batched wav-domain enhancement: complex spectrograms in, trimmed
     time-domain (s_est, n_est) lists out — engine, Wiener filtering and
     ISTFT all inside one jit (no host round-trips between stages)."""
-    if noise_model not in ("nmf", "spp", "hybrid", "spp2"):
-        raise ValueError(f"noise_model must be 'nmf', 'spp', 'hybrid' or "
-                         f"'spp2', got {noise_model!r}")
-    if isinstance(cfg, HybridConfig) and noise_model == "hybrid":
-        raise ValueError("algorithm 'hybrid' supports noise_model "
-                         "'nmf', 'spp' or 'spp2' only")
+    validate_noise_model(noise_model, cfg)
     n_pad = bucket_frames(max(X.shape[1] for X in X_tfs), bucket_multiple)
     X_c, X_p, mask, y_b = _pad_batch(X_tfs, ys, n_pad)
     B = len(X_tfs)
@@ -550,12 +569,7 @@ def enhance_batch(vae_params, X_tfs, ys=None, keys=None,
     power, EMA-smoothed and floored at the SPP PSD, becomes pass 2's
     fixed per-frame noise variance).
     """
-    if noise_model not in ("nmf", "spp", "hybrid", "spp2"):
-        raise ValueError(f"noise_model must be 'nmf', 'spp', 'hybrid' or "
-                         f"'spp2', got {noise_model!r}")
-    if isinstance(cfg, HybridConfig) and noise_model == "hybrid":
-        raise ValueError("algorithm 'hybrid' supports noise_model "
-                         "'nmf', 'spp' or 'spp2' only")
+    validate_noise_model(noise_model, cfg)
     n_pad = bucket_frames(max(X.shape[1] for X in X_tfs), bucket_multiple)
     X_c, X_p, mask, y_b = _pad_batch(X_tfs, ys, n_pad)
     B = len(X_tfs)
@@ -585,15 +599,8 @@ def enhance_batch(vae_params, X_tfs, ys=None, keys=None,
                              update_nmf=update_nmf, Vb_fixed=Vb_fixed)
 
     if noise_model == "spp2":
-        # Two-pass noise model: pass-1 residual power (the energy the
-        # first Wiener filter removed), EMA-smoothed and floored at the
-        # SPP PSD, becomes pass 2's per-frame noise variance (same
-        # construction + reduced pass-1 budget as _mcem_wf_istft).
-        out = run_engine(Vb_spp, keys, cfg=_spp2_pass1_cfg(cfg))
-        res = jnp.square(1.0 - jnp.asarray(out["WFs"])) * jnp.asarray(X_p)
-        Vb2 = jnp.maximum(Vb_spp, _ema_time(res, 0.5))
-        keys2 = jax.vmap(lambda k: jax.random.fold_in(k, 2))(keys)
-        out = run_engine(Vb2, keys2)
+        out = _spp2_two_pass(run_engine, Vb_spp, jnp.asarray(X_p),
+                             jnp.asarray(keys), cfg)
     else:
         out = run_engine(Vb_spp, keys)
     WFs = np.asarray(out["WFs"])
@@ -699,12 +706,7 @@ def enhance_files(file_paths, processed_dir, output_dir, vae_params,
     from .dsp import pad_signal_for_stft
     from .dsp.stft import frame_count
 
-    if noise_model not in ("nmf", "spp", "hybrid", "spp2"):
-        raise ValueError(f"noise_model must be 'nmf', 'spp', 'hybrid' or "
-                         f"'spp2', got {noise_model!r}")
-    if isinstance(cfg, HybridConfig) and noise_model == "hybrid":
-        raise ValueError("algorithm 'hybrid' supports noise_model "
-                         "'nmf', 'spp' or 'spp2' only")
+    validate_noise_model(noise_model, cfg)
     if model_type == "m2" and classif_type not in (
             "dnn", "oracle", "timo", "ones", "zeros"):
         raise ValueError(f"unknown classif_type: {classif_type!r}")

@@ -118,9 +118,24 @@ class EnhancementService:
         latency-vs-utilization tradeoff the caller opts into)."""
         if serve.label_mode == "dnn" and classifier_params is None:
             raise ValueError("label_mode 'dnn' needs classifier_params")
+        from .pipeline import validate_noise_model
+
+        # the serving path feeds noise_model straight into the jitted core
+        # (no per-call validation like enhance_batch's): reject typos here
+        validate_noise_model(serve.noise_model, cfg)
+        lat = tuple(serve.batch_lattice)
+        if not lat or list(lat) != sorted(set(lat)):
+            raise ValueError("batch_lattice must be strictly increasing")
+        if serve.max_batch > lat[-1]:
+            # the collector groups up to max_batch requests and the
+            # dispatcher rounds the group UP to a lattice entry — a group
+            # larger than the biggest entry would have no compiled shape
+            raise ValueError(
+                f"max_batch={serve.max_batch} exceeds the largest "
+                f"batch_lattice entry {lat[-1]}")
         self._mesh = mesh
         self._n_dev = 1 if mesh is None else mesh.shape["data"]
-        if mesh is not None and serve.batch_lattice[-1] % self._n_dev:
+        if mesh is not None and lat[-1] % self._n_dev:
             raise ValueError("max batch_lattice entry must divide by the "
                              "mesh data axis")
         self._vae = vae_params

@@ -155,6 +155,8 @@ class _StreamingOLA:
         remaining frames and return the rest of the enhanced signal.
         The stream is finalized afterwards: push() raises until reset()."""
         self._flushed = True
+        if self._raw.size == 0:   # nothing ever pushed: nothing to finalize
+            return np.zeros(0, np.float32)
         x = _maybe_end_pad(self._raw, FS, 64e-3, 0.25, HOP)
         n_frames = 1 + len(x) // HOP
         padded = np.pad(x, NFFT // 2, mode="reflect").astype(np.float32)

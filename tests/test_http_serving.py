@@ -351,3 +351,113 @@ def test_stream_capacity_429_and_stats():
     finally:
         srv.close()
         svc.close()
+
+
+@pytest.fixture()
+def fresh_stream_server():
+    """Per-test server: stream stats start at zero."""
+    from guided_vae_nmf_tpu.streaming import StreamingSPPEnhancer
+
+    m1 = vae_init(jax.random.PRNGKey(0), [F, L, [H]])
+    svc = EnhancementService(m1, cfg=CFG, serve=SV)
+    srv = EnhancementHTTPServer(
+        svc, port=0,
+        stream_factory=lambda: StreamingSPPEnhancer(chunk_frames=8),
+    ).start()
+    yield srv
+    srv.close()
+    svc.close()
+
+
+def _stream_stats(srv):
+    with urllib.request.urlopen(
+            f"http://127.0.0.1:{srv.port}/stats", timeout=60) as r:
+        return json.loads(r.read())["streams"]
+
+
+def _raw_stream_post(port, payload_after_headers, timeout=60):
+    """Open /v1/enhance_stream with chunked framing, send raw bytes, and
+    return everything the server sends back until it closes or 3 s of
+    silence."""
+    import socket
+
+    s = socket.create_connection(("127.0.0.1", port), timeout=timeout)
+    try:
+        s.sendall(b"POST /v1/enhance_stream HTTP/1.1\r\nHost: x\r\n"
+                  b"Content-Type: audio/L16\r\n"
+                  b"Transfer-Encoding: chunked\r\n\r\n")
+        s.sendall(payload_after_headers)
+        s.settimeout(3)
+        got = b""
+        try:
+            while True:
+                blk = s.recv(65536)
+                if not blk:
+                    break
+                got += blk
+        except TimeoutError:
+            pass
+        return got
+    finally:
+        s.close()
+
+
+def _wait_stream_quiesced(srv, deadline_s=30):
+    import time
+
+    t0 = time.time()
+    while time.time() - t0 < deadline_s:
+        st = _stream_stats(srv)
+        if st.get("active", 0) == 0 and st.get("started", 0) > 0:
+            return st
+        time.sleep(0.1)
+    raise AssertionError(f"stream never quiesced: {st}")
+
+
+def test_stream_malformed_framing_aborts_not_done(fresh_stream_server):
+    """A garbage chunk-size line must cut the stream (no clean 0-chunk
+    terminator) and count it as aborted — a framing error must not look
+    like a successful complete response."""
+    srv = fresh_stream_server
+    pcm = b"\x01\x00" * 512
+    got = _raw_stream_post(
+        srv.port,
+        f"{len(pcm):x}\r\n".encode() + pcm + b"\r\n" + b"zzzz\r\n")
+    assert b"200" in got.split(b"\r\n", 1)[0]    # headers were sent
+    assert not got.endswith(b"0\r\n\r\n")        # but NOT cleanly terminated
+    st = _wait_stream_quiesced(srv)
+    assert st["aborted"] == 1 and st.get("done", 0) == 0
+
+
+def test_stream_oversize_chunk_ext_aborts(fresh_stream_server):
+    """An RFC-legal but absurdly long chunk-extension line (> the reader's
+    bound) must abort, never silently shift payload bytes into the PCM."""
+    srv = fresh_stream_server
+    line = (b"400;ext=" + b"a" * 9000 + b"\r\n")
+    got = _raw_stream_post(srv.port, line + b"\x01\x00" * 512 + b"\r\n")
+    assert not got.endswith(b"0\r\n\r\n")
+    st = _wait_stream_quiesced(srv)
+    assert st["aborted"] == 1 and st.get("done", 0) == 0
+
+
+def test_stream_truncated_body_aborts(fresh_stream_server):
+    """Closing the connection mid-chunk (EOF in payload) is truncation,
+    not a clean end-of-stream."""
+    srv = fresh_stream_server
+    # claim 0x400 bytes, send half, close
+    got = _raw_stream_post(srv.port, b"400\r\n" + b"\x01\x00" * 256)
+    assert not got.endswith(b"0\r\n\r\n")
+    st = _wait_stream_quiesced(srv)
+    assert st["aborted"] == 1 and st.get("done", 0) == 0
+
+
+def test_stream_empty_body_clean_200(fresh_stream_server):
+    """A chunked request terminated before any payload is a valid empty
+    stream: clean 200 with an empty chunked body, counted as done."""
+    srv = fresh_stream_server
+    got = _raw_stream_post(srv.port, b"0\r\n\r\n")
+    assert b"200" in got.split(b"\r\n", 1)[0]
+    assert got.endswith(b"0\r\n\r\n")            # clean terminator
+    st = _wait_stream_quiesced(srv)
+    assert st["done"] == 1 and st.get("aborted", 0) == 0
+    assert st["active"] == 0

@@ -227,3 +227,21 @@ def test_queue_backpressure(m1):
         for f in futs:
             out = f.result(timeout=300)
             assert np.all(np.isfinite(out["s"]))
+
+
+def test_serveconfig_rejected_at_init(m1):
+    """Misconfiguration must fail at construction, not inside the worker
+    thread (where a StopIteration would strand every grouped request)."""
+    bad = [
+        ServeConfig(engine="xla", label_mode="none",
+                    max_batch=32),                    # > lattice max (16)
+        ServeConfig(engine="xla", label_mode="none",
+                    batch_lattice=(4, 2, 1)),         # not increasing
+        ServeConfig(engine="xla", label_mode="none",
+                    batch_lattice=()),                # empty lattice
+        ServeConfig(engine="xla", label_mode="none",
+                    noise_model="ssp"),               # typo'd noise model
+    ]
+    for sv in bad:
+        with pytest.raises(ValueError):
+            EnhancementService(m1, cfg=CFG, serve=sv)

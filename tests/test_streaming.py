@@ -290,3 +290,17 @@ def test_streaming_m2_residual_tracking():
     # reset() clears the tracker state
     enh1.reset()
     assert enh1._res is None
+
+
+def test_flush_without_push_returns_empty():
+    """flush() on a never-pushed (or empty-chunk-only) stream must return
+    an empty array, not crash in the reflect padding."""
+    from guided_vae_nmf_tpu.streaming import StreamingSPPEnhancer
+    enh = StreamingSPPEnhancer(chunk_frames=8)
+    out = enh.flush()
+    assert out.size == 0 and out.dtype == np.float32
+
+    enh = StreamingSPPEnhancer(chunk_frames=8)
+    assert enh.push(np.zeros(0, np.float32)).size == 0
+    out = enh.flush()
+    assert out.size == 0 and out.dtype == np.float32
