@@ -63,6 +63,15 @@ class MCEMConfig:
     # flat-to-better at 10 (VALIDATION.md) — so the default makes spp2
     # cost ~1.25x a single pass instead of 2x. None = use `niter`.
     spp2_pass1_niter: int = 25
+    # Fixed-noise models only (update_nmf=False): learn a per-frame noise
+    # GAIN b (N,) in the M-step, the exact symmetric counterpart of the
+    # reference's per-frame speech gain g (mcem.py:135-142), so
+    # Vb = b * Vb_fixed. A stationary tracker (SPP) underestimates
+    # impulsive frames by orders of magnitude; b lets the EM scale the
+    # tracked PSD per frame without freeing its spectral shape (the
+    # failure mode of the per-bin trackers — VALIDATION.md ablations).
+    # Beyond-reference capability; default off = reference *_noNMF parity.
+    noise_gain: bool = False
 
 
 # ---------------------------------------------------------------------------
@@ -224,13 +233,20 @@ def mh_wiener_filter(dec_params, y_pre, X_abs2, Vb, g, Z0, Vs0, key,
 
 
 def nmf_m_step(X_abs2, mask, W, H, g, Vs_samples, update_nmf=True,
-               Vb_fixed=None, axis_name=None):
+               Vb_fixed=None, axis_name=None, b=None):
     """Multiplicative W, H, g updates in the reference's exact order
     (mcem.py:90-152): W; recompute Vb,Vx; H; recompute; L1-normalize W with
     compensating H rescale; g. `mask` (N,) excludes pad frames from the
     cross-frame reductions so the result equals the unpadded per-utterance
     computation. With update_nmf=False the noise variance stays at Vb_fixed
     and only g is updated (the *_noNMF variants, mcem.py:543-578).
+
+    `b` (N,), fixed-noise models only: per-frame noise gain
+    (MCEMConfig.noise_gain) — Vb = b * Vb_fixed; b gets the same
+    gradient-split multiplicative update as g (its coefficient in Vx is
+    Vb_fixed where g's is Vs), updated BEFORE g (noise-model parameters
+    first, mirroring the reference's W,H-then-g order). Returns
+    (W, H, g, b) when given, (W, H, g) otherwise.
 
     `axis_name`: when the FRAME axis is sharded over a mesh (shard_map,
     one long recording spanning chips — SURVEY §5), the only cross-frame
@@ -243,6 +259,19 @@ def nmf_m_step(X_abs2, mask, W, H, g, Vs_samples, update_nmf=True,
 
     def vx(Vb):
         return jnp.maximum(g * Vs_samples + Vb, VX_FLOOR)  # (R, F, N)
+
+    if b is not None:
+        assert not update_nmf, "noise_gain requires a fixed noise model"
+        Vx = vx(b[None, :] * Vb_fixed)
+        num = jnp.sum(X_abs2 * Vb_fixed * jnp.sum(Vx**-2, axis=0), axis=0)
+        den = jnp.sum(Vb_fixed * jnp.sum(Vx**-1, axis=0), axis=0)
+        b = b * (num / den) ** 0.5
+        Vx = vx(b[None, :] * Vb_fixed)
+        num = jnp.sum(X_abs2 * jnp.sum(Vs_samples * Vx**-2, axis=0),
+                      axis=0)
+        den = jnp.sum(jnp.sum(Vs_samples * Vx**-1, axis=0), axis=0)
+        g = g * (num / den) ** 0.5
+        return W, H, g, b
 
     Vb = _noise_var(W, H, update_nmf, Vb_fixed)
     if update_nmf:
@@ -361,6 +390,44 @@ def mcem_run(vae_params, X_abs2, mask, y, key, cfg: MCEMConfig,
 
     y_pre = _precompute_label_proj(dec_params, y, L)
     Vs = _decode_cond(dec_params, y_pre, Z)
+
+    use_b = cfg.noise_gain and not update_nmf
+    if cfg.noise_gain and update_nmf:
+        raise ValueError(
+            "MCEMConfig.noise_gain requires a fixed noise model "
+            "(update_nmf=False, i.e. noise_model 'spp'/'spp2')")
+
+    if use_b:
+        # per-frame noise gain (MCEMConfig.noise_gain): Vb = b * Vb_fixed,
+        # b updated in the M-step symmetrically to g (see nmf_m_step)
+        b = jnp.ones((N,), X_abs2.dtype)
+
+        def em_iter_b(carry, _):
+            W, H, g, b, Z, Vs, key = carry
+            Z, Vs, key, Vs_samples = mh_sample_posterior(
+                dec_params, y_pre, X_abs2, b[None, :] * Vb_fixed, g,
+                Z, Vs, key,
+                cfg.nsamples_E_step, cfg.burnin_E_step, cfg.var_RW,
+            )
+            W2, H2, g2, b2 = nmf_m_step(
+                X_abs2, mask, W, H, g, Vs_samples, update_nmf=False,
+                Vb_fixed=Vb_fixed, axis_name=axis_name, b=b,
+            )
+            cost = _masked_cost(X_abs2, mask, b2[None, :] * Vb_fixed, g2,
+                                Vs_samples, axis_name=axis_name)
+            return (W2, H2, g2, b2, Z, Vs, key), cost
+
+        (W, H, g, b, Z, Vs, key), cost = lax.scan(
+            em_iter_b, (W, H, g, b, Z, Vs, key), None, length=cfg.niter
+        )
+        WFs, WFn, Z, Vs, key = mh_wiener_filter(
+            dec_params, y_pre, X_abs2, b[None, :] * Vb_fixed, g, Z, Vs,
+            key, cfg.nsamples_WF, cfg.burnin_WF, cfg.var_RW,
+        )
+        return {
+            "WFs": WFs, "WFn": WFn, "cost": cost,
+            "W": W, "H": H, "g": g, "b": b, "Z": Z,
+        }
 
     def em_iter(carry, _):
         W, H, g, Z, Vs, key = carry

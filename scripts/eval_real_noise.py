@@ -8,7 +8,10 @@ round-3 augmentation-trained ones (VERDICT item 3).
 
 Usage: python scripts/eval_real_noise.py [--artifacts artifacts/pretrained]
        [--niter 100] [--systems m2dnn_spp,m2oracle_spp,wiener,m1_spp]
-       [--work /tmp/real_noise_eval]
+       [--work /tmp/real_noise_eval] [--noise_gain 0] [--soft_labels 0]
+
+--noise_gain 1 enables the per-frame noise gain (MCEMConfig.noise_gain)
+on the fixed-noise systems (spp/spp2 suffixes only).
 """
 
 import os
@@ -60,10 +63,11 @@ def main(argv=None):
     systems = flag(
         argv, "systems", "m2dnn_spp,m2oracle_spp,wiener,m1_spp").split(",")
     soft_labels = flag(argv, "soft_labels", "0") in ("1", "true")
+    noise_gain = flag(argv, "noise_gain", "0") in ("1", "true")
 
     files = speech_list(f"{SUB}/raw/", "test")
     processed = f"{SUB}/processed/"
-    cfg = MCEMConfig(niter=niter)
+    cfg = MCEMConfig(niter=niter, noise_gain=noise_gain)
 
     m2 = load_model(os.path.join(artifacts, "M2_ibm"), kind="dgm")
     results = {}

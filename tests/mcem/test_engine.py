@@ -163,3 +163,82 @@ def test_m_step_parity_with_reference():
     assert_allclose(np.asarray(W2), em.W.numpy(), rtol=2e-5)
     assert_allclose(np.asarray(H2), em.H.numpy(), rtol=2e-5)
     assert_allclose(np.asarray(g2), em.g.numpy(), rtol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# Per-frame noise gain (MCEMConfig.noise_gain)
+# ---------------------------------------------------------------------------
+
+
+def test_noise_gain_tracks_impulsive_frames():
+    """b must rise on frames whose power exceeds the fixed noise model
+    (the impulsive-noise capability) and the EM cost must still descend;
+    the flag adds a 'b' key without disturbing the output contract."""
+    vae = vae_init(KEY, [F, L, [16]])
+    X = _power(jax.random.PRNGKey(7))
+    X = X.at[:, 10:13].mul(100.0)          # impulsive burst
+    mask = jnp.ones((N,))
+    Vb = jnp.ones((F, N)) * 0.5
+    cfg = MCEMConfig(
+        niter=6, nsamples_E_step=4, burnin_E_step=3, nsamples_WF=4,
+        burnin_WF=3, noise_gain=True,
+    )
+    out = mcem_run(vae, X, mask, None, jax.random.PRNGKey(1), cfg,
+                   update_nmf=False, Vb_fixed=Vb)
+    b = np.asarray(out["b"])
+    assert b.shape == (N,) and np.all(np.isfinite(b)) and np.all(b > 0)
+    others = np.delete(b, range(10, 13))
+    assert b[10:13].mean() > 10.0 * others.mean()
+    cost = np.asarray(out["cost"])
+    assert cost[-1] <= cost[0]
+    for name in ("WFs", "WFn"):
+        v = np.asarray(out[name])
+        assert np.all(np.isfinite(v)) and np.all(v >= 0) and np.all(v <= 1 + 1e-5)
+
+
+def test_noise_gain_off_has_no_b_key():
+    """Default config must not grow the output dict (reference-parity
+    contract for the *_noNMF variants)."""
+    vae = vae_init(KEY, [F, L, [16]])
+    X = _power(KEY)
+    Vb = jnp.ones((F, N)) * 0.5
+    out = mcem_run(vae, X, jnp.ones((N,)), None, jax.random.PRNGKey(1),
+                   SMALL_CFG, update_nmf=False, Vb_fixed=Vb)
+    assert "b" not in out
+    assert not MCEMConfig().noise_gain
+
+
+def test_noise_gain_requires_fixed_noise_model():
+    vae = vae_init(KEY, [F, L, [16]])
+    X = _power(KEY)
+    cfg = MCEMConfig(niter=2, nsamples_E_step=2, burnin_E_step=2,
+                     nsamples_WF=2, burnin_WF=2, noise_gain=True)
+    with pytest.raises(ValueError, match="noise_gain"):
+        mcem_run(vae, X, jnp.ones((N,)), None, jax.random.PRNGKey(1), cfg,
+                 update_nmf=True)
+
+
+def test_noise_gain_batch_matches_single():
+    """mcem_m2_batch(noise_gain) rows equal per-utterance mcem_run with
+    the same keys (the vmap wrapper adds nothing)."""
+    y_dim = 7
+    dgm = dgm_init(KEY, [F, y_dim, L, [16]])
+    B = 2
+    X = jax.random.uniform(KEY, (B, F, N)) + 0.05
+    y = (jax.random.uniform(jax.random.PRNGKey(2), (B, y_dim, N)) > 0.5)
+    y = y.astype(jnp.float32)
+    mask = jnp.ones((B, N))
+    Vb = jnp.ones((B, F, N)) * 0.4
+    keys = jax.random.split(jax.random.PRNGKey(3), B)
+    cfg = MCEMConfig(niter=3, nsamples_E_step=3, burnin_E_step=2,
+                     nsamples_WF=3, burnin_WF=2, noise_gain=True)
+    out = mcem_m2_batch(dgm, X, mask, y, keys, cfg,
+                        update_nmf=False, Vb_fixed=Vb)
+    params = {k: v for k, v in dgm.items() if k != "y_dim"}
+    for i in range(B):
+        one = mcem_run(params, X[i], mask[i], y[i], keys[i], cfg,
+                       update_nmf=False, Vb_fixed=Vb[i])
+        assert_allclose(np.asarray(out["b"][i]), np.asarray(one["b"]),
+                        rtol=1e-6)
+        assert_allclose(np.asarray(out["WFs"][i]), np.asarray(one["WFs"]),
+                        rtol=1e-6)

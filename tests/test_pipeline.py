@@ -459,3 +459,22 @@ def test_spp2_pass1_budget_config():
         MCEMConfig(niter=100, spp2_pass1_niter=0)).niter == 100  # 0 = off
     pe = PEEMConfig()
     assert _spp2_pass1_cfg(pe) is pe
+
+
+def test_enhance_batch_noise_gain():
+    """MCEMConfig.noise_gain through the batch API: runs on the XLA engine
+    (fused gated off), keeps the reconstruction invariant, and is rejected
+    with the NMF noise model."""
+    import dataclasses
+
+    files = _test_files()[:2]
+    X_tfs = [load_mixture(
+        os.path.join(PROCESSED, os.path.splitext(p)[0]))[2] for p in files]
+    vae = vae_init(KEY, [513, 8, [32]])
+    cfg = dataclasses.replace(FAST_CFG, noise_gain=True)
+    S_hat, N_hat = enhance_batch(vae, X_tfs, cfg=cfg, noise_model="spp")
+    for S, N, X in zip(S_hat, N_hat, X_tfs):
+        assert np.all(np.isfinite(S)) and np.all(np.isfinite(N))
+        assert_allclose(S + N, X, atol=2e-4 * np.abs(X).max())
+    with pytest.raises(ValueError, match="noise_gain"):
+        enhance_batch(vae, X_tfs, cfg=cfg, noise_model="nmf")
