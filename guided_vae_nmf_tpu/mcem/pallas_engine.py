@@ -845,6 +845,45 @@ def mcem_batch_fused(vae_params, X_abs2, mask, y, keys,
                    matmul_dtype=matmul_dtype, approx_recip=approx_recip,
                    approx_trans=approx_trans)
 
+    use_b = cfg.noise_gain and not update_nmf
+    if cfg.noise_gain and update_nmf:
+        raise ValueError(
+            "MCEMConfig.noise_gain requires a fixed noise model "
+            "(update_nmf=False, i.e. noise_model 'spp'/'spp2')")
+
+    def em_iter_b(carry, _):
+        # fixed-noise model + per-frame noise gain (MCEMConfig.noise_gain,
+        # same math as engine.nmf_m_step's b branch): the chain runs at
+        # Vb = b * Vbf; the b update reuses the 'h'-mode sums kernel
+        # (s1 = sum_r Vx^-1, s2 = sum_r Vx^-2) with the UNSCALED Vbf as
+        # the gradient-split coefficient, then g updates at the new b.
+        Wt, H, g, b, Z, Vs, key = carry
+        key, sub = jax.random.split(key)
+        seeds = jax.random.randint(sub, (B, n_tiles), 0, 2**31 - 1,
+                                   dtype=jnp.int32)
+        Vb_eff = b[:, :, None] * Vbf
+        Z, Vs, (samples, *_rest) = mh_chain_pallas(
+            dec_w, X2, Vb_eff, g, ypre, Z, Vs, seeds, mode="e",
+            nsamples=cfg.nsamples_E_step, burnin=cfg.burnin_E_step,
+            var_RW=cfg.var_RW, **kern_kw,
+        )
+        s1, s2 = nmf_sums_pallas(samples, Vb_eff, g, mode="h", tile=tile,
+                                 approx_recip=approx_recip)
+        num_b = jnp.sum(X2 * Vbf * s2, axis=-1)          # (B, N)
+        den_b = jnp.sum(Vbf * s1, axis=-1)
+        b2 = b * (num_b / den_b) ** 0.5
+        num_g, den_g = nmf_sums_pallas(
+            samples, b2[:, :, None] * Vbf, g, X2=X2, mode="g",
+            tile=tile, approx_recip=approx_recip,
+        )
+        g2 = g * (num_g / den_g) ** 0.5
+        if compute_cost:
+            cost = _masked_cost_batched(X2, mask, b2[:, :, None] * Vbf,
+                                        g2, samples)
+        else:
+            cost = jnp.zeros((B,), X2.dtype)
+        return (Wt, H, g2, b2, Z, Vs, key), cost
+
     def em_iter(carry, _):
         Wt, H, g, Z, Vs, key = carry
         key, sub = jax.random.split(key)
@@ -897,9 +936,17 @@ def mcem_batch_fused(vae_params, X_abs2, mask, y, keys,
             cost = jnp.zeros((B,), X2.dtype)
         return (Wt2, H2, g2, Z, Vs, key), cost
 
-    (Wt, H, g, Z, Vs, key0), cost = lax.scan(
-        em_iter, (Wt, H, g, Z, Vs, key0), None, length=cfg.niter
-    )
+    if use_b:
+        b = jnp.ones((B, N), X2.dtype)
+        (Wt, H, g, b, Z, Vs, key0), cost = lax.scan(
+            em_iter_b, (Wt, H, g, b, Z, Vs, key0), None, length=cfg.niter
+        )
+        Vbf = b[:, :, None] * Vbf           # WF chain at the learned gain
+    else:
+        b = None
+        (Wt, H, g, Z, Vs, key0), cost = lax.scan(
+            em_iter, (Wt, H, g, Z, Vs, key0), None, length=cfg.niter
+        )
 
     key0, sub = jax.random.split(key0)
     seeds = jax.random.randint(sub, (B, n_tiles), 0, 2**31 - 1,
@@ -913,8 +960,11 @@ def mcem_batch_fused(vae_params, X_abs2, mask, y, keys,
     )
     WFs = jnp.swapaxes(ws / cfg.nsamples_WF, 1, 2)       # back to (F,N)
     WFn = jnp.swapaxes(wn / cfg.nsamples_WF, 1, 2)
-    return {
+    out = {
         "WFs": WFs, "WFn": WFn, "cost": jnp.swapaxes(cost, 0, 1),
         "W": jnp.swapaxes(Wt, 1, 2), "H": H, "g": g,
         "Z": jnp.swapaxes(Z, 1, 2),
     }
+    if use_b:
+        out["b"] = b
+    return out

@@ -9,9 +9,13 @@ round-3 augmentation-trained ones (VERDICT item 3).
 Usage: python scripts/eval_real_noise.py [--artifacts artifacts/pretrained]
        [--niter 100] [--systems m2dnn_spp,m2oracle_spp,wiener,m1_spp]
        [--work /tmp/real_noise_eval] [--noise_gain 0] [--soft_labels 0]
+       [--seeds 1]
 
 --noise_gain 1 enables the per-frame noise gain (MCEMConfig.noise_gain)
-on the fixed-noise systems (spp/spp2 suffixes only).
+on the fixed-noise systems (spp/spp2 suffixes only). --seeds N repeats
+each MCEM system with N independent PRNG seeds and reports mean±sd per
+utterance (the MH sampling noise is ~0.02-0.1 dB — seed-average any
+claimed delta of that order).
 """
 
 import os
@@ -65,6 +69,8 @@ def main(argv=None):
     soft_labels = flag(argv, "soft_labels", "0") in ("1", "true")
     noise_gain = flag(argv, "noise_gain", "0") in ("1", "true")
 
+    seeds = flag(argv, "seeds", 1, int)
+
     files = speech_list(f"{SUB}/raw/", "test")
     processed = f"{SUB}/processed/"
     cfg = MCEMConfig(niter=niter, noise_gain=noise_gain)
@@ -74,49 +80,65 @@ def main(argv=None):
     for sysname in systems:
         suffix = "_soft" if soft_labels and sysname.startswith("m2dnn_") \
             else ""
-        out = os.path.join(work, artifacts.replace("/", "_"),
-                           sysname + suffix)
         t0 = time.perf_counter()
-        if sysname.startswith("m2dnn_"):
-            cls = load_model(os.path.join(artifacts, "classifier_ibm"),
-                             kind="classifier")
-            mean, std = load_norm_stats(
-                os.path.join(artifacts, "classifier_ibm"))
-            enhance_files(files, processed, out, m2, model_type="m2",
-                          classif_type="dnn", classifier_params=cls,
-                          mean=mean, std=std, cfg=cfg, batch_size=4,
-                          noise_model=sysname.split("_", 1)[1],
-                          soft_guidance=soft_labels)
-        elif sysname.startswith("m2oracle_"):
-            enhance_files(files, processed, out, m2, model_type="m2",
-                          classif_type="oracle", cfg=cfg, batch_size=4,
-                          noise_model=sysname.split("_", 1)[1])
-        elif sysname.startswith("m1_"):
-            m1 = load_model(os.path.join(artifacts, "M1"), kind="vae")
-            enhance_files(files, processed, out, m1, model_type="m1",
-                          cfg=cfg, batch_size=4,
-                          noise_model=sysname.split("_", 1)[1])
-        elif sysname == "wiener":
-            w = load_model(os.path.join(artifacts, "wiener"),
-                           kind="classifier")
-            mean, std = load_norm_stats(os.path.join(artifacts, "wiener"))
-            enhance_files_wiener(files, processed, out, w, mean=mean,
-                                 std=std)
-        else:
-            raise SystemExit(f"unknown system {sysname}")
-        rows = metrics_for(processed, out, files)
-        results[sysname] = rows
-        print(f"[{sysname}] done in {time.perf_counter() - t0:.1f}s",
-              flush=True)
+        per_seed = []
+        # the wiener baseline is deterministic: one run regardless of seeds
+        for seed in range(1 if sysname == "wiener" else seeds):
+            out = os.path.join(work, artifacts.replace("/", "_"),
+                               sysname + suffix + f"_seed{seed}")
+            if sysname.startswith("m2dnn_"):
+                cls = load_model(os.path.join(artifacts, "classifier_ibm"),
+                                 kind="classifier")
+                mean, std = load_norm_stats(
+                    os.path.join(artifacts, "classifier_ibm"))
+                enhance_files(files, processed, out, m2, model_type="m2",
+                              classif_type="dnn", classifier_params=cls,
+                              mean=mean, std=std, cfg=cfg, batch_size=4,
+                              noise_model=sysname.split("_", 1)[1],
+                              soft_guidance=soft_labels, seed=seed)
+            elif sysname.startswith("m2oracle_"):
+                enhance_files(files, processed, out, m2, model_type="m2",
+                              classif_type="oracle", cfg=cfg, batch_size=4,
+                              noise_model=sysname.split("_", 1)[1],
+                              seed=seed)
+            elif sysname.startswith("m1_"):
+                m1 = load_model(os.path.join(artifacts, "M1"), kind="vae")
+                enhance_files(files, processed, out, m1, model_type="m1",
+                              cfg=cfg, batch_size=4,
+                              noise_model=sysname.split("_", 1)[1],
+                              seed=seed)
+            elif sysname == "wiener":
+                w = load_model(os.path.join(artifacts, "wiener"),
+                               kind="classifier")
+                mean, std = load_norm_stats(
+                    os.path.join(artifacts, "wiener"))
+                enhance_files_wiener(files, processed, out, w, mean=mean,
+                                     std=std)
+            else:
+                raise SystemExit(f"unknown system {sysname}")
+            per_seed.append(metrics_for(processed, out, files))
+        results[sysname] = per_seed
+        print(f"[{sysname}] done in {time.perf_counter() - t0:.1f}s "
+              f"({len(per_seed)} seed(s))", flush=True)
 
-    print(f"\nReal-noise QUT table ({artifacts}, niter={niter}):")
+    print(f"\nReal-noise QUT table ({artifacts}, niter={niter}, "
+          f"seeds={seeds}):")
     print(f"{'system':<14}" + "".join(
-        f"{os.path.basename(f)[:-4]:>28}" for f in files))
-    for sysname, rows in results.items():
-        cells = [f"{a:+.2f}->{b:+.2f} {e:.3f} {p:.2f}"
-                 for a, b, e, p in rows]
-        print(f"{sysname:<14}" + "".join(f"{c:>28}" for c in cells))
-    print("(cells: SI-SDR mix->enh dB, ESTOI, PESQ-wb)")
+        f"{os.path.basename(f)[:-4]:>30}" for f in files))
+    for sysname, per_seed in results.items():
+        arr = np.asarray(per_seed)          # (S, n_files, 4)
+        mean_ = arr.mean(axis=0)
+        sd = arr.std(axis=0)
+        cells = []
+        for j in range(arr.shape[1]):
+            a, bdb, e, p = mean_[j]
+            if arr.shape[0] > 1:
+                cells.append(f"{a:+.2f}->{bdb:+.2f}±{sd[j][1]:.2f} "
+                             f"{e:.3f} {p:.2f}")
+            else:
+                cells.append(f"{a:+.2f}->{bdb:+.2f} {e:.3f} {p:.2f}")
+        print(f"{sysname:<14}" + "".join(f"{c:>30}" for c in cells))
+    print("(cells: SI-SDR mix->enh dB [±sd over seeds], ESTOI, PESQ-wb)")
 
 
 if __name__ == "__main__":

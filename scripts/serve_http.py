@@ -12,7 +12,7 @@ per-connection StreamingM2Enhancer; disable with --stream 0.
 
 Usage: python scripts/serve_http.py [--host 0.0.0.0] [--port 8571]
        [--models artifacts/pretrained] [--niter 100]
-       [--noise_model spp] [--soft_labels 0] [--fast 0]
+       [--noise_model spp] [--noise_gain 0] [--soft_labels 0] [--fast 0]
        [--wait_ms 20] [--warmup 0] [--stream 1] [--chunk_frames 8]
        [--stream_residual 0]   (causal spp2 noise tracking in the stream)
 """
@@ -37,6 +37,7 @@ def main(argv=None):
     models = flag(argv, "models", "artifacts/pretrained")
     niter = flag(argv, "niter", 100, int)
     noise_model = flag(argv, "noise_model", "spp")
+    noise_gain = flag(argv, "noise_gain", "0") in ("1", "true")
     soft = flag(argv, "soft_labels", "0") in ("1", "true")
     fast = flag(argv, "fast", "0") in ("1", "true")
     wait_ms = flag(argv, "wait_ms", 20.0, float)
@@ -56,7 +57,7 @@ def main(argv=None):
 
     svc = EnhancementService(
         m2, classifier_params=cls, mean=mean, std=std,
-        cfg=MCEMConfig(niter=niter),
+        cfg=MCEMConfig(niter=niter, noise_gain=noise_gain),
         serve=ServeConfig(max_wait_ms=wait_ms, label_mode="dnn",
                           noise_model=noise_model, soft_guidance=soft,
                           fast=fast),

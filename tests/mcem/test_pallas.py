@@ -319,3 +319,38 @@ def test_mcem_batch_fused_approx_trans_runs():
         assert np.isfinite(np.asarray(res[k])).all(), k
     assert (np.asarray(res["WFs"]) >= 0).all()
     assert (np.asarray(res["WFs"]) <= 1.0 + 1e-5).all()
+
+
+def test_noise_gain_fused_matches_xla_var0():
+    """Fixed-noise model + per-frame noise gain (MCEMConfig.noise_gain):
+    in the var_RW=0 deterministic limit the chains are RNG-free, so the
+    fused path's b/g trajectories and Wiener filters must match the XLA
+    engine's to float tolerance."""
+    from guided_vae_nmf_tpu.mcem import mcem_m2_batch
+
+    dgm, *_ = _setup()
+    X = jax.random.uniform(jax.random.PRNGKey(7), (B, F, N)) + 0.05
+    X = X.at[:, :, 30:33].mul(50.0)         # impulsive frames
+    y = (jax.random.uniform(jax.random.PRNGKey(8), (B, 10, N)) > 0.5)
+    y = y.astype(jnp.float32)
+    mask = jnp.ones((B, N))
+    Vb = jax.random.uniform(jax.random.PRNGKey(5), (B, F, N)) * 0.2 + 0.05
+    keys = jax.random.split(jax.random.PRNGKey(9), B)
+    cfg = MCEMConfig(niter=3, nsamples_E_step=2, burnin_E_step=1,
+                     nsamples_WF=2, burnin_WF=1, var_RW=0.0,
+                     noise_gain=True)
+    fused = mcem_batch_fused(dgm, X, mask, y, keys, cfg,
+                             update_nmf=False, Vb_fixed=Vb)
+    xla = mcem_m2_batch(dgm, X, mask, y, keys, cfg,
+                        update_nmf=False, Vb_fixed=Vb)
+    bf = np.asarray(fused["b"])
+    bx = np.asarray(xla["b"])
+    assert bf.shape == (B, N)
+    assert_allclose(bf, bx, rtol=2e-4)
+    assert_allclose(np.asarray(fused["g"]), np.asarray(xla["g"]),
+                    rtol=2e-4)
+    assert_allclose(np.asarray(fused["WFs"]), np.asarray(xla["WFs"]),
+                    rtol=1e-3, atol=1e-5)
+    # impulse frames must carry a raised gain in both engines
+    assert bf[:, 30:33].mean() > 3.0 * np.delete(bf, range(30, 33),
+                                                 axis=1).mean()
