@@ -46,6 +46,9 @@ class PEEMConfig:
     lr: float = 5e-3
     nmf_rank: int = 10
     eps: float = 1e-8
+    # Fixed-noise models only: per-frame noise gain b (Vb = b * Vb_fixed),
+    # updated in the M-step like g — see MCEMConfig.noise_gain.
+    noise_gain: bool = False
 
 
 def _map_objective(dec_params, y_pre, X_abs2, Vb, g, Z, mask):
@@ -88,6 +91,41 @@ def peem_run(vae_params, X_abs2, mask, y, key, cfg: PEEMConfig = PEEMConfig(),
             dec_params, y_pre, X_abs2, Vb, g, Z, mask
         )
     )
+
+    use_b = cfg.noise_gain and not update_nmf
+    if cfg.noise_gain and update_nmf:
+        raise ValueError(
+            "PEEMConfig.noise_gain requires a fixed noise model "
+            "(update_nmf=False, i.e. noise_model 'spp'/'spp2')")
+
+    if use_b:
+        # per-frame noise gain (see MCEMConfig.noise_gain): Vb = b *
+        # Vb_fixed, b updated by nmf_m_step's gradient-split rule
+        b = jnp.ones((N,), X_abs2.dtype)
+
+        def em_iter_b(carry, _):
+            W, H, g, b, Z = carry
+            Vb = b[None, :] * Vb_fixed
+
+            def e_step(Z, _):
+                return Z - cfg.lr * grad_fn(Z, Vb, g), None
+
+            Z, _ = lax.scan(e_step, Z, None, length=cfg.e_steps)
+            Vs = _decode_cond(dec_params, y_pre, Z)[None]
+            W2, H2, g2, b2 = nmf_m_step(X_abs2, mask, W, H, g, Vs,
+                                        update_nmf=False,
+                                        Vb_fixed=Vb_fixed, b=b)
+            cost = _masked_cost(X_abs2, mask, b2[None, :] * Vb_fixed, g2,
+                                Vs)
+            return (W2, H2, g2, b2, Z), cost
+
+        (W, H, g, b, Z), cost = lax.scan(em_iter_b, (W, H, g, b, Z), None,
+                                         length=cfg.niter)
+        Vb = b[None, :] * Vb_fixed
+        Vs = _decode_cond(dec_params, y_pre, Z)
+        Vx = jnp.maximum(g * Vs + Vb, VX_FLOOR)
+        return {"WFs": (g * Vs) / Vx, "WFn": Vb / Vx, "cost": cost,
+                "W": W, "H": H, "g": g, "b": b, "Z": Z}
 
     def em_iter(carry, _):
         W, H, g, Z = carry

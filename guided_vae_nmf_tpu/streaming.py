@@ -252,22 +252,27 @@ class StreamingSPPEnhancer(_StreamingOLA):
 # Streaming flagship: online M2 enhancement (blockwise warm-started PEEM)
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("iters", "e_steps"))
-def _m2_block_em_jit(dec_params, Xw, y_pre, Vb, Z0, g0, mask,
-                     iters=6, e_steps=4, lr=5e-3):
+@partial(jax.jit, static_argnames=("iters", "e_steps", "noise_gain"))
+def _m2_block_em_jit(dec_params, Xw, y_pre, Vb, Z0, g0, b0, mask,
+                     iters=6, e_steps=4, lr=5e-3, noise_gain=False):
     """Blockwise point-estimate EM over one (F, W) analysis window with a
     fixed (SPP-tracked) noise variance: `e_steps` gradient-ascent steps on
     the latent MAP objective per EM iteration (mcem/peem.py), then the
     per-frame gain update (the *_noNMF M-step, reference mcem.py:543-578).
     Warm-started from the previous block's (Z, g) on the context frames.
-    Returns (Z, g, WFs) over the whole window."""
+    Returns (Z, g, b, WFs) over the whole window.
+
+    noise_gain: also learn the per-frame noise gain b (Vb_eff = b * Vb,
+    MCEMConfig.noise_gain's causal analogue) — impulsive frames inside
+    the window raise their own noise variance within the block, no
+    cross-block delay. b0 is the warm-started gain (ones when off)."""
     from .mcem.engine import VX_FLOOR, _decode_cond, nmf_m_step
 
     L = Z0.shape[0]
 
-    def obj(Z, g):
+    def obj(Z, g, b):
         Vs = _decode_cond(dec_params, y_pre, Z)
-        Vx = jnp.maximum(g * Vs + Vb, VX_FLOOR)
+        Vx = jnp.maximum(g * Vs + b * Vb, VX_FLOOR)
         return (jnp.sum((jnp.log(Vx) + Xw / Vx) * mask)
                 + 0.5 * jnp.sum(Z * Z * mask))
 
@@ -276,21 +281,25 @@ def _m2_block_em_jit(dec_params, Xw, y_pre, Vb, Z0, g0, mask,
     H0 = jnp.zeros((1, Xw.shape[1]), Xw.dtype)
 
     def em(carry, _):
-        Z, g = carry
+        Z, g, b = carry
 
         def e_step(Z, _):
-            return Z - lr * grad(Z, g), None
+            return Z - lr * grad(Z, g, b), None
 
         Z, _ = jax.lax.scan(e_step, Z, None, length=e_steps)
         Vs = _decode_cond(dec_params, y_pre, Z)[None]
-        _, _, g = nmf_m_step(Xw, mask, W1, H0, g, Vs,
-                             update_nmf=False, Vb_fixed=Vb)
-        return (Z, g), None
+        if noise_gain:
+            _, _, g, b = nmf_m_step(Xw, mask, W1, H0, g, Vs,
+                                    update_nmf=False, Vb_fixed=Vb, b=b)
+        else:
+            _, _, g = nmf_m_step(Xw, mask, W1, H0, g, Vs,
+                                 update_nmf=False, Vb_fixed=Vb)
+        return (Z, g, b), None
 
-    (Z, g), _ = jax.lax.scan(em, (Z0, g0), None, length=iters)
+    (Z, g, b), _ = jax.lax.scan(em, (Z0, g0, b0), None, length=iters)
     Vs = _decode_cond(dec_params, y_pre, Z)
-    Vx = jnp.maximum(g * Vs + Vb, VX_FLOOR)
-    return Z, g, (g * Vs) / Vx
+    Vx = jnp.maximum(g * Vs + b * Vb, VX_FLOOR)
+    return Z, g, b, (g * Vs) / Vx
 
 
 @jax.jit
@@ -323,7 +332,7 @@ class StreamingM2Enhancer(_StreamingOLA):
                  std=None, chunk_frames=8, context_frames=24,
                  block_iters=6, e_steps=4, lr=5e-3, label_mode="dnn",
                  soft_guidance=False, residual_tracking=False,
-                 residual_alpha=0.5, eps=1e-8):
+                 residual_alpha=0.5, noise_gain=False, eps=1e-8):
         from .mcem.spp import SPPNoiseEstimator
         from .mcem.engine import _precompute_label_proj
 
@@ -351,6 +360,11 @@ class StreamingM2Enhancer(_StreamingOLA):
         # offline second pass; same max(spp, ema(residual)) rule)
         self.residual_tracking = residual_tracking
         self.residual_alpha = residual_alpha
+        # learn a per-frame noise gain inside each block (the causal
+        # analogue of MCEMConfig.noise_gain — impulsive frames raise
+        # their own noise variance with NO cross-block delay, vs
+        # residual_tracking's one-block-delayed floor)
+        self.noise_gain = noise_gain
         self.C = context_frames
         self.block_iters = block_iters
         self.e_steps = e_steps
@@ -374,6 +388,7 @@ class StreamingM2Enhancer(_StreamingOLA):
             self._ctx_y = np.zeros((self.y_dim, C), np.float32)
             self._ctx_Vb = np.ones((F, C), np.float32)
             self._ctx_g = np.ones((C,), np.float32)
+            self._ctx_b = np.ones((C,), np.float32)
             self._ctx_Z = None
             self._ctx_valid = np.zeros((C,), np.float32)
             self._res = None          # residual-tracking EMA state (F,)
@@ -432,6 +447,7 @@ class StreamingM2Enhancer(_StreamingOLA):
         Vbw = np.concatenate([self._ctx_Vb, Vb_new.T], axis=1)
         Zw = np.concatenate([self._ctx_Z, Z_new], axis=1)
         gw = np.concatenate([self._ctx_g, np.ones((K,), np.float32)])
+        bw = np.concatenate([self._ctx_b, np.ones((K,), np.float32)])
         maskw = np.concatenate(
             [self._ctx_valid,
              (np.arange(K) < k).astype(np.float32)])
@@ -439,12 +455,15 @@ class StreamingM2Enhancer(_StreamingOLA):
         Vbw = np.maximum(Vbw, 1e-10)
 
         y_pre = self._proj(self.dec, jnp.asarray(yw), self._L)
-        Z, g, WFs = _m2_block_em_jit(
+        Z, g, bfr, WFs = _m2_block_em_jit(
             self.dec, jnp.asarray(Xw), y_pre, jnp.asarray(Vbw),
-            jnp.asarray(Zw), jnp.asarray(gw), jnp.asarray(maskw),
-            iters=self.block_iters, e_steps=self.e_steps, lr=self.lr)
+            jnp.asarray(Zw), jnp.asarray(gw), jnp.asarray(bw),
+            jnp.asarray(maskw),
+            iters=self.block_iters, e_steps=self.e_steps, lr=self.lr,
+            noise_gain=self.noise_gain)
         Z = np.asarray(Z)
         g = np.asarray(g)
+        bfr = np.asarray(bfr)
         m = np.asarray(WFs)[:, self.C:].T  # (chunk, F) gains, new frames
 
         if self.residual_tracking:
@@ -471,6 +490,8 @@ class StreamingM2Enhancer(_StreamingOLA):
             buf[:, lead:] = src[:, keep]
         self._ctx_g[:lead] = 1.0
         self._ctx_g[lead:] = g[keep]
+        self._ctx_b[:lead] = 1.0
+        self._ctx_b[lead:] = bfr[keep]
         self._ctx_valid[:lead] = 0.0
         self._ctx_valid[lead:] = 1.0
 

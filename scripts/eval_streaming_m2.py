@@ -9,10 +9,13 @@ chunk_frames x 16 ms block + 64 ms STFT window.
 Usage: python scripts/eval_streaming_m2.py
        [--artifacts artifacts/pretrained] [--chunks 4,8,16,32]
        [--label_mode dnn|timo] [--niter_offline 100]
-       [--soft_labels 0] [--residual 0] [--skip_offline 0]
+       [--soft_labels 0] [--residual 0] [--noise_gain 0]
+       [--skip_offline 0]
 
 --residual 1 enables causal residual noise tracking (the streaming
-analogue of the offline 'spp2' two-pass model).
+analogue of the offline 'spp2' two-pass model). --noise_gain 1 learns a
+per-frame noise gain inside each block (the causal analogue of
+MCEMConfig.noise_gain; no cross-block delay).
 """
 
 import os
@@ -49,6 +52,7 @@ def main(argv=None):
     work = flag(argv, "work", "/tmp/streaming_m2_eval")
     soft = flag(argv, "soft_labels", "0") in ("1", "true")
     residual = flag(argv, "residual", "0") in ("1", "true")
+    noise_gain = flag(argv, "noise_gain", "0") in ("1", "true")
     skip_offline = flag(argv, "skip_offline", "0") in ("1", "true")
 
     files = speech_list(f"{SUB}/raw/", "test")
@@ -104,7 +108,8 @@ def main(argv=None):
             enh = StreamingM2Enhancer(
                 m2, classifier_params=cls, mean=mean, std=std,
                 chunk_frames=cf, label_mode=label_mode,
-                soft_guidance=soft, residual_tracking=residual)
+                soft_guidance=soft, residual_tracking=residual,
+                noise_gain=noise_gain)
             outs = []
             for lo in range(0, len(x), 4096):
                 outs.append(enh.push(x[lo:lo + 4096]))

@@ -125,3 +125,26 @@ def test_hybrid_xla_refinement_has_real_randomness():
     assert np.array_equal(a, a2)            # replayable
     assert np.abs(a - b).max() > 1e-6       # seed-sensitive (real RNG)
     assert np.all(np.isfinite(a))
+
+
+def test_peem_noise_gain():
+    """PEEMConfig.noise_gain: b rises on impulsive frames, cost descends,
+    and update_nmf=True is rejected (same contract as the MCEM engine)."""
+    import pytest
+
+    vae = vae_init(KEY, [F, L, [16]])
+    X = jax.random.uniform(jax.random.PRNGKey(5), (F, N)) + 0.05
+    X = X.at[:, 8:10].mul(80.0)
+    Vb = jnp.ones((F, N)) * 0.4
+    cfg = PEEMConfig(niter=8, e_steps=3, noise_gain=True)
+    out = peem_run(vae, X, jnp.ones((N,)), None, jax.random.PRNGKey(1),
+                   cfg, update_nmf=False, Vb_fixed=Vb)
+    b = np.asarray(out["b"])
+    assert b.shape == (N,) and np.all(np.isfinite(b)) and np.all(b > 0)
+    assert b[8:10].mean() > 5.0 * np.delete(b, [8, 9]).mean()
+    cost = np.asarray(out["cost"])
+    assert cost[-1] < cost[0]
+    assert_allclose(np.asarray(out["WFs"] + out["WFn"]), 1.0, atol=1e-5)
+    with pytest.raises(ValueError, match="noise_gain"):
+        peem_run(vae, X, jnp.ones((N,)), None, jax.random.PRNGKey(1), cfg,
+                 update_nmf=True)

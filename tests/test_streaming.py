@@ -304,3 +304,31 @@ def test_flush_without_push_returns_empty():
     assert enh.push(np.zeros(0, np.float32)).size == 0
     out = enh.flush()
     assert out.size == 0 and out.dtype == np.float32
+
+
+def test_streaming_m2_noise_gain():
+    """noise_gain=True learns an in-block per-frame noise gain: the
+    stream stays deterministic, finite, and differs from the plain
+    stream; off is the default and keeps the original output."""
+    from guided_vae_nmf_tpu.models import dgm_init
+    from guided_vae_nmf_tpu.streaming import StreamingM2Enhancer
+
+    m2 = dgm_init(jax.random.PRNGKey(0), [513, 513, 16, [32]])
+    rng = np.random.RandomState(7)
+    x = rng.randn(16000).astype(np.float32) * 0.1
+    x[6000:6400] += rng.randn(400).astype(np.float32) * 2.0  # impulse
+
+    def run(**kw):
+        enh = StreamingM2Enhancer(m2, label_mode="timo", chunk_frames=8,
+                                  **kw)
+        out = [enh.push(x[lo:lo + 4096]) for lo in range(0, len(x), 4096)]
+        out.append(enh.flush())
+        return np.concatenate(out)
+
+    y0 = run()
+    y1 = run(noise_gain=True)
+    y1b = run(noise_gain=True)
+    assert y1.shape == y0.shape
+    assert np.all(np.isfinite(y1))
+    np.testing.assert_array_equal(y1, y1b)      # deterministic
+    assert not np.array_equal(y1, y0)           # the gain does something
