@@ -162,12 +162,15 @@ def frame_sharded_mcem(mesh, vae_params, X_abs2, mask, y, key,
                        init_nmf=(W0_, H0_, g0_))
         # W and cost are already psum-consistent (identical on every
         # shard); mark them replicated for the out_specs below.
-        return {
+        res = {
             "WFs": out["WFs"], "WFn": out["WFn"], "H": out["H"],
             "g": out["g"], "Z": out["Z"],
             "W": jax.lax.psum(out["W"], axis) / n_dev,
             "cost": jax.lax.psum(out["cost"], axis) / n_dev,
         }
+        if "b" in out:           # per-frame noise gain: frame-local
+            res["b"] = out["b"]
+        return res
 
     frame2 = P(None, axis)   # (F, N) split on frames
     frame1 = P(axis)
@@ -183,6 +186,8 @@ def frame_sharded_mcem(mesh, vae_params, X_abs2, mask, y, key,
         "WFs": frame2, "WFn": frame2, "H": frame2, "g": frame1,
         "Z": frame2, "W": P(), "cost": P(),
     }
+    if cfg.noise_gain and not update_nmf:
+        out_specs["b"] = frame1
     fn = jax.shard_map(
         local, mesh=mesh, in_specs=tuple(in_specs), out_specs=out_specs,
         check_vma=False,
@@ -274,12 +279,15 @@ def grid_sharded_mcem(mesh, vae_params, X_abs2, mask, y, keys,
                              0 if has_y else None,
                              0 if has_vb else None))(
             X, m, W0_, H0_, g0_, k, yy, vb)
-        return {
+        res = {
             "WFs": out["WFs"], "WFn": out["WFn"], "H": out["H"],
             "g": out["g"], "Z": out["Z"],
             "W": jax.lax.psum(out["W"], frame_axis) / nf,
             "cost": jax.lax.psum(out["cost"], frame_axis) / nf,
         }
+        if "b" in out:           # per-frame noise gain: frame-local
+            res["b"] = out["b"]
+        return res
 
     bf3 = P(data_axis, None, frame_axis)   # (B, F/ydim/K, N)
     bf2 = P(data_axis, frame_axis)         # (B, N)
@@ -296,6 +304,8 @@ def grid_sharded_mcem(mesh, vae_params, X_abs2, mask, y, keys,
         "WFs": bf3, "WFn": bf3, "H": bf3, "g": bf2, "Z": bf3,
         "W": b_only, "cost": b_only,
     }
+    if cfg.noise_gain and not update_nmf:
+        out_specs["b"] = bf2
     fn = jax.shard_map(
         local, mesh=mesh, in_specs=tuple(in_specs), out_specs=out_specs,
         check_vma=False,

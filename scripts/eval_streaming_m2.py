@@ -53,6 +53,9 @@ def main(argv=None):
     soft = flag(argv, "soft_labels", "0") in ("1", "true")
     residual = flag(argv, "residual", "0") in ("1", "true")
     noise_gain = flag(argv, "noise_gain", "0") in ("1", "true")
+    block_iters = flag(argv, "block_iters", 6, int)
+    e_steps = flag(argv, "e_steps", 4, int)
+    context = flag(argv, "context_frames", 24, int)
     skip_offline = flag(argv, "skip_offline", "0") in ("1", "true")
 
     files = speech_list(f"{SUB}/raw/", "test")
@@ -109,7 +112,8 @@ def main(argv=None):
                 m2, classifier_params=cls, mean=mean, std=std,
                 chunk_frames=cf, label_mode=label_mode,
                 soft_guidance=soft, residual_tracking=residual,
-                noise_gain=noise_gain)
+                noise_gain=noise_gain, block_iters=block_iters,
+                e_steps=e_steps, context_frames=context)
             outs = []
             for lo in range(0, len(x), 4096):
                 outs.append(enh.push(x[lo:lo + 4096]))

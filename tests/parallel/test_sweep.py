@@ -255,3 +255,43 @@ def test_grid_sharded_spp_fixed_noise_variance():
                                  jnp.ones((N2,))))
         assert_allclose(np.asarray(out_g["WFs"][b]),
                         np.asarray(ref["WFs"]), rtol=2e-4, atol=1e-6)
+
+
+def test_grid_sharded_noise_gain():
+    """MCEMConfig.noise_gain through the 2-D grid: the per-frame gain b is
+    frame-local (no collective), comes back frame-sharded, and the var0
+    deterministic trajectories match per-utterance single-device runs."""
+    from guided_vae_nmf_tpu.parallel import grid_sharded_mcem
+    from guided_vae_nmf_tpu.mcem.engine import mcem_run
+
+    mesh = make_mesh(axis_names=("data", "frame"), shape=(2, 4))
+    B2, F2, N2 = 2, 33, 128
+    vae = vae_init(KEY, [F2, 4, [16]])
+    rng = np.random.RandomState(21)
+    X = rng.rand(B2, F2, N2).astype(np.float32) + 0.05
+    X[:, :, 40:44] *= 60.0                  # impulsive frames
+    Vb = rng.rand(B2, F2, N2).astype(np.float32) * 0.1 + 0.01
+    mask = np.ones((B2, N2), np.float32)
+    keys = jax.random.split(jax.random.PRNGKey(17), B2)
+    cfg = MCEMConfig(niter=3, nsamples_E_step=2, burnin_E_step=2,
+                     nsamples_WF=2, burnin_WF=2, var_RW=0.0,
+                     noise_gain=True)
+
+    out_g = grid_sharded_mcem(mesh, vae, jnp.asarray(X), jnp.asarray(mask),
+                              None, jnp.asarray(keys), cfg,
+                              update_nmf=False, Vb_fixed=jnp.asarray(Vb))
+    assert out_g["b"].shape == (B2, N2)
+    for b in range(B2):
+        k_run, _, _ = jax.random.split(keys[b], 3)
+        ref = mcem_run(vae, jnp.asarray(X[b]), jnp.asarray(mask[b]), None,
+                       k_run, cfg, update_nmf=False,
+                       Vb_fixed=jnp.asarray(Vb[b]),
+                       init_nmf=(jnp.ones((F2, 1)), jnp.zeros((1, N2)),
+                                 jnp.ones((N2,))))
+        assert_allclose(np.asarray(out_g["b"][b]), np.asarray(ref["b"]),
+                        rtol=2e-4, atol=1e-6)
+        assert_allclose(np.asarray(out_g["WFs"][b]),
+                        np.asarray(ref["WFs"]), rtol=2e-4, atol=1e-6)
+    bb = np.asarray(out_g["b"])
+    assert bb[:, 40:44].mean() > 3.0 * np.delete(bb, range(40, 44),
+                                                 axis=1).mean()
