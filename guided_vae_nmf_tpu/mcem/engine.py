@@ -473,6 +473,10 @@ def mcem_run_converged(vae_params, X_abs2, mask, y, key,
     :func:`mcem_run` with 'cost' trimmed to the executed iterations and an
     'iters' count.
     """
+    if cfg.noise_gain:
+        raise NotImplementedError(
+            "noise_gain is not supported by the legacy tol-stop engines; "
+            "use mcem_run / the batched entry points")
     chunk_cfg = MCEMConfig(
         niter=check_every, nsamples_E_step=cfg.nsamples_E_step,
         burnin_E_step=cfg.burnin_E_step, nsamples_WF=cfg.nsamples_WF,
@@ -584,6 +588,10 @@ def mcem_run_converged_batch(vae_params, X_abs2, mask, y, keys,
     per-utterance executed iteration counts; 'cost' is (B, budget) with
     entries past a row's executed iterations left at 0.
     """
+    if cfg.noise_gain:
+        raise NotImplementedError(
+            "noise_gain is not supported by the legacy tol-stop engines; "
+            "use the batched entry points")
     B, F, N = X_abs2.shape
     enc_params = vae_params["encoder"]
     dec_params = vae_params["decoder"]

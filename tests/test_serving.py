@@ -245,3 +245,28 @@ def test_serveconfig_rejected_at_init(m1):
     for sv in bad:
         with pytest.raises(ValueError):
             EnhancementService(m1, cfg=CFG, serve=sv)
+
+
+def test_serving_noise_gain(m1):
+    """MCEMConfig.noise_gain rides the serving config into the jitted
+    core (spp default noise model): finite output, and the nmf noise
+    model is rejected at construction."""
+    import dataclasses
+
+    cfg = dataclasses.replace(CFG, noise_gain=True)
+    svc = EnhancementService(
+        m1, cfg=cfg,
+        serve=ServeConfig(engine="xla", label_mode="none",
+                          noise_model="spp"))
+    try:
+        x = np.random.RandomState(0).randn(8000).astype(np.float32) * 0.1
+        out = svc.enhance(x)
+        assert out["s"].shape == x.shape
+        assert np.all(np.isfinite(out["s"]))
+    finally:
+        svc.close()
+    with pytest.raises(ValueError, match="noise_gain"):
+        EnhancementService(
+            m1, cfg=cfg,
+            serve=ServeConfig(engine="xla", label_mode="none",
+                              noise_model="nmf"))
