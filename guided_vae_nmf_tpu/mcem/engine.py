@@ -72,6 +72,12 @@ class MCEMConfig:
     # failure mode of the per-bin trackers — VALIDATION.md ablations).
     # Beyond-reference capability; default off = reference *_noNMF parity.
     noise_gain: bool = False
+    # noise_gain only: number of log-spaced frequency bands the gain
+    # resolves (1 = one scalar per frame, the default; >1 = b is
+    # (n_bands, N), each band scaled independently — between the
+    # shape-locked per-frame gain and the per-bin trackers that failed
+    # by swallowing speech, VALIDATION.md ablations).
+    noise_gain_bands: int = 1
 
 
 # ---------------------------------------------------------------------------
@@ -232,8 +238,23 @@ def mh_wiener_filter(dec_params, y_pre, X_abs2, Vb, g, Z0, Vs0, key,
 # ---------------------------------------------------------------------------
 
 
+def _noise_gain_band_map(F, n_bands, dtype=jnp.float32):
+    """(n_bands, F) 0/1 membership matrix of log-spaced frequency bands
+    (band 0 includes the DC bin). Static per (F, n_bands)."""
+    edges = np.round(np.geomspace(1, F, n_bands + 1)).astype(np.int64)
+    edges[0] = 0
+    edges[-1] = F
+    edges = np.maximum.accumulate(edges)
+    for k in range(1, n_bands):              # force non-empty bands
+        edges[k] = max(edges[k], edges[k - 1] + 1)
+    m = np.zeros((n_bands, F), np.float32)
+    for k in range(n_bands):
+        m[k, edges[k]:edges[k + 1]] = 1.0
+    return jnp.asarray(m, dtype)
+
+
 def nmf_m_step(X_abs2, mask, W, H, g, Vs_samples, update_nmf=True,
-               Vb_fixed=None, axis_name=None, b=None):
+               Vb_fixed=None, axis_name=None, b=None, band_map=None):
     """Multiplicative W, H, g updates in the reference's exact order
     (mcem.py:90-152): W; recompute Vb,Vx; H; recompute; L1-normalize W with
     compensating H rescale; g. `mask` (N,) excludes pad frames from the
@@ -259,6 +280,23 @@ def nmf_m_step(X_abs2, mask, W, H, g, Vs_samples, update_nmf=True,
 
     def vx(Vb):
         return jnp.maximum(g * Vs_samples + Vb, VX_FLOOR)  # (R, F, N)
+
+    if b is not None and b.ndim == 2:
+        # per-band per-frame gain: b (n_bands, N), band_map (n_bands, F);
+        # Vb = (band_map.T @ b) * Vb_fixed — b_k's coefficient in Vx is
+        # 1[f in band k] * Vb_fixed, so the gradient-split update is the
+        # per-frame rule with the f-sums restricted to the band.
+        assert not update_nmf, "noise_gain requires a fixed noise model"
+        Vx = vx((band_map.T @ b) * Vb_fixed)
+        num = band_map @ (X_abs2 * Vb_fixed * jnp.sum(Vx**-2, axis=0))
+        den = band_map @ (Vb_fixed * jnp.sum(Vx**-1, axis=0))
+        b = b * (num / den) ** 0.5
+        Vx = vx((band_map.T @ b) * Vb_fixed)
+        num = jnp.sum(X_abs2 * jnp.sum(Vs_samples * Vx**-2, axis=0),
+                      axis=0)
+        den = jnp.sum(jnp.sum(Vs_samples * Vx**-1, axis=0), axis=0)
+        g = g * (num / den) ** 0.5
+        return W, H, g, b
 
     if b is not None:
         assert not update_nmf, "noise_gain requires a fixed noise model"
@@ -399,21 +437,34 @@ def mcem_run(vae_params, X_abs2, mask, y, key, cfg: MCEMConfig,
 
     if use_b:
         # per-frame noise gain (MCEMConfig.noise_gain): Vb = b * Vb_fixed,
-        # b updated in the M-step symmetrically to g (see nmf_m_step)
-        b = jnp.ones((N,), X_abs2.dtype)
+        # b updated in the M-step symmetrically to g (see nmf_m_step).
+        # noise_gain_bands > 1: b is (n_bands, N), per-band scaling.
+        n_bands = cfg.noise_gain_bands
+        if n_bands > 1:
+            band_map = _noise_gain_band_map(F, n_bands, X_abs2.dtype)
+            b = jnp.ones((n_bands, N), X_abs2.dtype)
+
+            def eff_vb(b_):
+                return (band_map.T @ b_) * Vb_fixed
+        else:
+            band_map = None
+            b = jnp.ones((N,), X_abs2.dtype)
+
+            def eff_vb(b_):
+                return b_[None, :] * Vb_fixed
 
         def em_iter_b(carry, _):
             W, H, g, b, Z, Vs, key = carry
             Z, Vs, key, Vs_samples = mh_sample_posterior(
-                dec_params, y_pre, X_abs2, b[None, :] * Vb_fixed, g,
-                Z, Vs, key,
+                dec_params, y_pre, X_abs2, eff_vb(b), g, Z, Vs, key,
                 cfg.nsamples_E_step, cfg.burnin_E_step, cfg.var_RW,
             )
             W2, H2, g2, b2 = nmf_m_step(
                 X_abs2, mask, W, H, g, Vs_samples, update_nmf=False,
                 Vb_fixed=Vb_fixed, axis_name=axis_name, b=b,
+                band_map=band_map,
             )
-            cost = _masked_cost(X_abs2, mask, b2[None, :] * Vb_fixed, g2,
+            cost = _masked_cost(X_abs2, mask, eff_vb(b2), g2,
                                 Vs_samples, axis_name=axis_name)
             return (W2, H2, g2, b2, Z, Vs, key), cost
 
@@ -421,7 +472,7 @@ def mcem_run(vae_params, X_abs2, mask, y, key, cfg: MCEMConfig,
             em_iter_b, (W, H, g, b, Z, Vs, key), None, length=cfg.niter
         )
         WFs, WFn, Z, Vs, key = mh_wiener_filter(
-            dec_params, y_pre, X_abs2, b[None, :] * Vb_fixed, g, Z, Vs,
+            dec_params, y_pre, X_abs2, eff_vb(b), g, Z, Vs,
             key, cfg.nsamples_WF, cfg.burnin_WF, cfg.var_RW,
         )
         return {

@@ -850,6 +850,10 @@ def mcem_batch_fused(vae_params, X_abs2, mask, y, keys,
         raise ValueError(
             "MCEMConfig.noise_gain requires a fixed noise model "
             "(update_nmf=False, i.e. noise_model 'spp'/'spp2')")
+    if use_b and cfg.noise_gain_bands > 1:
+        raise NotImplementedError(
+            "noise_gain_bands > 1 runs on the XLA engine only "
+            "(engine='xla' / pipeline auto-gating)")
 
     def em_iter_b(carry, _):
         # fixed-noise model + per-frame noise gain (MCEMConfig.noise_gain,

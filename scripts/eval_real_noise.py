@@ -68,12 +68,14 @@ def main(argv=None):
         argv, "systems", "m2dnn_spp,m2oracle_spp,wiener,m1_spp").split(",")
     soft_labels = flag(argv, "soft_labels", "0") in ("1", "true")
     noise_gain = flag(argv, "noise_gain", "0") in ("1", "true")
+    ng_bands = flag(argv, "noise_gain_bands", 1, int)
 
     seeds = flag(argv, "seeds", 1, int)
 
     files = speech_list(f"{SUB}/raw/", "test")
     processed = f"{SUB}/processed/"
-    cfg = MCEMConfig(niter=niter, noise_gain=noise_gain)
+    cfg = MCEMConfig(niter=niter, noise_gain=noise_gain,
+                     noise_gain_bands=ng_bands)
 
     m2 = load_model(os.path.join(artifacts, "M2_ibm"), kind="dgm")
     results = {}

@@ -242,3 +242,32 @@ def test_noise_gain_batch_matches_single():
                         rtol=1e-6)
         assert_allclose(np.asarray(out["WFs"][i]), np.asarray(one["WFs"]),
                         rtol=1e-6)
+
+
+def test_noise_gain_bands_localize_spectrally():
+    """noise_gain_bands > 1: the (n_bands, N) gain must rise only in the
+    band x frame cells holding a burst; the band map tiles all F bins
+    exactly once; cost still descends."""
+    from guided_vae_nmf_tpu.mcem.engine import (
+        mcem_run, _noise_gain_band_map,
+    )
+
+    m = np.asarray(_noise_gain_band_map(F, 6))
+    assert m.shape == (6, F)
+    assert np.all(m.sum(axis=0) == 1.0)     # every bin in exactly one band
+
+    vae = vae_init(KEY, [F, L, [16]])
+    X = _power(jax.random.PRNGKey(11))
+    X = X.at[:6, 10:13].mul(100.0)          # low-band burst
+    Vb = jnp.ones((F, N)) * 0.5
+    cfg = MCEMConfig(niter=6, nsamples_E_step=4, burnin_E_step=3,
+                     nsamples_WF=4, burnin_WF=3, noise_gain=True,
+                     noise_gain_bands=6)
+    out = mcem_run(vae, X, jnp.ones((N,)), None, jax.random.PRNGKey(1),
+                   cfg, update_nmf=False, Vb_fixed=Vb)
+    b = np.asarray(out["b"])
+    assert b.shape == (6, N) and np.all(np.isfinite(b)) and np.all(b > 0)
+    burst = b[:2, 10:13].mean()
+    assert burst > 5.0 * b[3:, :].mean()
+    cost = np.asarray(out["cost"])
+    assert cost[-1] <= cost[0]
