@@ -209,6 +209,8 @@ class _Handler(BaseHTTPRequestHandler):
                 size = int(line.split(b";")[0].strip() or b"0", 16)
             except ValueError:
                 raise ValueError(f"malformed chunk size {line[:32]!r}")
+            if size < 0:   # int(b'-8', 16) parses; it is not valid framing
+                raise ValueError(f"negative chunk size {size}")
             if size == 0:
                 while True:                  # optional trailers, then CRLF
                     t = self.rfile.readline(1024)

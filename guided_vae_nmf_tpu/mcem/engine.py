@@ -241,6 +241,10 @@ def mh_wiener_filter(dec_params, y_pre, X_abs2, Vb, g, Z0, Vs0, key,
 def _noise_gain_band_map(F, n_bands, dtype=jnp.float32):
     """(n_bands, F) 0/1 membership matrix of log-spaced frequency bands
     (band 0 includes the DC bin). Static per (F, n_bands)."""
+    if not 1 <= n_bands <= F:
+        # an empty band would make its multiplicative update 0/0 = NaN
+        raise ValueError(
+            f"noise_gain_bands must be in [1, F={F}], got {n_bands}")
     edges = np.round(np.geomspace(1, F, n_bands + 1)).astype(np.int64)
     edges[0] = 0
     edges[-1] = F

@@ -187,7 +187,9 @@ def frame_sharded_mcem(mesh, vae_params, X_abs2, mask, y, key,
         "Z": frame2, "W": P(), "cost": P(),
     }
     if cfg.noise_gain and not update_nmf:
-        out_specs["b"] = frame1
+        # per-frame gain is (N,) frame-sharded; per-band is (n_bands, N)
+        # with only the FRAME axis sharded
+        out_specs["b"] = frame1 if cfg.noise_gain_bands == 1 else frame2
     fn = jax.shard_map(
         local, mesh=mesh, in_specs=tuple(in_specs), out_specs=out_specs,
         check_vma=False,
@@ -305,7 +307,9 @@ def grid_sharded_mcem(mesh, vae_params, X_abs2, mask, y, keys,
         "W": b_only, "cost": b_only,
     }
     if cfg.noise_gain and not update_nmf:
-        out_specs["b"] = bf2
+        # (B, N) per-frame gain, or (B, n_bands, N) per-band (bands
+        # replicated, frames sharded)
+        out_specs["b"] = bf2 if cfg.noise_gain_bands == 1 else bf3
     fn = jax.shard_map(
         local, mesh=mesh, in_specs=tuple(in_specs), out_specs=out_specs,
         check_vma=False,

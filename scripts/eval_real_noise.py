@@ -83,16 +83,26 @@ def main(argv=None):
         suffix = "_soft" if soft_labels and sysname.startswith("m2dnn_") \
             else ""
         t0 = time.perf_counter()
+        # model weights / norm stats are seed-independent: load once
+        if sysname.startswith("m2dnn_"):
+            cls = load_model(os.path.join(artifacts, "classifier_ibm"),
+                             kind="classifier")
+            mean, std = load_norm_stats(
+                os.path.join(artifacts, "classifier_ibm"))
+        elif sysname.startswith("m1_"):
+            m1 = load_model(os.path.join(artifacts, "M1"), kind="vae")
+        elif sysname == "wiener":
+            w = load_model(os.path.join(artifacts, "wiener"),
+                           kind="classifier")
+            mean, std = load_norm_stats(os.path.join(artifacts, "wiener"))
+        elif not sysname.startswith("m2oracle_"):
+            raise SystemExit(f"unknown system {sysname}")
         per_seed = []
         # the wiener baseline is deterministic: one run regardless of seeds
         for seed in range(1 if sysname == "wiener" else seeds):
             out = os.path.join(work, artifacts.replace("/", "_"),
                                sysname + suffix + f"_seed{seed}")
             if sysname.startswith("m2dnn_"):
-                cls = load_model(os.path.join(artifacts, "classifier_ibm"),
-                                 kind="classifier")
-                mean, std = load_norm_stats(
-                    os.path.join(artifacts, "classifier_ibm"))
                 enhance_files(files, processed, out, m2, model_type="m2",
                               classif_type="dnn", classifier_params=cls,
                               mean=mean, std=std, cfg=cfg, batch_size=4,
@@ -104,20 +114,13 @@ def main(argv=None):
                               noise_model=sysname.split("_", 1)[1],
                               seed=seed)
             elif sysname.startswith("m1_"):
-                m1 = load_model(os.path.join(artifacts, "M1"), kind="vae")
                 enhance_files(files, processed, out, m1, model_type="m1",
                               cfg=cfg, batch_size=4,
                               noise_model=sysname.split("_", 1)[1],
                               seed=seed)
-            elif sysname == "wiener":
-                w = load_model(os.path.join(artifacts, "wiener"),
-                               kind="classifier")
-                mean, std = load_norm_stats(
-                    os.path.join(artifacts, "wiener"))
+            else:
                 enhance_files_wiener(files, processed, out, w, mean=mean,
                                      std=std)
-            else:
-                raise SystemExit(f"unknown system {sysname}")
             per_seed.append(metrics_for(processed, out, files))
         results[sysname] = per_seed
         print(f"[{sysname}] done in {time.perf_counter() - t0:.1f}s "

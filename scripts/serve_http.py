@@ -74,7 +74,8 @@ def main(argv=None):
             return StreamingM2Enhancer(
                 m2, classifier_params=cls, mean=mean, std=std,
                 chunk_frames=chunk_frames, soft_guidance=soft,
-                residual_tracking=residual, label_mode="dnn")
+                residual_tracking=residual, noise_gain=noise_gain,
+                label_mode="dnn")
 
     srv = EnhancementHTTPServer(svc, host=host, port=port, quiet=False,
                                 stream_factory=stream_factory)

@@ -271,3 +271,14 @@ def test_noise_gain_bands_localize_spectrally():
     assert burst > 5.0 * b[3:, :].mean()
     cost = np.asarray(out["cost"])
     assert cost[-1] <= cost[0]
+
+
+def test_noise_gain_bands_out_of_range_rejected():
+    """n_bands > F would create an empty band (0/0 = NaN b update): the
+    band map must reject it up front."""
+    from guided_vae_nmf_tpu.mcem.engine import _noise_gain_band_map
+
+    with pytest.raises(ValueError, match="noise_gain_bands"):
+        _noise_gain_band_map(33, 34)
+    with pytest.raises(ValueError, match="noise_gain_bands"):
+        _noise_gain_band_map(33, 0)

@@ -295,3 +295,37 @@ def test_grid_sharded_noise_gain():
     bb = np.asarray(out_g["b"])
     assert bb[:, 40:44].mean() > 3.0 * np.delete(bb, range(40, 44),
                                                  axis=1).mean()
+
+
+def test_grid_sharded_noise_gain_bands():
+    """noise_gain_bands > 1 through the 2-D grid: b must come back
+    (B, n_bands, N) with the BANDS axis intact (only frames sharded) and
+    match single-device runs."""
+    from guided_vae_nmf_tpu.parallel import grid_sharded_mcem
+    from guided_vae_nmf_tpu.mcem.engine import mcem_run
+
+    mesh = make_mesh(axis_names=("data", "frame"), shape=(2, 4))
+    B2, F2, N2, NB = 2, 33, 128, 4
+    vae = vae_init(KEY, [F2, 4, [16]])
+    rng = np.random.RandomState(31)
+    X = rng.rand(B2, F2, N2).astype(np.float32) + 0.05
+    Vb = rng.rand(B2, F2, N2).astype(np.float32) * 0.1 + 0.01
+    mask = np.ones((B2, N2), np.float32)
+    keys = jax.random.split(jax.random.PRNGKey(19), B2)
+    cfg = MCEMConfig(niter=2, nsamples_E_step=2, burnin_E_step=2,
+                     nsamples_WF=2, burnin_WF=2, var_RW=0.0,
+                     noise_gain=True, noise_gain_bands=NB)
+
+    out_g = grid_sharded_mcem(mesh, vae, jnp.asarray(X), jnp.asarray(mask),
+                              None, jnp.asarray(keys), cfg,
+                              update_nmf=False, Vb_fixed=jnp.asarray(Vb))
+    assert out_g["b"].shape == (B2, NB, N2)
+    for i in range(B2):
+        k_run, _, _ = jax.random.split(keys[i], 3)
+        ref = mcem_run(vae, jnp.asarray(X[i]), jnp.asarray(mask[i]), None,
+                       k_run, cfg, update_nmf=False,
+                       Vb_fixed=jnp.asarray(Vb[i]),
+                       init_nmf=(jnp.ones((F2, 1)), jnp.zeros((1, N2)),
+                                 jnp.ones((N2,))))
+        assert_allclose(np.asarray(out_g["b"][i]), np.asarray(ref["b"]),
+                        rtol=2e-4, atol=1e-6)

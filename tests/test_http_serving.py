@@ -461,3 +461,13 @@ def test_stream_empty_body_clean_200(fresh_stream_server):
     st = _wait_stream_quiesced(srv)
     assert st["done"] == 1 and st.get("aborted", 0) == 0
     assert st["active"] == 0
+
+
+def test_stream_negative_chunk_size_aborts(fresh_stream_server):
+    """int(b'-8', 16) parses: a negative chunk size must abort, never be
+    consumed as payload (the loop would never terminate normally)."""
+    srv = fresh_stream_server
+    got = _raw_stream_post(srv.port, b"-8\r\n" + b"\x01\x00" * 512 + b"\r\n")
+    assert not got.endswith(b"0\r\n\r\n")
+    st = _wait_stream_quiesced(srv)
+    assert st["aborted"] == 1 and st.get("done", 0) == 0
