@@ -34,6 +34,8 @@ API:
   GET  /healthz         {"status": "ok", "requests": N} once the service
                         is accepting work.
   GET  /stats           the service's latency/batching stats as JSON.
+  GET  /metrics         the same counters in Prometheus text exposition
+                        format (scrape surface for production monitoring).
 
 Use :class:`EnhancementHTTPServer` programmatically or
 ``scripts/serve_http.py`` as the deployable entry point.
@@ -120,8 +122,51 @@ class _Handler(BaseHTTPRequestHandler):
             if self.stream_stats is not None:
                 stats["streams"] = dict(self.stream_stats)
             self._send_json(200, stats)
+        elif path == "/metrics":
+            self._send(200, self._prometheus().encode(),
+                       ctype="text/plain; version=0.0.4")
         else:
             self._error(404, f"unknown path {path}")
+
+    def _prometheus(self):
+        """The /stats counters in Prometheus text exposition format
+        (counters suffixed _total, latency quantiles as a summary) — the
+        scrape surface production deployments expect; same source dicts
+        as /stats."""
+        s = self.service.stats()
+        lines = [
+            "# TYPE gvnmf_requests_total counter",
+            f"gvnmf_requests_total {s.get('requests', 0)}",
+            "# TYPE gvnmf_batches_total counter",
+            f"gvnmf_batches_total {s.get('batches', 0)}",
+        ]
+        if "mean_batch" in s:
+            lines += [
+                "# TYPE gvnmf_batch_size_mean gauge",
+                f"gvnmf_batch_size_mean {s['mean_batch']:.6g}",
+                "# TYPE gvnmf_request_latency_seconds summary",
+                'gvnmf_request_latency_seconds{quantile="0.5"} '
+                f"{s['p50_s']:.6g}",
+                'gvnmf_request_latency_seconds{quantile="0.95"} '
+                f"{s['p95_s']:.6g}",
+                'gvnmf_request_latency_seconds{quantile="1"} '
+                f"{s['max_s']:.6g}",
+            ]
+        if self.stream_stats is not None:
+            st = self.stream_stats
+            lines += [
+                "# TYPE gvnmf_streams_started_total counter",
+                f"gvnmf_streams_started_total {st.get('started', 0)}",
+                "# TYPE gvnmf_streams_done_total counter",
+                f"gvnmf_streams_done_total {st.get('done', 0)}",
+                "# TYPE gvnmf_streams_aborted_total counter",
+                f"gvnmf_streams_aborted_total {st.get('aborted', 0)}",
+                "# TYPE gvnmf_streams_active gauge",
+                f"gvnmf_streams_active {st.get('active', 0)}",
+                "# TYPE gvnmf_stream_samples_in_total counter",
+                f"gvnmf_stream_samples_in_total {st.get('samples_in', 0)}",
+            ]
+        return "\n".join(lines) + "\n"
 
     def do_POST(self):
         url = urlparse(self.path)

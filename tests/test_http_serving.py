@@ -471,3 +471,20 @@ def test_stream_negative_chunk_size_aborts(fresh_stream_server):
     assert not got.endswith(b"0\r\n\r\n")
     st = _wait_stream_quiesced(srv)
     assert st["aborted"] == 1 and st.get("done", 0) == 0
+
+
+def test_metrics_prometheus_endpoint(fresh_stream_server):
+    """GET /metrics exposes the /stats counters in Prometheus text
+    exposition format and tracks a completed stream."""
+    srv = fresh_stream_server
+    got = _raw_stream_post(srv.port, b"0\r\n\r\n")   # one clean empty stream
+    assert got.endswith(b"0\r\n\r\n")
+    _wait_stream_quiesced(srv)
+    with urllib.request.urlopen(
+            f"http://127.0.0.1:{srv.port}/metrics", timeout=60) as r:
+        assert r.headers["Content-Type"].startswith("text/plain")
+        body = r.read().decode()
+    assert "# TYPE gvnmf_requests_total counter" in body
+    assert "gvnmf_streams_started_total 1" in body
+    assert "gvnmf_streams_done_total 1" in body
+    assert "gvnmf_streams_active 0" in body
