@@ -22,7 +22,9 @@ from _common import load_model, flag
 def main(argv=None):
     argv = argv or sys.argv[1:]
     paths, rest = apply_overrides(PathsConfig(), argv)
-    cfg, rest = apply_overrides(MCEMConfig(), rest)
+    # --algorithm FIRST: exactly one config class parses the flags
+    # (parsing MCEMConfig before branching consumed shared flags like
+    # --niter/--noise_gain and silently dropped them for peem/hybrid)
     algo = flag(rest, "algorithm", "mcem")
     if algo == "hybrid":
         # PEEM warm start + fused-MCEM refinement (VALIDATION paper-config
@@ -34,6 +36,8 @@ def main(argv=None):
         # point-estimate EM (gradient E-step; arXiv:1905.01209) — ~5-8x
         # cheaper per iteration than MCEM at near-identical quality
         cfg, rest = apply_overrides(PEEMConfig(), rest)
+    else:
+        cfg, rest = apply_overrides(MCEMConfig(), rest)
     model_path = flag(rest, "model", paths.models_dir)
     output = flag(rest, "output", paths.models_dir + "M1_enhanced/")
     batch_size = flag(rest, "batch_size", 16, int)

@@ -171,3 +171,43 @@ def test_help_flag_exits_zero():
     for name in scripts:
         out = run_script(name, "--help")
         assert "--" in out, f"{name} --help printed no flags:\n{out}"
+
+
+def test_algorithm_flag_routes_config():
+    """--algorithm peem/hybrid must receive the shared flags (--niter,
+    --noise_gain): parsing MCEMConfig before branching used to consume
+    them and silently run the other engine at its defaults."""
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "scripts"))
+    import evaluate_M1 as m1
+
+    captured = {}
+
+    def fake_enhance_files(*a, **kw):
+        captured["cfg"] = kw.get("cfg")
+        raise SystemExit(0)
+
+    orig = m1.enhance_files
+    m1.enhance_files = fake_enhance_files
+    try:
+        for algo, expect_type, extra in (
+                ("peem", "PEEMConfig", ["--niter", "123"]),
+                ("hybrid", "HybridConfig", ["--refine", "7"]),
+                ("mcem", "MCEMConfig", ["--noise_gain", "1",
+                                        "--noise_model", "spp"])):
+            try:
+                m1.main(["--algorithm", algo,
+                         "--model", "artifacts/pretrained/M1"] + extra)
+            except SystemExit:
+                pass
+            cfg = captured.pop("cfg")
+            assert type(cfg).__name__ == expect_type, (algo, cfg)
+            if algo == "peem":
+                assert cfg.niter == 123
+            elif algo == "hybrid":
+                assert cfg.refine == 7
+            else:
+                assert cfg.noise_gain is True
+    finally:
+        m1.enhance_files = orig
