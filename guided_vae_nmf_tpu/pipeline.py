@@ -685,11 +685,16 @@ def enhance_files(file_paths, processed_dir, output_dir, vae_params,
                   bucket_multiple=128, quantile_fraction=0.98,
                   quantile_weight=0.999, seed=0, verbose=False,
                   engine="auto", noise_model="nmf", fast=False, mesh=None,
-                  soft_guidance=False):
+                  soft_guidance=False, skip_existing=False):
     """Full sweep over a test file list (reference evaluate_*.py main +
     process_utt): reads `<utt>_x.wav` (+ `_s.wav` for oracle labels), writes
     `<utt>_s_est.wav`, `<utt>_n_est.wav` and the soft/hard label arrays
     (`_ibm_soft_est.npy` / `_ibm_hard_est.npy` — npy instead of torch .pt).
+
+    skip_existing: resume a killed sweep — utterances whose `_s_est.wav`
+    already exists under `output_dir` are dropped from the plan before
+    bucketing (the reference semantics, and the default, re-enhance
+    everything).
 
     The sweep is a three-stage host/device pipeline (round-2 rework of the
     round-1 "load everything, dispatch everything" design):
@@ -719,6 +724,14 @@ def enhance_files(file_paths, processed_dir, output_dir, vae_params,
     if model_type == "m2" and classif_type not in (
             "dnn", "oracle", "timo", "ones", "zeros"):
         raise ValueError(f"unknown classif_type: {classif_type!r}")
+    if skip_existing:
+        file_paths = [
+            p for p in file_paths
+            if not os.path.exists(os.path.join(
+                output_dir, os.path.splitext(p)[0] + "_s_est.wav"))
+        ]
+        if not file_paths:
+            return 0.0
     t_start = time.perf_counter()
     PREFETCH = 3        # batches being assembled ahead of the device
     MAX_INFLIGHT = 2    # dispatched-but-unfetched device batches

@@ -53,7 +53,9 @@ def main(argv=None):
     t0 = time.perf_counter()
     enhance_files(files, paths.processed_wav_dir, output, vae,
                   model_type="m1", cfg=cfg, batch_size=batch_size,
-                  verbose=True, noise_model=noise_model, mesh=mesh)
+                  verbose=True, noise_model=noise_model, mesh=mesh,
+                  skip_existing=flag(argv, "skip_existing", "0")
+                  in ("1", "true"))
     print(f"Finished in {time.perf_counter() - t0:.1f} seconds "
           f"({len(files)} utterances)")
 

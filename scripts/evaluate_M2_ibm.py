@@ -48,6 +48,7 @@ def main(argv=None):
     output = flag(rest, "output",
                   paths.models_dir + f"M2_ibm_{classif_type}_enhanced/")
     batch_size = flag(rest, "batch_size", 16, int)
+    skip_existing = flag(rest, "skip_existing", "0") in ("1", "true")
     mesh = None
     if flag(rest, "data_parallel", "0") in ("1", "true"):
         from guided_vae_nmf_tpu.parallel import make_mesh
@@ -72,7 +73,8 @@ def main(argv=None):
                   classifier_params=classifier, mean=mean, std=std, cfg=cfg,
                   batch_size=batch_size, verbose=True,
                   noise_model=noise_model, mesh=mesh,
-                  soft_guidance=soft_labels)
+                  soft_guidance=soft_labels,
+                  skip_existing=skip_existing)
     print(f"Finished in {time.perf_counter() - t0:.1f} seconds "
           f"({len(files)} utterances)")
 

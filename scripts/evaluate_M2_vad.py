@@ -47,6 +47,7 @@ def main(argv=None):
     output = flag(rest, "output",
                   paths.models_dir + f"M2_vad_{classif_type}_enhanced/")
     batch_size = flag(rest, "batch_size", 16, int)
+    skip_existing = flag(rest, "skip_existing", "0") in ("1", "true")
     noise_model = flag(rest, "noise_model", "nmf")  # nmf | spp (noNMF) | hybrid | spp2
     soft_labels = flag(rest, "soft_labels", "0") in ("1", "true")
     mesh = None
@@ -73,7 +74,8 @@ def main(argv=None):
                   classifier_params=classifier, mean=mean, std=std, cfg=cfg,
                   batch_size=batch_size, verbose=True,
                   noise_model=noise_model, mesh=mesh,
-                  soft_guidance=soft_labels)
+                  soft_guidance=soft_labels,
+                  skip_existing=skip_existing)
     print(f"Finished in {time.perf_counter() - t0:.1f} seconds "
           f"({len(files)} utterances)")
 

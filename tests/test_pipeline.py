@@ -478,3 +478,24 @@ def test_enhance_batch_noise_gain():
         assert_allclose(S + N, X, atol=2e-4 * np.abs(X).max())
     with pytest.raises(ValueError, match="noise_gain"):
         enhance_batch(vae, X_tfs, cfg=cfg, noise_model="nmf")
+
+
+def test_enhance_files_skip_existing(tmp_path):
+    """skip_existing=True resumes a killed sweep: utterances with an
+    existing _s_est.wav are not re-enhanced (their outputs keep their
+    bytes); missing ones are produced."""
+    files = _test_files()[:2]
+    vae = vae_init(KEY, [513, 8, [32]])
+    enhance_files([files[0]], PROCESSED, str(tmp_path), vae,
+                  model_type="m1", cfg=FAST_CFG)
+    done = str(tmp_path / (os.path.splitext(files[0])[0] + "_s_est.wav"))
+    before = open(done, "rb").read()
+    enhance_files(files, PROCESSED, str(tmp_path), vae, model_type="m1",
+                  cfg=FAST_CFG, seed=1, skip_existing=True)
+    assert open(done, "rb").read() == before   # untouched (seed differs)
+    other = str(tmp_path / (os.path.splitext(files[1])[0] + "_s_est.wav"))
+    assert os.path.exists(other)
+    # all present: returns immediately
+    assert enhance_files(files, PROCESSED, str(tmp_path), vae,
+                         model_type="m1", cfg=FAST_CFG,
+                         skip_existing=True) == 0.0
