@@ -71,11 +71,17 @@ def main(argv=None):
     ng_bands = flag(argv, "noise_gain_bands", 1, int)
 
     seeds = flag(argv, "seeds", 1, int)
+    algo = flag(argv, "algorithm", "mcem")
 
     files = speech_list(f"{SUB}/raw/", "test")
     processed = f"{SUB}/processed/"
-    cfg = MCEMConfig(niter=niter, noise_gain=noise_gain,
-                     noise_gain_bands=ng_bands)
+    if algo == "peem":
+        from guided_vae_nmf_tpu.mcem import PEEMConfig
+
+        cfg = PEEMConfig(niter=niter, noise_gain=noise_gain)
+    else:
+        cfg = MCEMConfig(niter=niter, noise_gain=noise_gain,
+                         noise_gain_bands=ng_bands)
 
     m2 = load_model(os.path.join(artifacts, "M2_ibm"), kind="dgm")
     results = {}
