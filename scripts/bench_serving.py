@@ -38,6 +38,7 @@ def main(argv=None):
     mean_s = flag(argv, "seconds", 4.0, float)
     noise_model = flag(argv, "noise_model", "spp")
     soft = flag(argv, "soft_labels", "0") in ("1", "true")
+    noise_gain = flag(argv, "noise_gain", "0") in ("1", "true")
 
     from _common import load_model, load_norm_stats
     from guided_vae_nmf_tpu.mcem import MCEMConfig
@@ -59,7 +60,7 @@ def main(argv=None):
     sv = ServeConfig(max_wait_ms=wait_ms, noise_model=noise_model,
                      label_mode="dnn", soft_guidance=soft)
     svc = EnhancementService(m2, classifier_params=cls, mean=mean,
-                             std=std, cfg=MCEMConfig(niter=niter),
+                             std=std, cfg=MCEMConfig(niter=niter, noise_gain=noise_gain),
                              serve=sv)
     try:
         # warm the compile cache across the full batch/bucket lattice the
