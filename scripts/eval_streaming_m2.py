@@ -53,6 +53,7 @@ def main(argv=None):
     soft = flag(argv, "soft_labels", "0") in ("1", "true")
     residual = flag(argv, "residual", "0") in ("1", "true")
     noise_gain = flag(argv, "noise_gain", "0") in ("1", "true")
+    ng_init = flag(argv, "noise_gain_init", "ones")
     block_iters = flag(argv, "block_iters", 6, int)
     e_steps = flag(argv, "e_steps", 4, int)
     context = flag(argv, "context_frames", 24, int)
@@ -112,7 +113,8 @@ def main(argv=None):
                 m2, classifier_params=cls, mean=mean, std=std,
                 chunk_frames=cf, label_mode=label_mode,
                 soft_guidance=soft, residual_tracking=residual,
-                noise_gain=noise_gain, block_iters=block_iters,
+                noise_gain=noise_gain, noise_gain_init=ng_init,
+                block_iters=block_iters,
                 e_steps=e_steps, context_frames=context)
             outs = []
             for lo in range(0, len(x), 4096):

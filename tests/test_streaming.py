@@ -332,3 +332,30 @@ def test_streaming_m2_noise_gain():
     assert np.all(np.isfinite(y1))
     np.testing.assert_array_equal(y1, y1b)      # deterministic
     assert not np.array_equal(y1, y0)           # the gain does something
+
+
+def test_streaming_noise_gain_ratio_init():
+    """noise_gain_init='ratio' is deterministic, differs from 'ones', and
+    rejects unknown values."""
+    from guided_vae_nmf_tpu.models import dgm_init
+    from guided_vae_nmf_tpu.streaming import StreamingM2Enhancer
+
+    m2 = dgm_init(jax.random.PRNGKey(0), [513, 513, 16, [32]])
+    rng = np.random.RandomState(9)
+    x = rng.randn(12000).astype(np.float32) * 0.1
+    x[4000:4400] += rng.randn(400).astype(np.float32) * 2.0
+
+    def run(init):
+        enh = StreamingM2Enhancer(m2, label_mode="timo", chunk_frames=8,
+                                  noise_gain=True, noise_gain_init=init)
+        out = [enh.push(x[lo:lo + 4096]) for lo in range(0, len(x), 4096)]
+        out.append(enh.flush())
+        return np.concatenate(out)
+
+    a = run("ratio")
+    b = run("ratio")
+    np.testing.assert_array_equal(a, b)
+    assert not np.array_equal(a, run("ones"))
+    with pytest.raises(ValueError, match="noise_gain_init"):
+        StreamingM2Enhancer(m2, label_mode="timo", noise_gain=True,
+                            noise_gain_init="zeros")
