@@ -74,9 +74,11 @@ class MCEMConfig:
     noise_gain: bool = False
     # noise_gain only: number of log-spaced frequency bands the gain
     # resolves (1 = one scalar per frame, the default; >1 = b is
-    # (n_bands, N), each band scaled independently — between the
-    # shape-locked per-frame gain and the per-bin trackers that failed
-    # by swallowing speech, VALIDATION.md ablations).
+    # (n_bands, N), each band scaled independently). The measured curve
+    # (VALIDATION.md): 2-3 bands is the impulsive-noise sweet spot (QUT
+    # kitchen +1.95 -> +5.72 dB at bands=2 with ~0.01-0.03 ESTOI cost);
+    # >=4 bands degrade toward the per-bin-tracker failure mode
+    # (speech-swallowing, ESTOI collapse).
     noise_gain_bands: int = 1
 
 

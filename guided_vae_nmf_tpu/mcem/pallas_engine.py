@@ -850,22 +850,33 @@ def mcem_batch_fused(vae_params, X_abs2, mask, y, keys,
         raise ValueError(
             "MCEMConfig.noise_gain requires a fixed noise model "
             "(update_nmf=False, i.e. noise_model 'spp'/'spp2')")
+
     if use_b and cfg.noise_gain_bands > 1:
-        raise NotImplementedError(
-            "noise_gain_bands > 1 runs on the XLA engine only "
-            "(engine='xla' / pipeline auto-gating)")
+        from .engine import _noise_gain_band_map
+
+        band_map = _noise_gain_band_map(F, cfg.noise_gain_bands, X2.dtype)
+
+        def eff_vb(b):                       # b (B, K_b, N) -> (B, N, F)
+            return jnp.einsum("bkn,kf->bnf", b, band_map) * Vbf
+    else:
+        band_map = None
+
+        def eff_vb(b):                       # b (B, N)
+            return b[:, :, None] * Vbf
 
     def em_iter_b(carry, _):
-        # fixed-noise model + per-frame noise gain (MCEMConfig.noise_gain,
-        # same math as engine.nmf_m_step's b branch): the chain runs at
-        # Vb = b * Vbf; the b update reuses the 'h'-mode sums kernel
-        # (s1 = sum_r Vx^-1, s2 = sum_r Vx^-2) with the UNSCALED Vbf as
-        # the gradient-split coefficient, then g updates at the new b.
+        # fixed-noise model + per-frame (or per-band, noise_gain_bands>1)
+        # noise gain (MCEMConfig.noise_gain, same math as
+        # engine.nmf_m_step's b branches): the chain runs at the scaled
+        # Vb; the b update reuses the 'h'-mode sums kernel (s1 = sum_r
+        # Vx^-1, s2 = sum_r Vx^-2) with the UNSCALED Vbf as the
+        # gradient-split coefficient ((band-restricted) f-sums), then g
+        # updates at the new b.
         Wt, H, g, b, Z, Vs, key = carry
         key, sub = jax.random.split(key)
         seeds = jax.random.randint(sub, (B, n_tiles), 0, 2**31 - 1,
                                    dtype=jnp.int32)
-        Vb_eff = b[:, :, None] * Vbf
+        Vb_eff = eff_vb(b)
         Z, Vs, (samples, *_rest) = mh_chain_pallas(
             dec_w, X2, Vb_eff, g, ypre, Z, Vs, seeds, mode="e",
             nsamples=cfg.nsamples_E_step, burnin=cfg.burnin_E_step,
@@ -873,17 +884,20 @@ def mcem_batch_fused(vae_params, X_abs2, mask, y, keys,
         )
         s1, s2 = nmf_sums_pallas(samples, Vb_eff, g, mode="h", tile=tile,
                                  approx_recip=approx_recip)
-        num_b = jnp.sum(X2 * Vbf * s2, axis=-1)          # (B, N)
-        den_b = jnp.sum(Vbf * s1, axis=-1)
+        if band_map is None:
+            num_b = jnp.sum(X2 * Vbf * s2, axis=-1)      # (B, N)
+            den_b = jnp.sum(Vbf * s1, axis=-1)
+        else:
+            num_b = jnp.einsum("bnf,kf->bkn", X2 * Vbf * s2, band_map)
+            den_b = jnp.einsum("bnf,kf->bkn", Vbf * s1, band_map)
         b2 = b * (num_b / den_b) ** 0.5
         num_g, den_g = nmf_sums_pallas(
-            samples, b2[:, :, None] * Vbf, g, X2=X2, mode="g",
+            samples, eff_vb(b2), g, X2=X2, mode="g",
             tile=tile, approx_recip=approx_recip,
         )
         g2 = g * (num_g / den_g) ** 0.5
         if compute_cost:
-            cost = _masked_cost_batched(X2, mask, b2[:, :, None] * Vbf,
-                                        g2, samples)
+            cost = _masked_cost_batched(X2, mask, eff_vb(b2), g2, samples)
         else:
             cost = jnp.zeros((B,), X2.dtype)
         return (Wt, H, g2, b2, Z, Vs, key), cost
@@ -941,11 +955,12 @@ def mcem_batch_fused(vae_params, X_abs2, mask, y, keys,
         return (Wt2, H2, g2, Z, Vs, key), cost
 
     if use_b:
-        b = jnp.ones((B, N), X2.dtype)
+        b = (jnp.ones((B, N), X2.dtype) if band_map is None
+             else jnp.ones((B, cfg.noise_gain_bands, N), X2.dtype))
         (Wt, H, g, b, Z, Vs, key0), cost = lax.scan(
             em_iter_b, (Wt, H, g, b, Z, Vs, key0), None, length=cfg.niter
         )
-        Vbf = b[:, :, None] * Vbf           # WF chain at the learned gain
+        Vbf = eff_vb(b)                     # WF chain at the learned gain
     else:
         b = None
         (Wt, H, g, Z, Vs, key0), cost = lax.scan(

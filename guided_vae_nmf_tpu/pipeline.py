@@ -227,8 +227,6 @@ def _mcem_wf_istft(vae_params, X_re, X_im, X_p, mask, y, keys, cfg,
     Vb_fixed = Vb_spp
     if noise_model == "hybrid":
         use_fused = False  # the fused kernel models Vb = W@H xor fixed
-    if getattr(cfg, "noise_gain_bands", 1) > 1:
-        use_fused = False  # per-band noise gain: XLA engine only
 
     if isinstance(cfg, HybridConfig) and noise_model == "hybrid":
         raise ValueError("algorithm 'hybrid' supports noise_model "
@@ -592,9 +590,7 @@ def enhance_batch(vae_params, X_tfs, ys=None, keys=None,
         Vb_spp = jnp.maximum(psd, 1e-6)  # SPP noise PSD, floored
 
     def run_engine(Vb_fixed, keys, cfg=cfg):
-        if (_use_fused(engine, vae_params, n_pad)
-                and noise_model != "hybrid"
-                and getattr(cfg, "noise_gain_bands", 1) <= 1):
+        if _use_fused(engine, vae_params, n_pad) and noise_model != "hybrid":
             y_arg = None if ys is None else jnp.asarray(y_b)
             return mcem_batch_fused(vae_params, jnp.asarray(X_p),
                                     jnp.asarray(mask), y_arg, keys, cfg,

@@ -354,3 +354,31 @@ def test_noise_gain_fused_matches_xla_var0():
     # impulse frames must carry a raised gain in both engines
     assert bf[:, 30:33].mean() > 3.0 * np.delete(bf, range(30, 33),
                                                  axis=1).mean()
+
+
+def test_noise_gain_bands_fused_matches_xla_var0():
+    """Per-band noise gain through the fused path: var_RW=0 trajectories
+    must match the XLA engine's (b (B, n_bands, N), band-restricted
+    update sums)."""
+    from guided_vae_nmf_tpu.mcem import mcem_m2_batch
+
+    dgm, *_ = _setup()
+    X = jax.random.uniform(jax.random.PRNGKey(7), (B, F, N)) + 0.05
+    X = X.at[:, :8, 30:33].mul(50.0)        # low-band burst
+    y = (jax.random.uniform(jax.random.PRNGKey(8), (B, 10, N)) > 0.5)
+    y = y.astype(jnp.float32)
+    mask = jnp.ones((B, N))
+    Vb = jax.random.uniform(jax.random.PRNGKey(5), (B, F, N)) * 0.2 + 0.05
+    keys = jax.random.split(jax.random.PRNGKey(9), B)
+    cfg = MCEMConfig(niter=3, nsamples_E_step=2, burnin_E_step=1,
+                     nsamples_WF=2, burnin_WF=1, var_RW=0.0,
+                     noise_gain=True, noise_gain_bands=4)
+    fused = mcem_batch_fused(dgm, X, mask, y, keys, cfg,
+                             update_nmf=False, Vb_fixed=Vb)
+    xla = mcem_m2_batch(dgm, X, mask, y, keys, cfg,
+                        update_nmf=False, Vb_fixed=Vb)
+    assert fused["b"].shape == (B, 4, N)
+    assert_allclose(np.asarray(fused["b"]), np.asarray(xla["b"]),
+                    rtol=2e-4)
+    assert_allclose(np.asarray(fused["WFs"]), np.asarray(xla["WFs"]),
+                    rtol=1e-3, atol=1e-5)
