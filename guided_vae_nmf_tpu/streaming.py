@@ -252,9 +252,11 @@ class StreamingSPPEnhancer(_StreamingOLA):
 # Streaming flagship: online M2 enhancement (blockwise warm-started PEEM)
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("iters", "e_steps", "noise_gain"))
+@partial(jax.jit, static_argnames=("iters", "e_steps", "noise_gain",
+                                   "n_bands"))
 def _m2_block_em_jit(dec_params, Xw, y_pre, Vb, Z0, g0, b0, mask,
-                     iters=6, e_steps=4, lr=5e-3, noise_gain=False):
+                     iters=6, e_steps=4, lr=5e-3, noise_gain=False,
+                     n_bands=1):
     """Blockwise point-estimate EM over one (F, W) analysis window with a
     fixed (SPP-tracked) noise variance: `e_steps` gradient-ascent steps on
     the latent MAP objective per EM iteration (mcem/peem.py), then the
@@ -262,17 +264,28 @@ def _m2_block_em_jit(dec_params, Xw, y_pre, Vb, Z0, g0, b0, mask,
     Warm-started from the previous block's (Z, g) on the context frames.
     Returns (Z, g, b, WFs) over the whole window.
 
-    noise_gain: also learn the per-frame noise gain b (Vb_eff = b * Vb,
-    MCEMConfig.noise_gain's causal analogue) — impulsive frames inside
-    the window raise their own noise variance within the block, no
-    cross-block delay. b0 is the warm-started gain (ones when off)."""
-    from .mcem.engine import VX_FLOOR, _decode_cond, nmf_m_step
+    noise_gain: also learn the noise gain b (MCEMConfig.noise_gain's
+    causal analogue) — impulsive frames inside the window raise their
+    own noise variance within the block, no cross-block delay. b0 is
+    the warm-started gain: (W,) per-frame, or (n_bands, W) per-band
+    when n_bands > 1 (the offline 2-3 band sweet spot applies causally
+    too)."""
+    from .mcem.engine import (
+        VX_FLOOR, _decode_cond, _noise_gain_band_map, nmf_m_step,
+    )
 
     L = Z0.shape[0]
+    band_map = (None if n_bands == 1
+                else _noise_gain_band_map(Xw.shape[0], n_bands, Xw.dtype))
+
+    def eff_vb(b):
+        if n_bands == 1:
+            return b * Vb           # (W,) broadcast over (F, W)
+        return (band_map.T @ b) * Vb
 
     def obj(Z, g, b):
         Vs = _decode_cond(dec_params, y_pre, Z)
-        Vx = jnp.maximum(g * Vs + b * Vb, VX_FLOOR)
+        Vx = jnp.maximum(g * Vs + eff_vb(b), VX_FLOOR)
         return (jnp.sum((jnp.log(Vx) + Xw / Vx) * mask)
                 + 0.5 * jnp.sum(Z * Z * mask))
 
@@ -290,7 +303,8 @@ def _m2_block_em_jit(dec_params, Xw, y_pre, Vb, Z0, g0, b0, mask,
         Vs = _decode_cond(dec_params, y_pre, Z)[None]
         if noise_gain:
             _, _, g, b = nmf_m_step(Xw, mask, W1, H0, g, Vs,
-                                    update_nmf=False, Vb_fixed=Vb, b=b)
+                                    update_nmf=False, Vb_fixed=Vb, b=b,
+                                    band_map=band_map)
         else:
             _, _, g = nmf_m_step(Xw, mask, W1, H0, g, Vs,
                                  update_nmf=False, Vb_fixed=Vb)
@@ -298,7 +312,7 @@ def _m2_block_em_jit(dec_params, Xw, y_pre, Vb, Z0, g0, b0, mask,
 
     (Z, g, b), _ = jax.lax.scan(em, (Z0, g0, b0), None, length=iters)
     Vs = _decode_cond(dec_params, y_pre, Z)
-    Vx = jnp.maximum(g * Vs + b * Vb, VX_FLOOR)
+    Vx = jnp.maximum(g * Vs + eff_vb(b), VX_FLOOR)
     return Z, g, b, (g * Vs) / Vx
 
 
@@ -333,7 +347,7 @@ class StreamingM2Enhancer(_StreamingOLA):
                  block_iters=6, e_steps=4, lr=5e-3, label_mode="dnn",
                  soft_guidance=False, residual_tracking=False,
                  residual_alpha=0.5, noise_gain=False,
-                 noise_gain_init="ones", eps=1e-8):
+                 noise_gain_init="ones", noise_gain_bands=1, eps=1e-8):
         from .mcem.spp import SPPNoiseEstimator
         from .mcem.engine import _precompute_label_proj
 
@@ -380,6 +394,15 @@ class StreamingM2Enhancer(_StreamingOLA):
         if noise_gain_init not in ("ones", "ratio"):
             raise ValueError("noise_gain_init must be 'ones' or 'ratio'")
         self.noise_gain_init = noise_gain_init
+        # spectral resolution of the gain (offline sweet spot: 2-3 bands
+        # for impulsive noise, MCEMConfig.noise_gain_bands)
+        self.noise_gain_bands = noise_gain_bands
+        self._band_map = None
+        if noise_gain_bands > 1:
+            from .mcem.engine import _noise_gain_band_map
+
+            self._band_map = np.asarray(
+                _noise_gain_band_map(NFFT // 2 + 1, noise_gain_bands))
         self.C = context_frames
         self.block_iters = block_iters
         self.e_steps = e_steps
@@ -403,7 +426,9 @@ class StreamingM2Enhancer(_StreamingOLA):
             self._ctx_y = np.zeros((self.y_dim, C), np.float32)
             self._ctx_Vb = np.ones((F, C), np.float32)
             self._ctx_g = np.ones((C,), np.float32)
-            self._ctx_b = np.ones((C,), np.float32)
+            nb = getattr(self, "noise_gain_bands", 1)
+            self._ctx_b = (np.ones((C,), np.float32) if nb == 1
+                           else np.ones((nb, C), np.float32))
             self._ctx_Z = None
             self._ctx_valid = np.zeros((C,), np.float32)
             self._res = None          # residual-tracking EMA state (F,)
@@ -462,12 +487,22 @@ class StreamingM2Enhancer(_StreamingOLA):
         Vbw = np.concatenate([self._ctx_Vb, Vb_new.T], axis=1)
         Zw = np.concatenate([self._ctx_Z, Z_new], axis=1)
         gw = np.concatenate([self._ctx_g, np.ones((K,), np.float32)])
-        b_new = np.ones((K,), np.float32)
-        if self.noise_gain and self.noise_gain_init == "ratio":
-            ratio = power.sum(axis=1) / np.maximum(
-                Vb_new.sum(axis=1), 1e-12)
-            b_new = np.maximum(ratio, 1.0).astype(np.float32)
-        bw = np.concatenate([self._ctx_b, b_new])
+        nb = self.noise_gain_bands
+        if nb == 1:
+            b_new = np.ones((K,), np.float32)
+            if self.noise_gain and self.noise_gain_init == "ratio":
+                ratio = power.sum(axis=1) / np.maximum(
+                    Vb_new.sum(axis=1), 1e-12)
+                b_new = np.maximum(ratio, 1.0).astype(np.float32)
+            bw = np.concatenate([self._ctx_b, b_new])
+        else:
+            b_new = np.ones((nb, K), np.float32)
+            if self.noise_gain and self.noise_gain_init == "ratio":
+                # per-band power ratio: (nb, K)
+                num = self._band_map @ power.T
+                den = np.maximum(self._band_map @ Vb_new.T, 1e-12)
+                b_new = np.maximum(num / den, 1.0).astype(np.float32)
+            bw = np.concatenate([self._ctx_b, b_new], axis=1)
         maskw = np.concatenate(
             [self._ctx_valid,
              (np.arange(K) < k).astype(np.float32)])
@@ -480,7 +515,7 @@ class StreamingM2Enhancer(_StreamingOLA):
             jnp.asarray(Zw), jnp.asarray(gw), jnp.asarray(bw),
             jnp.asarray(maskw),
             iters=self.block_iters, e_steps=self.e_steps, lr=self.lr,
-            noise_gain=self.noise_gain)
+            noise_gain=self.noise_gain, n_bands=nb)
         Z = np.asarray(Z)
         g = np.asarray(g)
         bfr = np.asarray(bfr)
@@ -510,8 +545,12 @@ class StreamingM2Enhancer(_StreamingOLA):
             buf[:, lead:] = src[:, keep]
         self._ctx_g[:lead] = 1.0
         self._ctx_g[lead:] = g[keep]
-        self._ctx_b[:lead] = 1.0
-        self._ctx_b[lead:] = bfr[keep]
+        if nb == 1:
+            self._ctx_b[:lead] = 1.0
+            self._ctx_b[lead:] = bfr[keep]
+        else:
+            self._ctx_b[:, :lead] = 1.0
+            self._ctx_b[:, lead:] = bfr[:, keep]
         self._ctx_valid[:lead] = 0.0
         self._ctx_valid[lead:] = 1.0
 

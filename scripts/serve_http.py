@@ -38,6 +38,7 @@ def main(argv=None):
     niter = flag(argv, "niter", 100, int)
     noise_model = flag(argv, "noise_model", "spp")
     noise_gain = flag(argv, "noise_gain", "0") in ("1", "true")
+    ng_bands = flag(argv, "noise_gain_bands", 1, int)
     soft = flag(argv, "soft_labels", "0") in ("1", "true")
     fast = flag(argv, "fast", "0") in ("1", "true")
     wait_ms = flag(argv, "wait_ms", 20.0, float)
@@ -57,7 +58,8 @@ def main(argv=None):
 
     svc = EnhancementService(
         m2, classifier_params=cls, mean=mean, std=std,
-        cfg=MCEMConfig(niter=niter, noise_gain=noise_gain),
+        cfg=MCEMConfig(niter=niter, noise_gain=noise_gain,
+                       noise_gain_bands=ng_bands),
         serve=ServeConfig(max_wait_ms=wait_ms, label_mode="dnn",
                           noise_model=noise_model, soft_guidance=soft,
                           fast=fast),
@@ -75,7 +77,7 @@ def main(argv=None):
                 m2, classifier_params=cls, mean=mean, std=std,
                 chunk_frames=chunk_frames, soft_guidance=soft,
                 residual_tracking=residual, noise_gain=noise_gain,
-                label_mode="dnn")
+                noise_gain_bands=ng_bands, label_mode="dnn")
 
     srv = EnhancementHTTPServer(svc, host=host, port=port, quiet=False,
                                 stream_factory=stream_factory)

@@ -359,3 +359,28 @@ def test_streaming_noise_gain_ratio_init():
     with pytest.raises(ValueError, match="noise_gain_init"):
         StreamingM2Enhancer(m2, label_mode="timo", noise_gain=True,
                             noise_gain_init="zeros")
+
+
+def test_streaming_noise_gain_bands():
+    """noise_gain_bands > 1 in the stream: per-band warm-started gain,
+    deterministic, differs from the scalar gain."""
+    from guided_vae_nmf_tpu.models import dgm_init
+    from guided_vae_nmf_tpu.streaming import StreamingM2Enhancer
+
+    m2 = dgm_init(jax.random.PRNGKey(0), [513, 513, 16, [32]])
+    rng = np.random.RandomState(11)
+    x = rng.randn(12000).astype(np.float32) * 0.1
+    x[4000:4400] += rng.randn(400).astype(np.float32) * 2.0
+
+    def run(nb):
+        enh = StreamingM2Enhancer(m2, label_mode="timo", chunk_frames=8,
+                                  noise_gain=True, noise_gain_bands=nb)
+        out = [enh.push(x[lo:lo + 4096]) for lo in range(0, len(x), 4096)]
+        out.append(enh.flush())
+        assert enh._ctx_b.shape == ((enh.C,) if nb == 1 else (nb, enh.C))
+        return np.concatenate(out)
+
+    a = run(2)
+    np.testing.assert_array_equal(a, run(2))
+    assert np.all(np.isfinite(a))
+    assert not np.array_equal(a, run(1))
