@@ -49,6 +49,9 @@ class PEEMConfig:
     # Fixed-noise models only: per-frame noise gain b (Vb = b * Vb_fixed),
     # updated in the M-step like g — see MCEMConfig.noise_gain.
     noise_gain: bool = False
+    # spectral resolution of the gain (see MCEMConfig.noise_gain_bands;
+    # 2-3 log-spaced bands is the measured impulsive-noise sweet spot)
+    noise_gain_bands: int = 1
 
 
 def _map_objective(dec_params, y_pre, X_abs2, Vb, g, Z, mask):
@@ -99,13 +102,27 @@ def peem_run(vae_params, X_abs2, mask, y, key, cfg: PEEMConfig = PEEMConfig(),
             "(update_nmf=False, i.e. noise_model 'spp'/'spp2')")
 
     if use_b:
-        # per-frame noise gain (see MCEMConfig.noise_gain): Vb = b *
-        # Vb_fixed, b updated by nmf_m_step's gradient-split rule
-        b = jnp.ones((N,), X_abs2.dtype)
+        # per-frame (or per-band) noise gain (see MCEMConfig.noise_gain):
+        # Vb = b * Vb_fixed, b updated by nmf_m_step's gradient-split rule
+        from .engine import _noise_gain_band_map
+
+        nb = cfg.noise_gain_bands
+        if nb > 1:
+            band_map = _noise_gain_band_map(F, nb, X_abs2.dtype)
+            b = jnp.ones((nb, N), X_abs2.dtype)
+
+            def eff_vb(b_):
+                return (band_map.T @ b_) * Vb_fixed
+        else:
+            band_map = None
+            b = jnp.ones((N,), X_abs2.dtype)
+
+            def eff_vb(b_):
+                return b_[None, :] * Vb_fixed
 
         def em_iter_b(carry, _):
             W, H, g, b, Z = carry
-            Vb = b[None, :] * Vb_fixed
+            Vb = eff_vb(b)
 
             def e_step(Z, _):
                 return Z - cfg.lr * grad_fn(Z, Vb, g), None
@@ -114,14 +131,14 @@ def peem_run(vae_params, X_abs2, mask, y, key, cfg: PEEMConfig = PEEMConfig(),
             Vs = _decode_cond(dec_params, y_pre, Z)[None]
             W2, H2, g2, b2 = nmf_m_step(X_abs2, mask, W, H, g, Vs,
                                         update_nmf=False,
-                                        Vb_fixed=Vb_fixed, b=b)
-            cost = _masked_cost(X_abs2, mask, b2[None, :] * Vb_fixed, g2,
-                                Vs)
+                                        Vb_fixed=Vb_fixed, b=b,
+                                        band_map=band_map)
+            cost = _masked_cost(X_abs2, mask, eff_vb(b2), g2, Vs)
             return (W2, H2, g2, b2, Z), cost
 
         (W, H, g, b, Z), cost = lax.scan(em_iter_b, (W, H, g, b, Z), None,
                                          length=cfg.niter)
-        Vb = b[None, :] * Vb_fixed
+        Vb = eff_vb(b)
         Vs = _decode_cond(dec_params, y_pre, Z)
         Vx = jnp.maximum(g * Vs + Vb, VX_FLOOR)
         return {"WFs": (g * Vs) / Vx, "WFn": Vb / Vx, "cost": cost,

@@ -78,7 +78,8 @@ def main(argv=None):
     if algo == "peem":
         from guided_vae_nmf_tpu.mcem import PEEMConfig
 
-        cfg = PEEMConfig(niter=niter, noise_gain=noise_gain)
+        cfg = PEEMConfig(niter=niter, noise_gain=noise_gain,
+                         noise_gain_bands=ng_bands)
     else:
         cfg = MCEMConfig(niter=niter, noise_gain=noise_gain,
                          noise_gain_bands=ng_bands)

@@ -148,3 +148,23 @@ def test_peem_noise_gain():
     with pytest.raises(ValueError, match="noise_gain"):
         peem_run(vae, X, jnp.ones((N,)), None, jax.random.PRNGKey(1), cfg,
                  update_nmf=True)
+
+
+def test_peem_noise_gain_bands_localize_spectrally():
+    """PEEMConfig.noise_gain_bands > 1: the (n_bands, N) gain must rise
+    only in the band x frame cells holding a burst (same contract as the
+    MCEM engine's per-band gain); cost descends; WF partitions."""
+    vae = vae_init(KEY, [F, L, [16]])
+    X = jax.random.uniform(jax.random.PRNGKey(5), (F, N)) + 0.05
+    X = X.at[:6, 8:11].mul(100.0)           # low-band burst
+    Vb = jnp.ones((F, N)) * 0.5
+    cfg = PEEMConfig(niter=8, e_steps=3, noise_gain=True,
+                     noise_gain_bands=6)
+    out = peem_run(vae, X, jnp.ones((N,)), None, jax.random.PRNGKey(1),
+                   cfg, update_nmf=False, Vb_fixed=Vb)
+    b = np.asarray(out["b"])
+    assert b.shape == (6, N) and np.all(np.isfinite(b)) and np.all(b > 0)
+    assert b[:2, 8:11].mean() > 5.0 * b[3:, :].mean()
+    cost = np.asarray(out["cost"])
+    assert cost[-1] <= cost[0]
+    assert_allclose(np.asarray(out["WFs"] + out["WFn"]), 1.0, atol=1e-5)
