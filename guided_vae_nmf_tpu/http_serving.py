@@ -61,6 +61,7 @@ class _Handler(BaseHTTPRequestHandler):
     stream_factory = None       # () -> fresh streaming enhancer, or None
     stream_sem = None           # bounds concurrent streams (429 beyond)
     stream_stats = None         # shared dict: started/active/done/samples
+    stream_lock = None          # guards stream_stats mutations/snapshots
     fs = 16000
     quiet = True
 
@@ -120,7 +121,8 @@ class _Handler(BaseHTTPRequestHandler):
         elif path == "/stats":
             stats = dict(self.service.stats())
             if self.stream_stats is not None:
-                stats["streams"] = dict(self.stream_stats)
+                with self.stream_lock:
+                    stats["streams"] = dict(self.stream_stats)
             self._send_json(200, stats)
         elif path == "/metrics":
             self._send(200, self._prometheus().encode(),
@@ -153,7 +155,8 @@ class _Handler(BaseHTTPRequestHandler):
                 f"{s['max_s']:.6g}",
             ]
         if self.stream_stats is not None:
-            st = self.stream_stats
+            with self.stream_lock:               # consistent snapshot
+                st = dict(self.stream_stats)
             lines += [
                 "# TYPE gvnmf_streams_started_total counter",
                 f"gvnmf_streams_started_total {st.get('started', 0)}",
@@ -334,8 +337,9 @@ class _Handler(BaseHTTPRequestHandler):
             self._body_left = _MAX_BODY + 1
             return self._error(500, f"stream enhancer init failed: {e}")
         st = self.stream_stats
-        st["started"] += 1
-        st["active"] += 1
+        with self.stream_lock:
+            st["started"] += 1
+            st["active"] += 1
 
         def emit(samples):
             if samples.size == 0:
@@ -372,14 +376,16 @@ class _Handler(BaseHTTPRequestHandler):
             self.wfile.write(b"0\r\n\r\n")   # final chunk
             self._body_left = 0
             outcome = "done"
-            st["samples_in"] += total // 2
+            with self.stream_lock:
+                st["samples_in"] += total // 2
         except Exception:
             # mid-stream failure after 200: the only valid signal is a
             # truncated chunked body + connection close
             self.close_connection = True
         finally:
-            st[outcome] += 1
-            st["active"] -= 1
+            with self.stream_lock:
+                st[outcome] += 1
+                st["active"] -= 1
 
 
 class EnhancementHTTPServer:
@@ -407,8 +413,11 @@ class EnhancementHTTPServer:
             # each live stream holds compiled per-chunk device programs;
             # beyond the cap new streams get 429 (client retries)
             "stream_sem": threading.BoundedSemaphore(max_streams),
-            # Counter mutations are GIL-atomic enough for monitoring
+            # all counter mutations and scrape snapshots go through
+            # stream_lock so a scrape never sees a half-applied
+            # transition (started != done+aborted+active)
             "stream_stats": collections.defaultdict(int),
+            "stream_lock": threading.Lock(),
         })
         self._httpd = ThreadingHTTPServer((host, port), handler)
         self._thread = None

@@ -259,6 +259,48 @@ def _noise_gain_band_map(F, n_bands, dtype=jnp.float32):
     return jnp.asarray(m, dtype)
 
 
+def noise_gain_state(F, N, n_bands, Vb_fixed, dtype, batch=None):
+    """Shared construction of the per-frame/per-band noise-gain state
+    (MCEMConfig.noise_gain / noise_gain_bands): the effective noise
+    variance is Vb = eff_vb(b) = scale(b) * Vb_fixed.
+
+    Returns (b0, eff_vb, band_map). One definition for all engines so
+    the band semantics (log spacing, membership) cannot drift between
+    the XLA, PEEM, streaming, and fused-Pallas paths.
+
+    Layouts: with batch=None, Vb_fixed is (F, N)-broadcastable and b is
+    (N,) or (n_bands, N); with batch=B, Vb_fixed is (B, N, F) (the fused
+    engine's frame-major layout) and b is (B, N) or (B, n_bands, N).
+    """
+    if batch is None:
+        if n_bands > 1:
+            band_map = _noise_gain_band_map(F, n_bands, dtype)
+            b0 = jnp.ones((n_bands, N), dtype)
+
+            def eff_vb(b_):
+                return (band_map.T @ b_) * Vb_fixed
+        else:
+            band_map = None
+            b0 = jnp.ones((N,), dtype)
+
+            def eff_vb(b_):
+                return b_[None, :] * Vb_fixed
+    else:
+        if n_bands > 1:
+            band_map = _noise_gain_band_map(F, n_bands, dtype)
+            b0 = jnp.ones((batch, n_bands, N), dtype)
+
+            def eff_vb(b_):                  # (B, K_b, N) -> (B, N, F)
+                return jnp.einsum("bkn,kf->bnf", b_, band_map) * Vb_fixed
+        else:
+            band_map = None
+            b0 = jnp.ones((batch, N), dtype)
+
+            def eff_vb(b_):                  # (B, N)
+                return b_[:, :, None] * Vb_fixed
+    return b0, eff_vb, band_map
+
+
 def nmf_m_step(X_abs2, mask, W, H, g, Vs_samples, update_nmf=True,
                Vb_fixed=None, axis_name=None, b=None, band_map=None):
     """Multiplicative W, H, g updates in the reference's exact order
@@ -445,19 +487,8 @@ def mcem_run(vae_params, X_abs2, mask, y, key, cfg: MCEMConfig,
         # per-frame noise gain (MCEMConfig.noise_gain): Vb = b * Vb_fixed,
         # b updated in the M-step symmetrically to g (see nmf_m_step).
         # noise_gain_bands > 1: b is (n_bands, N), per-band scaling.
-        n_bands = cfg.noise_gain_bands
-        if n_bands > 1:
-            band_map = _noise_gain_band_map(F, n_bands, X_abs2.dtype)
-            b = jnp.ones((n_bands, N), X_abs2.dtype)
-
-            def eff_vb(b_):
-                return (band_map.T @ b_) * Vb_fixed
-        else:
-            band_map = None
-            b = jnp.ones((N,), X_abs2.dtype)
-
-            def eff_vb(b_):
-                return b_[None, :] * Vb_fixed
+        b, eff_vb, band_map = noise_gain_state(
+            F, N, cfg.noise_gain_bands, Vb_fixed, X_abs2.dtype)
 
         def em_iter_b(carry, _):
             W, H, g, b, Z, Vs, key = carry

@@ -851,18 +851,13 @@ def mcem_batch_fused(vae_params, X_abs2, mask, y, keys,
             "MCEMConfig.noise_gain requires a fixed noise model "
             "(update_nmf=False, i.e. noise_model 'spp'/'spp2')")
 
-    if use_b and cfg.noise_gain_bands > 1:
-        from .engine import _noise_gain_band_map
+    if use_b:
+        from .engine import noise_gain_state
 
-        band_map = _noise_gain_band_map(F, cfg.noise_gain_bands, X2.dtype)
-
-        def eff_vb(b):                       # b (B, K_b, N) -> (B, N, F)
-            return jnp.einsum("bkn,kf->bnf", b, band_map) * Vbf
+        b0_gain, eff_vb, band_map = noise_gain_state(
+            F, N, cfg.noise_gain_bands, Vbf, X2.dtype, batch=B)
     else:
-        band_map = None
-
-        def eff_vb(b):                       # b (B, N)
-            return b[:, :, None] * Vbf
+        b0_gain = eff_vb = band_map = None
 
     def em_iter_b(carry, _):
         # fixed-noise model + per-frame (or per-band, noise_gain_bands>1)
@@ -955,8 +950,7 @@ def mcem_batch_fused(vae_params, X_abs2, mask, y, keys,
         return (Wt2, H2, g2, Z, Vs, key), cost
 
     if use_b:
-        b = (jnp.ones((B, N), X2.dtype) if band_map is None
-             else jnp.ones((B, cfg.noise_gain_bands, N), X2.dtype))
+        b = b0_gain
         (Wt, H, g, b, Z, Vs, key0), cost = lax.scan(
             em_iter_b, (Wt, H, g, b, Z, Vs, key0), None, length=cfg.niter
         )

@@ -104,21 +104,10 @@ def peem_run(vae_params, X_abs2, mask, y, key, cfg: PEEMConfig = PEEMConfig(),
     if use_b:
         # per-frame (or per-band) noise gain (see MCEMConfig.noise_gain):
         # Vb = b * Vb_fixed, b updated by nmf_m_step's gradient-split rule
-        from .engine import _noise_gain_band_map
+        from .engine import noise_gain_state
 
-        nb = cfg.noise_gain_bands
-        if nb > 1:
-            band_map = _noise_gain_band_map(F, nb, X_abs2.dtype)
-            b = jnp.ones((nb, N), X_abs2.dtype)
-
-            def eff_vb(b_):
-                return (band_map.T @ b_) * Vb_fixed
-        else:
-            band_map = None
-            b = jnp.ones((N,), X_abs2.dtype)
-
-            def eff_vb(b_):
-                return b_[None, :] * Vb_fixed
+        b, eff_vb, band_map = noise_gain_state(
+            F, N, cfg.noise_gain_bands, Vb_fixed, X_abs2.dtype)
 
         def em_iter_b(carry, _):
             W, H, g, b, Z = carry

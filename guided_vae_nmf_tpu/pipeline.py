@@ -674,6 +674,20 @@ def plan_batches(file_paths, n_frames_all, batch_size=16,
     return batches
 
 
+class SweepResult(float):
+    """Wall-clock seconds of an enhancement sweep (usable as a plain
+    float), annotated with utterance accounting so callers can report
+    honest counts when skip_existing drops already-done work."""
+
+    __slots__ = ("n_processed", "n_skipped")
+
+    def __new__(cls, seconds, n_processed, n_skipped=0):
+        r = super().__new__(cls, seconds)
+        r.n_processed = n_processed
+        r.n_skipped = n_skipped
+        return r
+
+
 def enhance_files(file_paths, processed_dir, output_dir, vae_params,
                   model_type="m2", classif_type="dnn", target="ibm",
                   classifier_params=None, mean=None, std=None,
@@ -720,6 +734,7 @@ def enhance_files(file_paths, processed_dir, output_dir, vae_params,
     if model_type == "m2" and classif_type not in (
             "dnn", "oracle", "timo", "ones", "zeros"):
         raise ValueError(f"unknown classif_type: {classif_type!r}")
+    n_listed = len(file_paths)
     if skip_existing:
         file_paths = [
             p for p in file_paths
@@ -727,7 +742,8 @@ def enhance_files(file_paths, processed_dir, output_dir, vae_params,
                 output_dir, os.path.splitext(p)[0] + "_s_est.wav"))
         ]
         if not file_paths:
-            return 0.0
+            return SweepResult(0.0, 0, n_listed)
+    n_skipped = n_listed - len(file_paths)
     t_start = time.perf_counter()
     PREFETCH = 3        # batches being assembled ahead of the device
     MAX_INFLIGHT = 2    # dispatched-but-unfetched device batches
@@ -845,13 +861,19 @@ def enhance_files(file_paths, processed_dir, output_dir, vae_params,
     write_futs = []
 
     def write_utt(base_out, s, n, y_soft, y_hard):
+        # _s_est.wav is the skip_existing completion marker, so it must
+        # appear last and atomically: stage it under a tmp name, write
+        # every sidecar, then rename. A sweep killed mid-utterance leaves
+        # no marker and the utterance is redone on resume.
         os.makedirs(os.path.dirname(base_out), exist_ok=True)
-        write_wav(base_out + "_s_est.wav", s, FS)
+        tmp = base_out + "_s_est.wav.tmp"
+        write_wav(tmp, s, FS)
         write_wav(base_out + "_n_est.wav", n, FS)
         if y_soft is not None:
             # compact dtypes (soft f16, hard u8); consumers cast
             np.save(base_out + "_ibm_soft_est.npy", y_soft)
             np.save(base_out + "_ibm_hard_est.npy", y_hard)
+        os.replace(tmp, base_out + "_s_est.wav")
 
     def finish(item, n_batch):
         a, keys, out = item
@@ -989,7 +1011,8 @@ def enhance_files(file_paths, processed_dir, output_dir, vae_params,
         writer.shutdown(wait=True)
     if verbose:
         print(timer.report())
-    return time.perf_counter() - t_start
+    return SweepResult(time.perf_counter() - t_start,
+                       len(file_paths), n_skipped)
 
 
 @partial(jax.jit, static_argnames=())

@@ -271,17 +271,13 @@ def _m2_block_em_jit(dec_params, Xw, y_pre, Vb, Z0, g0, b0, mask,
     when n_bands > 1 (the offline 2-3 band sweet spot applies causally
     too)."""
     from .mcem.engine import (
-        VX_FLOOR, _decode_cond, _noise_gain_band_map, nmf_m_step,
+        VX_FLOOR, _decode_cond, nmf_m_step, noise_gain_state,
     )
 
     L = Z0.shape[0]
-    band_map = (None if n_bands == 1
-                else _noise_gain_band_map(Xw.shape[0], n_bands, Xw.dtype))
-
-    def eff_vb(b):
-        if n_bands == 1:
-            return b * Vb           # (W,) broadcast over (F, W)
-        return (band_map.T @ b) * Vb
+    # b0 discarded: the streaming gain is warm state carried across blocks
+    _, eff_vb, band_map = noise_gain_state(
+        Xw.shape[0], Xw.shape[1], n_bands, Vb, Xw.dtype)
 
     def obj(Z, g, b):
         Vs = _decode_cond(dec_params, y_pre, Z)
@@ -393,6 +389,16 @@ class StreamingM2Enhancer(_StreamingOLA):
         # it — the two inits converge to different operating points).
         if noise_gain_init not in ("ones", "ratio"):
             raise ValueError("noise_gain_init must be 'ones' or 'ratio'")
+        if not noise_gain:
+            # both knobs are dead without the gain; a silent no-op would
+            # let a user believe they measured the ratio-init / banded
+            # operating point (and bands>1 pays an identity matmul)
+            if noise_gain_init != "ones":
+                raise ValueError(
+                    "noise_gain_init='ratio' requires noise_gain=True")
+            if noise_gain_bands != 1:
+                raise ValueError(
+                    "noise_gain_bands > 1 requires noise_gain=True")
         self.noise_gain_init = noise_gain_init
         # spectral resolution of the gain (offline sweet spot: 2-3 bands
         # for impulsive noise, MCEMConfig.noise_gain_bands)

@@ -105,8 +105,12 @@ def main(argv=None):
         elif not sysname.startswith("m2oracle_"):
             raise SystemExit(f"unknown system {sysname}")
         per_seed = []
-        # the wiener baseline is deterministic: one run regardless of seeds
-        for seed in range(1 if sysname == "wiener" else seeds):
+        # deterministic systems run once regardless of --seeds: the wiener
+        # baseline has no sampling, and PEEM's only key use is the NMF
+        # init, bypassed under the fixed-noise (spp/spp2) models
+        deterministic = sysname == "wiener" or (
+            algo == "peem" and sysname.split("_", 1)[-1] in ("spp", "spp2"))
+        for seed in range(1 if deterministic else seeds):
             out = os.path.join(work, artifacts.replace("/", "_"),
                                sysname + suffix + f"_seed{seed}")
             if sysname.startswith("m2dnn_"):

@@ -48,16 +48,18 @@ def main(argv=None):
 
         mesh = make_mesh()  # utterance batch sharded over all devices
 
+    skip_existing = flag(rest, "skip_existing", "0") in ("1", "true")
+
     vae = load_model(model_path, kind="vae")
     files = speech_list(paths.input_speech_dir, "test")
     t0 = time.perf_counter()
-    enhance_files(files, paths.processed_wav_dir, output, vae,
-                  model_type="m1", cfg=cfg, batch_size=batch_size,
-                  verbose=True, noise_model=noise_model, mesh=mesh,
-                  skip_existing=flag(argv, "skip_existing", "0")
-                  in ("1", "true"))
+    res = enhance_files(files, paths.processed_wav_dir, output, vae,
+                        model_type="m1", cfg=cfg, batch_size=batch_size,
+                        verbose=True, noise_model=noise_model, mesh=mesh,
+                        skip_existing=skip_existing)
+    skipped = f", {res.n_skipped} skipped" if res.n_skipped else ""
     print(f"Finished in {time.perf_counter() - t0:.1f} seconds "
-          f"({len(files)} utterances)")
+          f"({res.n_processed} utterances{skipped})")
 
 
 if __name__ == "__main__":

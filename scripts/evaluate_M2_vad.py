@@ -69,15 +69,17 @@ def main(argv=None):
 
     files = speech_list(paths.input_speech_dir, "test")
     t0 = time.perf_counter()
-    enhance_files(files, paths.processed_wav_dir, output, dgm,
-                  model_type="m2", classif_type=classif_type, target="vad",
-                  classifier_params=classifier, mean=mean, std=std, cfg=cfg,
-                  batch_size=batch_size, verbose=True,
-                  noise_model=noise_model, mesh=mesh,
-                  soft_guidance=soft_labels,
-                  skip_existing=skip_existing)
+    res = enhance_files(files, paths.processed_wav_dir, output, dgm,
+                        model_type="m2", classif_type=classif_type,
+                        target="vad", classifier_params=classifier,
+                        mean=mean, std=std, cfg=cfg,
+                        batch_size=batch_size, verbose=True,
+                        noise_model=noise_model, mesh=mesh,
+                        soft_guidance=soft_labels,
+                        skip_existing=skip_existing)
+    skipped = f", {res.n_skipped} skipped" if res.n_skipped else ""
     print(f"Finished in {time.perf_counter() - t0:.1f} seconds "
-          f"({len(files)} utterances)")
+          f"({res.n_processed} utterances{skipped})")
 
 
 if __name__ == "__main__":
