@@ -88,28 +88,38 @@ class _StreamingOLA:
             self._w = np.concatenate(
                 [self._w, np.zeros(grow - self._w.size, np.float32)])
 
+    def _take_frames(self, padded, t0, k):
+        """Extract frames [t0, t0+k) from the padded signal, zero-padded
+        to the fixed compile shape (chunk_frames, nfft)."""
+        frames = np.stack([
+            padded[(t0 + i) * HOP:(t0 + i) * HOP + NFFT]
+            for i in range(k)
+        ])
+        if k < self.chunk_frames:  # fixed compile shape
+            frames = np.pad(frames, ((0, self.chunk_frames - k), (0, 0)))
+        return frames
+
+    def _ola_accumulate(self, t0, y, m, k):
+        """Overlap-add k enhanced windowed frames starting at frame t0
+        into the accumulators and advance the processed-frame cursor."""
+        y = np.asarray(y)[:k]
+        self._masks.append(np.asarray(m)[:k])
+        self._ensure_acc((t0 + k - 1) * HOP + NFFT)
+        for i in range(k):
+            lo = (t0 + i) * HOP
+            self._y[lo:lo + NFFT] += y[i]
+            self._w[lo:lo + NFFT] += self._win_sq
+        self._t_done = t0 + k
+
     def _process_frames(self, padded, t_end):
         """Run frames [self._t_done, t_end) through the device program and
         overlap-add them into the accumulators."""
         while self._t_done < t_end:
             k = min(self.chunk_frames, t_end - self._t_done)
             t0 = self._t_done
-            frames = np.stack([
-                padded[(t0 + i) * HOP:(t0 + i) * HOP + NFFT]
-                for i in range(k)
-            ])
-            if k < self.chunk_frames:  # fixed compile shape
-                frames = np.pad(frames, ((0, self.chunk_frames - k),
-                                         (0, 0)))
+            frames = self._take_frames(padded, t0, k)
             y, m = self._enhance_frame_batch(frames, k)
-            y = np.asarray(y)[:k]
-            self._masks.append(np.asarray(m)[:k])
-            self._ensure_acc((t0 + k - 1) * HOP + NFFT)
-            for i in range(k):
-                lo = (t0 + i) * HOP
-                self._y[lo:lo + NFFT] += y[i]
-                self._w[lo:lo + NFFT] += self._win_sq
-            self._t_done += k
+            self._ola_accumulate(t0, y, m, k)
 
     def _emit_upto(self, orig_end):
         """Return finalized original samples [self._emitted, orig_end)."""
@@ -126,8 +136,10 @@ class _StreamingOLA:
 
     # -- public API -------------------------------------------------------
 
-    def push(self, samples):
-        """Feed a chunk; returns the newly-finalized enhanced samples."""
+    def _ingest(self, samples):
+        """Buffer new samples and extend the causally-known padded signal;
+        returns the count of frames now available for processing. Raises
+        if the stream was already flushed."""
         if self._flushed:
             raise RuntimeError(
                 "push() after flush(): the stream was finalized with the "
@@ -136,7 +148,7 @@ class _StreamingOLA:
             [self._raw, np.asarray(samples, np.float32)])
         if self._pad is None:
             if len(self._raw) < NFFT // 2 + 1:
-                return np.zeros(0, np.float32)
+                return 0
             # reflect lead-in, available causally
             self._pad = np.concatenate(
                 [self._raw[NFFT // 2:0:-1], self._raw])
@@ -145,8 +157,25 @@ class _StreamingOLA:
             if new > 0:
                 self._pad = np.concatenate([self._pad, self._raw[-new:]])
         # frames fully inside the causally-known padded prefix
-        t_avail = max(0, (len(self._pad) - NFFT) // HOP + 1)
-        self._process_frames(self._pad, t_avail)
+        return max(0, (len(self._pad) - NFFT) // HOP + 1)
+
+    def _flush_pad(self):
+        """End-of-stream framing: apply the reference end-pad rule and the
+        reflect tail. Returns (padded signal, total frame count) without
+        processing anything."""
+        x = _maybe_end_pad(self._raw, FS, 64e-3, 0.25, HOP)
+        n_frames = 1 + len(x) // HOP
+        padded = np.pad(x, NFFT // 2, mode="reflect").astype(np.float32)
+        need = (n_frames - 1) * HOP + NFFT
+        if len(padded) < need:  # hop-remainder: frames may overrun; pad
+            padded = np.pad(padded, (0, need - len(padded)))
+        return padded, n_frames
+
+    def push(self, samples):
+        """Feed a chunk; returns the newly-finalized enhanced samples."""
+        t_avail = self._ingest(samples)
+        if t_avail:
+            self._process_frames(self._pad, t_avail)
         # a sample is final once the next unprocessed frame starts after it
         return self._emit_upto(self._t_done * HOP - NFFT // 2)
 
@@ -157,12 +186,7 @@ class _StreamingOLA:
         self._flushed = True
         if self._raw.size == 0:   # nothing ever pushed: nothing to finalize
             return np.zeros(0, np.float32)
-        x = _maybe_end_pad(self._raw, FS, 64e-3, 0.25, HOP)
-        n_frames = 1 + len(x) // HOP
-        padded = np.pad(x, NFFT // 2, mode="reflect").astype(np.float32)
-        need = (n_frames - 1) * HOP + NFFT
-        if len(padded) < need:  # hop-remainder: frames may overrun; pad
-            padded = np.pad(padded, (0, need - len(padded)))
+        padded, n_frames = self._flush_pad()
         self._process_frames(padded, n_frames)
         return self._emit_upto(len(self._raw))
 
@@ -252,11 +276,9 @@ class StreamingSPPEnhancer(_StreamingOLA):
 # Streaming flagship: online M2 enhancement (blockwise warm-started PEEM)
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("iters", "e_steps", "noise_gain",
-                                   "n_bands"))
-def _m2_block_em_jit(dec_params, Xw, y_pre, Vb, Z0, g0, b0, mask,
-                     iters=6, e_steps=4, lr=5e-3, noise_gain=False,
-                     n_bands=1):
+def _m2_block_em(dec_params, Xw, y_pre, Vb, Z0, g0, b0, mask,
+                 iters=6, e_steps=4, lr=5e-3, noise_gain=False,
+                 n_bands=1):
     """Blockwise point-estimate EM over one (F, W) analysis window with a
     fixed (SPP-tracked) noise variance: `e_steps` gradient-ascent steps on
     the latent MAP objective per EM iteration (mcem/peem.py), then the
@@ -310,6 +332,29 @@ def _m2_block_em_jit(dec_params, Xw, y_pre, Vb, Z0, g0, b0, mask,
     Vs = _decode_cond(dec_params, y_pre, Z)
     Vx = jnp.maximum(g * Vs + eff_vb(b), VX_FLOOR)
     return Z, g, b, (g * Vs) / Vx
+
+
+_m2_block_em_jit = partial(jax.jit, static_argnames=(
+    "iters", "e_steps", "noise_gain", "n_bands"))(_m2_block_em)
+
+
+@partial(jax.jit, static_argnames=("iters", "e_steps", "noise_gain",
+                                   "n_bands"))
+def _m2_block_em_batched(dec_params, Xw, y_pre, Vb, Z0, g0, b0, mask,
+                         iters=6, e_steps=4, lr=5e-3, noise_gain=False,
+                         n_bands=1):
+    """One device program for a pool tick: `_m2_block_em` vmapped over a
+    leading stream axis (decoder params shared across lanes). Lanes are
+    fully independent, so a stream's result does not depend on what
+    shares its batch (equality vs the single-stream program is pinned to
+    float tolerance in tests/test_streaming.py — XLA may tile the batched
+    matmuls differently, so bitwise equality is not guaranteed)."""
+    def one(X, yp, vb, z, g, b, m):
+        return _m2_block_em(dec_params, X, yp, vb, z, g, b, m,
+                            iters=iters, e_steps=e_steps, lr=lr,
+                            noise_gain=noise_gain, n_bands=n_bands)
+
+    return jax.vmap(one)(Xw, y_pre, Vb, Z0, g0, b0, mask)
 
 
 @jax.jit
@@ -467,7 +512,13 @@ class StreamingM2Enhancer(_StreamingOLA):
             y = (y > 0.5)
         return np.asarray(y, np.float32)
 
-    def _enhance_frame_batch(self, frames, k):
+    def _pre_block(self, frames, k):
+        """Per-chunk host stage ahead of the block EM: analysis, causal
+        SPP/label recurrences, encoder warm init, fixed-shape window
+        assembly. Returns (block_args, aux): `block_args` are the
+        per-stream `_m2_block_em` inputs after `dec_params`; `aux` is the
+        state `_post_block` needs. Split out so `MultiStreamM2Enhancer`
+        can run many streams' blocks in ONE batched device program."""
         re, im, power = _analyze_frames_jit(jnp.asarray(frames))
         power = np.asarray(power)          # (chunk, F)
         K = power.shape[0]                 # static chunk shape
@@ -516,16 +567,21 @@ class StreamingM2Enhancer(_StreamingOLA):
         Vbw = np.maximum(Vbw, 1e-10)
 
         y_pre = self._proj(self.dec, jnp.asarray(yw), self._L)
-        Z, g, bfr, WFs = _m2_block_em_jit(
-            self.dec, jnp.asarray(Xw), y_pre, jnp.asarray(Vbw),
-            jnp.asarray(Zw), jnp.asarray(gw), jnp.asarray(bw),
-            jnp.asarray(maskw),
-            iters=self.block_iters, e_steps=self.e_steps, lr=self.lr,
-            noise_gain=self.noise_gain, n_bands=nb)
-        Z = np.asarray(Z)
-        g = np.asarray(g)
-        bfr = np.asarray(bfr)
-        m = np.asarray(WFs)[:, self.C:].T  # (chunk, F) gains, new frames
+        block_args = (jnp.asarray(Xw), y_pre, jnp.asarray(Vbw),
+                      jnp.asarray(Zw), jnp.asarray(gw), jnp.asarray(bw),
+                      jnp.asarray(maskw))
+        aux = (re, im, power, Xw, yw, Vbw, maskw)
+        return block_args, aux
+
+    def _post_block(self, out, aux, k):
+        """Consume the block-EM outputs (numpy (Z, g, b, WFs)): residual
+        tracking, context rebuild for the next block, masked synthesis.
+        Returns (enhanced windowed frames, masks) like
+        `_enhance_frame_batch`."""
+        Z, g, bfr, WFs = out
+        re, im, power, Xw, yw, Vbw, maskw = aux
+        nb = self.noise_gain_bands
+        m = WFs[:, self.C:].T              # (chunk, F) gains, new frames
 
         if self.residual_tracking:
             # same IIR recurrence as pipeline._ema_time, run causally
@@ -562,3 +618,190 @@ class StreamingM2Enhancer(_StreamingOLA):
 
         y = _synth_frames_jit(re, im, jnp.asarray(m))
         return y, m.astype(np.float16)
+
+    def _enhance_frame_batch(self, frames, k):
+        block_args, aux = self._pre_block(frames, k)
+        out = _m2_block_em_jit(
+            self.dec, *block_args,
+            iters=self.block_iters, e_steps=self.e_steps, lr=self.lr,
+            noise_gain=self.noise_gain, n_bands=self.noise_gain_bands)
+        return self._post_block(tuple(np.asarray(o) for o in out), aux, k)
+
+
+# ---------------------------------------------------------------------------
+# Multi-stream pool: batched concurrent streaming
+# ---------------------------------------------------------------------------
+
+class MultiStreamM2Enhancer:
+    """Serve up to `max_streams` concurrent live M2 streams with ONE
+    batched (vmapped) block-EM device program per tick instead of one
+    dispatch per stream — the TPU-idiomatic way to scale concurrent
+    real-time calls per chip: a single stream's (F, W) decoder matmuls
+    underutilize the MXU, and B lanes batch them into a (B·W)-frame
+    workload at one dispatch (beyond-reference serving capability; the
+    reference's only parallelism is one process per GPU,
+    evaluate_M1.py:186-222).
+
+    Server loop pattern (each tick of a real-time scheduler)::
+
+        pool = MultiStreamM2Enhancer(dgm, classifier_params=cls,
+                                     max_streams=8)
+        a, b = pool.open(), pool.open()
+        pool.feed(a, chunk_a)           # buffer only, no device work
+        pool.feed(b, chunk_b)
+        outs = pool.step()              # ONE device program per tick:
+                                        # {sid: new enhanced samples}
+        tail_a = pool.flush(a)          # end-pad rule + batched drain
+        pool.close(a)                   # slot is recycled for open()
+
+    Every stream's output matches a dedicated `StreamingM2Enhancer` fed
+    the same samples to float tolerance (lanes are independent; XLA may
+    tile the batched matmuls differently, so bitwise equality is not
+    guaranteed — pinned in tests/test_streaming.py). The per-tick
+    program has a FIXED lane count (`max_streams`): partially occupied
+    ticks pad with copies of a live lane, so the pool compiles exactly
+    one block-EM program regardless of admission order.
+    """
+
+    def __init__(self, dgm_params, classifier_params=None, mean=None,
+                 std=None, max_streams=8, **enhancer_kwargs):
+        if max_streams < 1:
+            raise ValueError("max_streams must be >= 1")
+        self.max_streams = max_streams
+        self._kw = dict(dgm_params=dgm_params,
+                        classifier_params=classifier_params,
+                        mean=mean, std=std, **enhancer_kwargs)
+        self._slots = {}        # sid -> StreamingM2Enhancer
+        self._free = []         # closed enhancers, recycled by open()
+        self._next_sid = 0
+        self._buffered = {}     # sid -> [arrays] emitted by ticks that
+        #                         ran inside another stream's flush()
+        self._t_target = {}     # sid -> total frame count after flush()
+
+    # -- slot management ----------------------------------------------------
+
+    def _slot(self, sid):
+        try:
+            return self._slots[sid]
+        except KeyError:
+            raise KeyError(f"unknown or closed stream id {sid}") from None
+
+    def open(self):
+        """Admit a new stream; returns its id. Raises when the pool is at
+        `max_streams` (callers back-pressure, e.g. HTTP 429)."""
+        if len(self._slots) >= self.max_streams:
+            raise RuntimeError(
+                f"stream pool full ({self.max_streams} live streams)")
+        if self._free:
+            enh = self._free.pop()
+            enh.reset()
+        else:
+            enh = StreamingM2Enhancer(**self._kw)
+        sid = self._next_sid
+        self._next_sid += 1
+        self._slots[sid] = enh
+        self._buffered[sid] = []
+        return sid
+
+    def close(self, sid):
+        """Release a stream's slot (its enhancer is recycled). Un-flushed
+        streams are simply dropped."""
+        enh = self._slot(sid)
+        del self._slots[sid]
+        self._buffered.pop(sid, None)
+        self._t_target.pop(sid, None)
+        self._free.append(enh)
+
+    def masks(self, sid):
+        """(F, frames) float16 soft masks of the stream so far."""
+        return self._slot(sid).masks
+
+    # -- streaming ------------------------------------------------------------
+
+    def feed(self, sid, samples):
+        """Buffer samples for a stream. No device work happens here —
+        call `step()` to process every stream's ready chunks together."""
+        self._slot(sid)._ingest(samples)
+
+    def _ready(self):
+        """Slots with at least one unprocessed frame available."""
+        ready = []
+        for sid, s in self._slots.items():
+            t_end = self._t_target.get(sid)
+            if t_end is None:
+                t_end = (0 if s._pad is None
+                         else max(0, (len(s._pad) - NFFT) // HOP + 1))
+            if t_end > s._t_done:
+                ready.append((sid, s, t_end))
+        return ready
+
+    def _tick(self, ready):
+        """One batched block: each ready slot contributes one chunk; all
+        chunks run as one vmapped device program."""
+        lanes = []
+        for sid, s, t_end in ready:
+            k = min(s.chunk_frames, t_end - s._t_done)
+            t0 = s._t_done
+            frames = s._take_frames(s._pad, t0, k)
+            block_args, aux = s._pre_block(frames, k)
+            lanes.append((s, t0, k, block_args, aux))
+        n_args = len(lanes[0][3])
+        stacked = []
+        for j in range(n_args):
+            rows = [lane[3][j] for lane in lanes]
+            # fixed lane count: pad with copies of lane 0 (discarded)
+            rows += [rows[0]] * (self.max_streams - len(rows))
+            stacked.append(jnp.stack(rows))
+        s0 = lanes[0][0]
+        out = _m2_block_em_batched(
+            s0.dec, *stacked, iters=s0.block_iters, e_steps=s0.e_steps,
+            lr=s0.lr, noise_gain=s0.noise_gain,
+            n_bands=s0.noise_gain_bands)
+        out = [np.asarray(o) for o in out]
+        for lane, (s, t0, k, _, aux) in enumerate(lanes):
+            y, m = s._post_block(tuple(o[lane] for o in out), aux, k)
+            s._ola_accumulate(t0, y, m, k)
+
+    def step(self):
+        """Process every ready chunk of every live stream in batched
+        ticks and return the newly finalized samples per stream id
+        (streams with no new output are omitted)."""
+        ready = self._ready()
+        while ready:
+            self._tick(ready)
+            ready = self._ready()
+        outs = {}
+        for sid, s in self._slots.items():
+            parts = self._buffered[sid]
+            self._buffered[sid] = []
+            if sid in self._t_target:
+                if s._t_done >= self._t_target[sid]:
+                    parts.append(s._emit_upto(len(s._raw)))
+            else:
+                parts.append(s._emit_upto(s._t_done * HOP - NFFT // 2))
+            parts = [p for p in parts if p.size]
+            if parts:
+                outs[sid] = np.concatenate(parts)
+        return outs
+
+    def flush(self, sid):
+        """Finalize a stream (reference end-pad rule), drain it through
+        batched ticks (co-draining whatever else is ready — their output
+        is buffered for their next `step()`), and return its remaining
+        enhanced samples. The slot stays open for `masks()` until
+        `close()`."""
+        s = self._slot(sid)
+        if s._flushed:
+            raise RuntimeError("flush() called twice on one stream")
+        s._flushed = True
+        if s._raw.size == 0:
+            self._t_target[sid] = 0
+            return np.zeros(0, np.float32)
+        padded, n_frames = s._flush_pad()
+        s._pad = padded
+        self._t_target[sid] = n_frames
+        outs = self.step()
+        for osid, arr in outs.items():
+            if osid != sid:
+                self._buffered[osid].append(arr)
+        return outs.get(sid, np.zeros(0, np.float32))

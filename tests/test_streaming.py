@@ -384,3 +384,135 @@ def test_streaming_noise_gain_bands():
     np.testing.assert_array_equal(a, run(2))
     assert np.all(np.isfinite(a))
     assert not np.array_equal(a, run(1))
+
+
+# ---------------------------------------------------------------------------
+# Multi-stream pool
+# ---------------------------------------------------------------------------
+
+def _pool_signal(seed, n):
+    rng = np.random.RandomState(seed)
+    t = np.arange(n) / 16000
+    s = 0.1 * np.sin(2 * np.pi * np.cumsum(
+        120 + (20 + 10 * seed) * np.sin(2 * np.pi * 0.9 * t)) / 16000)
+    s *= np.clip(np.sin(2 * np.pi * 1.5 * t + seed), 0, None)
+    return (s + 0.03 * rng.randn(n)).astype(np.float32)
+
+
+def _m2_cfg():
+    from guided_vae_nmf_tpu.models import dgm_init
+
+    dgm = dgm_init(jax.random.PRNGKey(0), [513, 513, 8, [32]])
+    kw = dict(label_mode="timo", chunk_frames=4, context_frames=12,
+              block_iters=2, e_steps=2)
+    return dgm, kw
+
+
+def test_multistream_matches_single():
+    """Each pooled stream's output equals a dedicated single-stream
+    enhancer fed the same samples — lanes are independent, so grouping
+    and co-batched traffic cannot change a stream's result (float
+    tolerance: XLA tiles the vmapped matmuls differently)."""
+    from guided_vae_nmf_tpu.streaming import (
+        MultiStreamM2Enhancer, StreamingM2Enhancer,
+    )
+
+    dgm, kw = _m2_cfg()
+    sigs = [_pool_signal(s, n) for s, n in
+            ((1, 16000), (2, 24000), (3, 11000))]
+
+    singles = []
+    for x in sigs:
+        enh = StreamingM2Enhancer(dgm, **kw)
+        parts = [enh.push(x[lo:lo + 4000]) for lo in range(0, len(x), 4000)]
+        parts.append(enh.flush())
+        singles.append(np.concatenate(parts))
+
+    pool = MultiStreamM2Enhancer(dgm, max_streams=4, **kw)
+    sids = [pool.open() for _ in sigs]
+    outs = {sid: [] for sid in sids}
+    pos = [0, 0, 0]
+    # interleaved ragged feeding; streams finish at different times
+    rng = np.random.RandomState(7)
+    live = set(range(3))
+    while live:
+        for i in sorted(live):
+            n = int(rng.randint(1500, 5000))
+            pool.feed(sids[i], sigs[i][pos[i]:pos[i] + n])
+            pos[i] += n
+        for sid, arr in pool.step().items():
+            outs[sid].append(arr)
+        for i in sorted(live):
+            if pos[i] >= len(sigs[i]):
+                outs[sids[i]].append(pool.flush(sids[i]))
+                pool.close(sids[i])
+                live.discard(i)
+    # flush() co-drains other streams into their buffers; a final step()
+    # on a closed pool is a no-op (all sids closed above) so everything
+    # must already be accounted for
+    for i, x in enumerate(sigs):
+        got = np.concatenate(outs[sids[i]])
+        assert len(got) == len(x)
+        assert_allclose(got, singles[i], atol=2e-5, rtol=1e-4,
+                        err_msg=f"stream {i}")
+
+
+def test_multistream_slot_lifecycle():
+    """Admission control, recycling, and misuse guards."""
+    from guided_vae_nmf_tpu.streaming import MultiStreamM2Enhancer
+
+    dgm, kw = _m2_cfg()
+    pool = MultiStreamM2Enhancer(dgm, max_streams=2, **kw)
+    a = pool.open()
+    b = pool.open()
+    with pytest.raises(RuntimeError):
+        pool.open()                      # full
+    x = _pool_signal(0, 9000)
+    pool.feed(a, x)
+    out_a = [v for k, v in pool.step().items() if k == a]
+    assert out_a and out_a[0].size > 0
+    tail = pool.flush(a)
+    assert np.concatenate(out_a + [tail]).shape == (len(x),)
+    with pytest.raises(RuntimeError):
+        pool.flush(a)                    # flush twice
+    with pytest.raises(RuntimeError):
+        pool.feed(a, x[:100])            # feed after flush
+    pool.close(a)
+    with pytest.raises(KeyError):
+        pool.feed(a, x[:100])            # closed sid
+    c = pool.open()                      # recycled slot, fresh state
+    assert c != a
+    pool.feed(c, x[:5000])
+    assert pool.masks(c).shape[0] == 513
+    pool.close(b)
+    pool.close(c)
+
+
+def test_multistream_flush_codrains_into_buffers():
+    """flush(one stream) batches whatever else is ready; the co-drained
+    output must surface at the OTHER stream's next step(), not vanish."""
+    from guided_vae_nmf_tpu.streaming import MultiStreamM2Enhancer
+
+    dgm, kw = _m2_cfg()
+    pool = MultiStreamM2Enhancer(dgm, max_streams=2, **kw)
+    a, b = pool.open(), pool.open()
+    xa = _pool_signal(5, 7000)
+    xb = _pool_signal(6, 15000)
+    pool.feed(a, xa)
+    pool.feed(b, xb[:12000])
+    tail_a = pool.flush(a)               # co-drains b's ready chunks
+    assert tail_a.shape == (len(xa),)
+    pool.feed(b, xb[12000:])
+    got_b = [pool.step().get(b, np.zeros(0, np.float32))]
+    got_b.append(pool.flush(b))
+    assert np.concatenate(got_b).shape == (len(xb),)
+
+
+def test_multistream_empty_flush():
+    from guided_vae_nmf_tpu.streaming import MultiStreamM2Enhancer
+
+    dgm, kw = _m2_cfg()
+    pool = MultiStreamM2Enhancer(dgm, max_streams=1, **kw)
+    a = pool.open()
+    assert pool.flush(a).size == 0
+    pool.close(a)
