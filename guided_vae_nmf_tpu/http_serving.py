@@ -383,6 +383,14 @@ class _Handler(BaseHTTPRequestHandler):
             # truncated chunked body + connection close
             self.close_connection = True
         finally:
+            # pooled sessions hold a shared slot: release it on abort
+            # (no-op after a completed flush, and for plain enhancers)
+            close = getattr(enhancer, "close", None)
+            if close is not None:
+                try:
+                    close()
+                except Exception:
+                    pass
             with self.stream_lock:
                 st[outcome] += 1
                 st["active"] -= 1

@@ -21,6 +21,7 @@ The per-chunk device program has a fixed frame-batch shape (`chunk_frames`)
 so the stream triggers exactly one compile.
 """
 
+import time
 from functools import partial
 
 import numpy as np
@@ -668,6 +669,9 @@ class MultiStreamM2Enhancer:
         if max_streams < 1:
             raise ValueError("max_streams must be >= 1")
         self.max_streams = max_streams
+        # mirrored from StreamingM2Enhancer's default for API clients
+        # (e.g. the HTTP X-Chunk-Frames header) without opening a slot
+        self.chunk_frames = enhancer_kwargs.get("chunk_frames", 8)
         self._kw = dict(dgm_params=dgm_params,
                         classifier_params=classifier_params,
                         mean=mean, std=std, **enhancer_kwargs)
@@ -805,3 +809,141 @@ class MultiStreamM2Enhancer:
             if osid != sid:
                 self._buffered[osid].append(arr)
         return outs.get(sid, np.zeros(0, np.float32))
+
+
+# ---------------------------------------------------------------------------
+# Thread-safe pool front end for concurrent connection handlers
+# ---------------------------------------------------------------------------
+
+class StreamPoolDriver:
+    """Thread-safe front end over `MultiStreamM2Enhancer` for concurrent
+    connection handlers (e.g. the HTTP `/v1/enhance_stream` route).
+
+    `push()` feeds the caller's stream and blocks until the next batched
+    tick: a background ticker thread waits `tick_ms` for co-arriving
+    feeds, then runs ONE `pool.step()` for every live stream — N
+    concurrent connections cost one device dispatch per tick instead of
+    N. Per-stream latency grows by at most `tick_ms` + one tick's device
+    time over a dedicated enhancer.
+
+    Lifecycle: `open()` -> `push()`xN -> `flush()` (finalizes AND releases
+    the slot) or `abort()` (releases without finalizing — connection
+    drops must call it or the slot leaks until shutdown()).
+    """
+
+    def __init__(self, pool, tick_ms=5.0):
+        import threading
+
+        self._pool = pool
+        self._tick_s = tick_ms / 1000.0
+        self._lock = threading.Lock()
+        self._wake = threading.Condition(self._lock)
+        self._out = {}            # sid -> [np arrays] routed by the ticker
+        self._gen = 0             # completed-tick counter
+        self._pending = False
+        self._stop = False
+        self._thread = threading.Thread(
+            target=self._run, daemon=True, name="gvnmf-streampool")
+        self._thread.start()
+
+    @property
+    def chunk_frames(self):
+        return self._pool.chunk_frames
+
+    def _run(self):
+        while True:
+            with self._wake:
+                while not self._pending and not self._stop:
+                    self._wake.wait(timeout=0.5)
+                if self._stop:
+                    return
+                self._pending = False
+            time.sleep(self._tick_s)       # co-batching window, lock-free
+            with self._wake:
+                for sid, arr in self._pool.step().items():
+                    if sid in self._out:
+                        self._out[sid].append(arr)
+                self._gen += 1
+                self._wake.notify_all()
+
+    def open(self):
+        """Admit a stream (raises RuntimeError when the pool is full)."""
+        with self._lock:
+            sid = self._pool.open()
+            self._out[sid] = []
+            return sid
+
+    def push(self, sid, samples):
+        """Feed samples and return the output of the next batched tick
+        for this stream (possibly empty — e.g. mid-chunk)."""
+        with self._wake:
+            self._pool.feed(sid, samples)
+            self._pending = True
+            gen0 = self._gen
+            self._wake.notify_all()
+            while self._gen == gen0 and not self._stop:
+                self._wake.wait(timeout=1.0)
+            parts = self._out.get(sid, [])
+            if parts:
+                self._out[sid] = []
+        return (np.concatenate(parts) if parts
+                else np.zeros(0, np.float32))
+
+    def flush(self, sid):
+        """Finalize the stream (end-pad rule), return its remaining
+        output, and release the slot."""
+        with self._lock:
+            parts = self._out.pop(sid, [])
+            parts.append(self._pool.flush(sid))
+            self._pool.close(sid)
+        parts = [p for p in parts if p.size]
+        return (np.concatenate(parts) if parts
+                else np.zeros(0, np.float32))
+
+    def abort(self, sid):
+        """Release a stream's slot without finalizing (connection drop)."""
+        with self._lock:
+            self._out.pop(sid, None)
+            try:
+                self._pool.close(sid)
+            except KeyError:
+                pass                       # already flushed/closed
+
+    def shutdown(self):
+        """Stop the ticker thread (idempotent). Live slots are dropped."""
+        with self._wake:
+            self._stop = True
+            self._wake.notify_all()
+        self._thread.join(timeout=10)
+
+
+class PooledStreamSession:
+    """Per-connection adapter with the `StreamingM2Enhancer` surface
+    (`push`/`flush`/`chunk_frames`, plus `close()` for abort paths) over
+    a shared `StreamPoolDriver` — drop-in for `http_serving`'s
+    `stream_factory` so concurrent HTTP streams share one batched device
+    program per tick::
+
+        driver = StreamPoolDriver(MultiStreamM2Enhancer(dgm, ...))
+        server = EnhancementHTTPServer(
+            svc, stream_factory=lambda: PooledStreamSession(driver))
+    """
+
+    def __init__(self, driver):
+        self._driver = driver
+        self.sid = driver.open()
+        self.chunk_frames = driver.chunk_frames
+        self._done = False
+
+    def push(self, samples):
+        return self._driver.push(self.sid, samples)
+
+    def flush(self):
+        self._done = True
+        return self._driver.flush(self.sid)
+
+    def close(self):
+        """Release the slot if the stream was never finalized (abort)."""
+        if not self._done:
+            self._done = True
+            self._driver.abort(self.sid)

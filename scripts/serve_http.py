@@ -8,13 +8,18 @@ API (POST /v1/enhance, GET /healthz, GET /stats).
 
 Also serves POST /v1/enhance_stream — ONLINE enhancement (PCM16 in/out,
 chunked transfer both ways, ~chunk_frames x 16 ms + 64 ms latency) via a
-per-connection StreamingM2Enhancer; disable with --stream 0.
+per-connection StreamingM2Enhancer; disable with --stream 0. With
+--pooled_streams 1, concurrent stream connections share ONE batched
+device program per tick (MultiStreamM2Enhancer + StreamPoolDriver)
+instead of one dispatch per stream — higher per-chip stream capacity at
+up to --tick_ms extra latency.
 
 Usage: python scripts/serve_http.py [--host 0.0.0.0] [--port 8571]
        [--models artifacts/pretrained] [--niter 100]
        [--noise_model spp] [--noise_gain 0] [--soft_labels 0] [--fast 0]
        [--wait_ms 20] [--warmup 0] [--stream 1] [--chunk_frames 8]
        [--stream_residual 0]   (causal spp2 noise tracking in the stream)
+       [--pooled_streams 0] [--max_streams 8] [--tick_ms 5]
 """
 
 import os
@@ -46,6 +51,9 @@ def main(argv=None):
     stream = flag(argv, "stream", "1") in ("1", "true")
     chunk_frames = flag(argv, "chunk_frames", 8, int)
     residual = flag(argv, "stream_residual", "0") in ("1", "true")
+    pooled = flag(argv, "pooled_streams", "0") in ("1", "true")
+    max_streams = flag(argv, "max_streams", 8, int)
+    tick_ms = flag(argv, "tick_ms", 5.0, float)
 
     from guided_vae_nmf_tpu.http_serving import EnhancementHTTPServer
     from guided_vae_nmf_tpu.mcem import MCEMConfig
@@ -69,18 +77,32 @@ def main(argv=None):
         svc.reset_stats()
 
     stream_factory = None
-    if stream:
+    driver = None
+    stream_kw = dict(classifier_params=cls, mean=mean, std=std,
+                     chunk_frames=chunk_frames, soft_guidance=soft,
+                     residual_tracking=residual, noise_gain=noise_gain,
+                     noise_gain_bands=ng_bands, label_mode="dnn")
+    if stream and pooled:
+        from guided_vae_nmf_tpu.streaming import (
+            MultiStreamM2Enhancer, PooledStreamSession, StreamPoolDriver,
+        )
+
+        driver = StreamPoolDriver(
+            MultiStreamM2Enhancer(m2, max_streams=max_streams,
+                                  **stream_kw),
+            tick_ms=tick_ms)
+
+        def stream_factory():
+            return PooledStreamSession(driver)
+    elif stream:
         from guided_vae_nmf_tpu.streaming import StreamingM2Enhancer
 
         def stream_factory():
-            return StreamingM2Enhancer(
-                m2, classifier_params=cls, mean=mean, std=std,
-                chunk_frames=chunk_frames, soft_guidance=soft,
-                residual_tracking=residual, noise_gain=noise_gain,
-                noise_gain_bands=ng_bands, label_mode="dnn")
+            return StreamingM2Enhancer(m2, **stream_kw)
 
     srv = EnhancementHTTPServer(svc, host=host, port=port, quiet=False,
-                                stream_factory=stream_factory)
+                                stream_factory=stream_factory,
+                                max_streams=max_streams)
     srv.start()
     print(f"serving on http://{host}:{srv.port} "
           f"(niter={niter}, noise_model={noise_model}, "
@@ -93,6 +115,8 @@ def main(argv=None):
         pass
     finally:
         srv.close()
+        if driver is not None:
+            driver.shutdown()
         svc.close()
 
 

@@ -488,3 +488,102 @@ def test_metrics_prometheus_endpoint(fresh_stream_server):
     assert "gvnmf_streams_started_total 1" in body
     assert "gvnmf_streams_done_total 1" in body
     assert "gvnmf_streams_active 0" in body
+
+
+# ---------------------------------------------------------------------------
+# Pooled streaming: concurrent connections share one batched device program
+# ---------------------------------------------------------------------------
+
+
+def test_pooled_streams_concurrent_clients_match_single():
+    """Two concurrent /v1/enhance_stream clients against a pooled server
+    (MultiStreamM2Enhancer + StreamPoolDriver): each byte stream matches a
+    dedicated single-stream enhancer to PCM16 tolerance, and aborted
+    connections release their pool slot."""
+    import threading
+
+    from guided_vae_nmf_tpu.models import dgm_init
+    from guided_vae_nmf_tpu.streaming import (
+        MultiStreamM2Enhancer, PooledStreamSession, StreamingM2Enhancer,
+        StreamPoolDriver,
+    )
+
+    dgm = dgm_init(jax.random.PRNGKey(0), [F, F, 8, [32]])
+    kw = dict(label_mode="timo", chunk_frames=4, context_frames=8,
+              block_iters=2, e_steps=2)
+    m1 = vae_init(jax.random.PRNGKey(0), [F, L, [H]])
+    svc = EnhancementService(m1, cfg=CFG, serve=SV)
+    driver = StreamPoolDriver(
+        MultiStreamM2Enhancer(dgm, max_streams=2, **kw), tick_ms=2.0)
+    srv = EnhancementHTTPServer(
+        svc, port=0, max_streams=2,
+        stream_factory=lambda: PooledStreamSession(driver)).start()
+    try:
+        def pcm16(x):
+            return np.clip(np.round(np.asarray(x) * 32768.0),
+                           -32768, 32767).astype("<i2").tobytes()
+
+        rng = np.random.RandomState(3)
+        sigs = [(0.1 * rng.randn(n)).astype(np.float32)
+                for n in (9000, 12000)]
+
+        refs = []
+        for x in sigs:
+            enh = StreamingM2Enhancer(dgm, **kw)
+            xq = np.frombuffer(pcm16(x), "<i2").astype(np.float32) / 32768.0
+            out = [enh.push(xq), enh.flush()]
+            refs.append(np.concatenate([o for o in out if o.size]))
+
+        bodies = {}
+
+        def client(i):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{srv.port}/v1/enhance_stream",
+                data=pcm16(sigs[i]), headers={"Content-Type": "audio/L16"})
+            with urllib.request.urlopen(req, timeout=300) as resp:
+                assert resp.status == 200
+                bodies[i] = resp.read()
+
+        threads = [threading.Thread(target=client, args=(i,))
+                   for i in range(2)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=300)
+        assert sorted(bodies) == [0, 1]
+        for i, x in enumerate(sigs):
+            y = np.frombuffer(bodies[i], "<i2").astype(np.float32) / 32768.0
+            assert len(y) == len(x)
+            # pooled block EM == single-stream to float tolerance; after
+            # PCM16 quantization that is +-1 LSB
+            np.testing.assert_allclose(y, refs[i], atol=2.0 / 32768,
+                                       err_msg=f"client {i}")
+
+        # abort: drop a connection mid-stream; its slot must come back
+        import http.client
+
+        conn = http.client.HTTPConnection("127.0.0.1", srv.port, timeout=60)
+        conn.putrequest("POST", "/v1/enhance_stream")
+        conn.putheader("Content-Type", "audio/L16")
+        conn.putheader("Transfer-Encoding", "chunked")
+        conn.endheaders()
+        conn.send(b"400\r\n" + b"\x00" * 1024 + b"\r\n")
+        conn.close()                      # mid-stream drop (no trailer)
+        deadline = 60
+        import time as _t
+        t0 = _t.time()
+        while _t.time() - t0 < deadline:
+            try:
+                sid = driver.open()
+                driver.abort(sid)
+                other = driver.open()     # both slots free again
+                driver.abort(other)
+                break
+            except RuntimeError:
+                _t.sleep(0.2)
+        else:
+            raise AssertionError("aborted connection never released slot")
+    finally:
+        srv.close()
+        driver.shutdown()
+        svc.close()

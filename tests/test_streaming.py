@@ -516,3 +516,63 @@ def test_multistream_empty_flush():
     a = pool.open()
     assert pool.flush(a).size == 0
     pool.close(a)
+
+
+def test_stream_pool_driver_concurrent():
+    """Concurrent handler threads through one StreamPoolDriver: each
+    stream's output equals a dedicated enhancer; abort releases slots."""
+    import threading
+
+    from guided_vae_nmf_tpu.streaming import (
+        MultiStreamM2Enhancer, PooledStreamSession, StreamingM2Enhancer,
+        StreamPoolDriver,
+    )
+
+    dgm, kw = _m2_cfg()
+    sigs = [_pool_signal(10 + i, 9000 + 2000 * i) for i in range(3)]
+    singles = []
+    for x in sigs:
+        enh = StreamingM2Enhancer(dgm, **kw)
+        parts = [enh.push(x[lo:lo + 2500]) for lo in range(0, len(x), 2500)]
+        parts.append(enh.flush())
+        singles.append(np.concatenate(parts))
+
+    driver = StreamPoolDriver(
+        MultiStreamM2Enhancer(dgm, max_streams=3, **kw), tick_ms=2.0)
+    results = {}
+
+    def client(i):
+        sess = PooledStreamSession(driver)
+        try:
+            x = sigs[i]
+            parts = [sess.push(x[lo:lo + 2500])
+                     for lo in range(0, len(x), 2500)]
+            parts.append(sess.flush())
+            results[i] = np.concatenate([p for p in parts if p.size])
+        finally:
+            sess.close()
+
+    threads = [threading.Thread(target=client, args=(i,)) for i in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert sorted(results) == [0, 1, 2]
+    for i in range(3):
+        assert len(results[i]) == len(sigs[i])
+        assert_allclose(results[i], singles[i], atol=2e-5, rtol=1e-4,
+                        err_msg=f"pooled stream {i}")
+
+    # abort path: a dropped session must release its slot
+    a = PooledStreamSession(driver)
+    b = PooledStreamSession(driver)
+    c = PooledStreamSession(driver)
+    with pytest.raises(RuntimeError):
+        PooledStreamSession(driver)      # full (max_streams=3)
+    a.push(sigs[0][:3000])
+    a.close()                            # abort without flush
+    d = PooledStreamSession(driver)      # slot recycled
+    d.close()
+    b.close()
+    c.close()
+    driver.shutdown()
