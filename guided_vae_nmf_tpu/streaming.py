@@ -81,6 +81,54 @@ class _StreamingOLA:
 
     # -- internals --------------------------------------------------------
 
+    # _raw and _pad live in geometrically grown backing buffers so a
+    # push()/feed() appends O(chunk) instead of re-copying the whole
+    # stream (a 30-min stream would otherwise pay a ~100 MB concatenate
+    # per push — quadratic over the stream's life, and inside the pool
+    # driver that copy ran under the shared lock).
+
+    @property
+    def _raw(self):
+        return self._raw_buf[:self._n_raw]
+
+    @_raw.setter
+    def _raw(self, value):
+        self._raw_buf = np.asarray(value, np.float32)
+        self._n_raw = len(self._raw_buf)
+
+    @property
+    def _pad(self):
+        if self._pad_buf is None:
+            return None
+        return self._pad_buf[:self._n_pad]
+
+    @_pad.setter
+    def _pad(self, value):
+        if value is None:
+            self._pad_buf = None
+            self._n_pad = 0
+        else:
+            self._pad_buf = np.asarray(value, np.float32)
+            self._n_pad = len(self._pad_buf)
+
+    @staticmethod
+    def _append(buf, n, x):
+        need = n + len(x)
+        if need > len(buf):
+            grown = np.zeros(max(need, 2 * len(buf), 4096), np.float32)
+            grown[:n] = buf[:n]
+            buf = grown
+        buf[n:need] = x
+        return buf, need
+
+    def _append_raw(self, x):
+        self._raw_buf, self._n_raw = self._append(
+            self._raw_buf, self._n_raw, x)
+
+    def _append_pad(self, x):
+        self._pad_buf, self._n_pad = self._append(
+            self._pad_buf, self._n_pad, x)
+
     def _ensure_acc(self, n):
         if self._y.size < n:
             grow = max(n, 2 * self._y.size)
@@ -145,19 +193,23 @@ class _StreamingOLA:
             raise RuntimeError(
                 "push() after flush(): the stream was finalized with the "
                 "end-pad rule; call reset() to start a new stream")
-        self._raw = np.concatenate(
-            [self._raw, np.asarray(samples, np.float32)])
+        self._append_raw(np.asarray(samples, np.float32))
         if self._pad is None:
-            if len(self._raw) < NFFT // 2 + 1:
+            if self._n_raw < NFFT // 2 + 1:
                 return 0
-            # reflect lead-in, available causally
-            self._pad = np.concatenate(
-                [self._raw[NFFT // 2:0:-1], self._raw])
+            # reflect lead-in, available causally (one-time copy)
+            raw = self._raw
+            self._pad = np.concatenate([raw[NFFT // 2:0:-1], raw])
         else:
-            new = len(self._raw) + NFFT // 2 - len(self._pad)
+            new = self._n_raw + NFFT // 2 - self._n_pad
             if new > 0:
-                self._pad = np.concatenate([self._pad, self._raw[-new:]])
-        # frames fully inside the causally-known padded prefix
+                self._append_pad(self._raw[-new:])
+        return self._t_avail()
+
+    def _t_avail(self):
+        """Frames fully inside the causally-known padded prefix."""
+        if self._pad is None:
+            return 0
         return max(0, (len(self._pad) - NFFT) // HOP + 1)
 
     def _flush_pad(self):
@@ -660,8 +712,10 @@ class MultiStreamM2Enhancer:
     tile the batched matmuls differently, so bitwise equality is not
     guaranteed — pinned in tests/test_streaming.py). The per-tick
     program has a FIXED lane count (`max_streams`): partially occupied
-    ticks pad with copies of a live lane, so the pool compiles exactly
-    one block-EM program regardless of admission order.
+    ticks pad with copies of a live lane to the next power-of-two lane
+    bucket (capped at `max_streams`), so the pool compiles at most
+    log2(max_streams)+1 block-EM programs and a lightly occupied pool
+    pays at most 2x its live lanes in padded compute.
     """
 
     def __init__(self, dgm_params, classifier_params=None, mean=None,
@@ -733,8 +787,7 @@ class MultiStreamM2Enhancer:
         for sid, s in self._slots.items():
             t_end = self._t_target.get(sid)
             if t_end is None:
-                t_end = (0 if s._pad is None
-                         else max(0, (len(s._pad) - NFFT) // HOP + 1))
+                t_end = s._t_avail()
             if t_end > s._t_done:
                 ready.append((sid, s, t_end))
         return ready
@@ -749,12 +802,20 @@ class MultiStreamM2Enhancer:
             frames = s._take_frames(s._pad, t0, k)
             block_args, aux = s._pre_block(frames, k)
             lanes.append((s, t0, k, block_args, aux))
+        # bucket the lane count to the next power of two (capped at
+        # max_streams): a lightly occupied pool pays at most 2x its live
+        # lanes in padded compute instead of always max_streams lanes,
+        # at a bounded compile count (log2(max_streams)+1 programs)
+        n_lanes = 1
+        while n_lanes < len(lanes):
+            n_lanes *= 2
+        n_lanes = min(n_lanes, self.max_streams)
         n_args = len(lanes[0][3])
         stacked = []
         for j in range(n_args):
             rows = [lane[3][j] for lane in lanes]
-            # fixed lane count: pad with copies of lane 0 (discarded)
-            rows += [rows[0]] * (self.max_streams - len(rows))
+            # pad to the bucket with copies of lane 0 (discarded)
+            rows += [rows[0]] * (n_lanes - len(rows))
             stacked.append(jnp.stack(rows))
         s0 = lanes[0][0]
         out = _m2_block_em_batched(
@@ -842,6 +903,7 @@ class StreamPoolDriver:
         self._gen = 0             # completed-tick counter
         self._pending = False
         self._stop = False
+        self._failed = None       # first ticker exception: fail fast
         self._thread = threading.Thread(
             target=self._run, daemon=True, name="gvnmf-streampool")
         self._thread.start()
@@ -860,11 +922,26 @@ class StreamPoolDriver:
                 self._pending = False
             time.sleep(self._tick_s)       # co-batching window, lock-free
             with self._wake:
-                for sid, arr in self._pool.step().items():
+                try:
+                    outs = self._pool.step()
+                except Exception as e:     # fail FAST, never silently:
+                    # a dead ticker would wedge every push() forever
+                    self._failed = e
+                    self._stop = True
+                    self._wake.notify_all()
+                    raise
+                for sid, arr in outs.items():
                     if sid in self._out:
                         self._out[sid].append(arr)
                 self._gen += 1
                 self._wake.notify_all()
+
+    def _check_alive(self):
+        if self._failed is not None:
+            raise RuntimeError(
+                "stream pool ticker died") from self._failed
+        if self._stop:
+            raise RuntimeError("stream pool driver is shut down")
 
     def open(self):
         """Admit a stream (raises RuntimeError when the pool is full)."""
@@ -875,14 +952,17 @@ class StreamPoolDriver:
 
     def push(self, sid, samples):
         """Feed samples and return the output of the next batched tick
-        for this stream (possibly empty — e.g. mid-chunk)."""
+        for this stream (possibly empty — e.g. mid-chunk). Raises if the
+        ticker died or the driver was shut down (never hangs)."""
         with self._wake:
+            self._check_alive()
             self._pool.feed(sid, samples)
             self._pending = True
             gen0 = self._gen
             self._wake.notify_all()
             while self._gen == gen0 and not self._stop:
                 self._wake.wait(timeout=1.0)
+            self._check_alive()
             parts = self._out.get(sid, [])
             if parts:
                 self._out[sid] = []
@@ -891,11 +971,14 @@ class StreamPoolDriver:
 
     def flush(self, sid):
         """Finalize the stream (end-pad rule), return its remaining
-        output, and release the slot."""
+        output, and release the slot — also on failure (a flush that
+        raises must not leak the slot)."""
         with self._lock:
             parts = self._out.pop(sid, [])
-            parts.append(self._pool.flush(sid))
-            self._pool.close(sid)
+            try:
+                parts.append(self._pool.flush(sid))
+            finally:
+                self._pool.close(sid)
         parts = [p for p in parts if p.size]
         return (np.concatenate(parts) if parts
                 else np.zeros(0, np.float32))

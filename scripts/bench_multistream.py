@@ -77,6 +77,9 @@ def _run_serial(dgm, kw, sigs, chunk_samples):
 def main(argv=None):
     argv = argv or sys.argv[1:]
     streams = [int(b) for b in flag(argv, "streams", "2,4,8").split(",")]
+    # 0 = size the pool to each B (full occupancy); a fixed value also
+    # measures the under-occupied cost (lane buckets pad to powers of 2)
+    max_streams = flag(argv, "max_streams", 0, int)
     seconds = flag(argv, "seconds", 8.0, float)
     chunk_frames = flag(argv, "chunk_frames", 4, int)
     context_frames = flag(argv, "context_frames", 24, int)
@@ -90,14 +93,12 @@ def main(argv=None):
     kw = dict(label_mode=label_mode, chunk_frames=chunk_frames,
               context_frames=context_frames, block_iters=block_iters,
               e_steps=e_steps)
+    dgm = load_model("artifacts/pretrained/M2_ibm", kind="dgm")
     if label_mode == "dnn":
         kw["classifier_params"] = load_model(
             "artifacts/pretrained/classifier_ibm", kind="classifier")
         kw["mean"], kw["std"] = load_norm_stats(
             "artifacts/pretrained/classifier_ibm")
-        dgm = load_model("artifacts/pretrained/M2_ibm", kind="dgm")
-    else:
-        dgm = load_model("artifacts/pretrained/M2_ibm", kind="dgm")
 
     n = int(seconds * FS)
     chunk_samples = chunk_frames * HOP  # feed cadence = one block latency
@@ -105,14 +106,16 @@ def main(argv=None):
     for B in streams:
         sigs = [_signal(7 + i, n) for i in range(B)]
         # warm both compiled paths (pool program + single program)
+        pool_size = max_streams or B
         _run_pooled(dgm, kw, [s[: 4 * chunk_samples] for s in sigs],
-                    chunk_samples, B)
+                    chunk_samples, pool_size)
         _run_serial(dgm, kw, [sigs[0][: 4 * chunk_samples]], chunk_samples)
-        t_pool = _run_pooled(dgm, kw, sigs, chunk_samples, B)
+        t_pool = _run_pooled(dgm, kw, sigs, chunk_samples, pool_size)
         t_serial = _run_serial(dgm, kw, sigs, chunk_samples)
         audio_s = B * seconds
         rows.append({
             "streams": B,
+            "pool_size": pool_size,
             "pooled_wall_s": round(t_pool, 3),
             "serial_wall_s": round(t_serial, 3),
             "pooled_rtf_total": round(audio_s / t_pool, 1),

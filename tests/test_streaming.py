@@ -576,3 +576,54 @@ def test_stream_pool_driver_concurrent():
     b.close()
     c.close()
     driver.shutdown()
+
+
+def test_stream_pool_driver_fail_fast(monkeypatch):
+    """A ticker-thread failure must surface as an exception in push(),
+    never as an infinite hang (review finding: a dead ticker would wedge
+    every connection and silently 429 all new ones)."""
+    from guided_vae_nmf_tpu.streaming import (
+        MultiStreamM2Enhancer, StreamPoolDriver,
+    )
+
+    dgm, kw = _m2_cfg()
+    pool = MultiStreamM2Enhancer(dgm, max_streams=2, **kw)
+    driver = StreamPoolDriver(pool, tick_ms=1.0)
+    sid = driver.open()
+
+    def boom():
+        raise ValueError("device exploded")
+
+    monkeypatch.setattr(pool, "step", boom)
+    with pytest.raises(RuntimeError, match="ticker died"):
+        driver.push(sid, _pool_signal(0, 8000))
+    with pytest.raises(RuntimeError):    # stays failed, fails at entry
+        driver.push(sid, np.zeros(100, np.float32))
+    driver.shutdown()
+
+
+def test_stream_pool_flush_failure_releases_slot(monkeypatch):
+    """driver.flush() must release the slot even when the pool flush
+    raises — otherwise failed streams leak slots until the pool is full."""
+    from guided_vae_nmf_tpu.streaming import (
+        MultiStreamM2Enhancer, StreamPoolDriver,
+    )
+
+    dgm, kw = _m2_cfg()
+    pool = MultiStreamM2Enhancer(dgm, max_streams=1, **kw)
+    driver = StreamPoolDriver(pool, tick_ms=1.0)
+    sid = driver.open()
+    driver.push(sid, _pool_signal(1, 4000))
+
+    real_flush = pool.flush
+
+    def failing_flush(s):
+        raise ValueError("flush failed")
+
+    monkeypatch.setattr(pool, "flush", failing_flush)
+    with pytest.raises(ValueError):
+        driver.flush(sid)
+    monkeypatch.setattr(pool, "flush", real_flush)
+    sid2 = driver.open()                 # slot came back
+    driver.abort(sid2)
+    driver.shutdown()
