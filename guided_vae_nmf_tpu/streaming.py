@@ -411,6 +411,28 @@ def _m2_block_em_batched(dec_params, Xw, y_pre, Vb, Z0, g0, b0, mask,
 
 
 @jax.jit
+def _dnn_probs_jit(params, power, mean, std, eps):
+    """Classifier probabilities for (rows, F) power frames: trainset
+    normalization + forward in ONE program (the eager version cost
+    several dispatches per chunk)."""
+    p = power
+    if mean is not None:
+        p = (p - mean[None, :]) / (std[None, :] + eps)
+    return classifier_apply(params, p)
+
+
+@partial(jax.jit, static_argnames=("L",))
+def _label_proj_batched(dec_params, ys, L):
+    """(n, y_dim, W) label windows -> (n, W, h1) decoder label
+    projections (vmapped `_precompute_label_proj`) — one dispatch for a
+    whole pool tick."""
+    from .mcem.engine import _precompute_label_proj
+
+    return jax.vmap(
+        lambda y: _precompute_label_proj(dec_params, y, L))(ys)
+
+
+@jax.jit
 def _m2_init_z_jit(enc_params, Xnew, y_new):
     """Encoder posterior mean for new frames: (k, F) power + (k, y_dim)
     labels -> (L, k) latent init (reference mcem.py:214-215)."""
@@ -537,10 +559,17 @@ class StreamingM2Enhancer(_StreamingOLA):
             self._ctx_valid = np.zeros((C,), np.float32)
             self._res = None          # residual-tracking EMA state (F,)
 
-    def _labels(self, power, spp, k):
+    def _dnn_probs(self, power):
+        """Classifier probabilities for (rows, F) power frames (device)."""
+        return np.asarray(_dnn_probs_jit(
+            self.cls, jnp.asarray(power), self.mean, self.std, self.eps))
+
+    def _labels(self, power, spp, k, dnn_probs=None):
         """(chunk, y_dim) guidance labels (hard IBM by default,
         probabilities when soft_guidance); only the first `k` rows
-        are real frames (the causal VAD tracker must not see pad rows)."""
+        are real frames (the causal VAD tracker must not see pad rows).
+        `dnn_probs` lets the pool pass classifier output it computed in
+        one batched call for every stream."""
         if self.label_mode == "timo":
             if self.y_dim == 1:
                 # frame VAD = SPP of summed power (spp.timo_vad_estimation)
@@ -555,26 +584,14 @@ class StreamingM2Enhancer(_StreamingOLA):
             if self.soft_guidance:
                 return spp.astype(np.float32)
             return (spp > 0.5).astype(np.float32)
-        p = jnp.asarray(power)
-        if self.mean is not None:
-            p = (p - self.mean[None, :]) / (self.std[None, :] + self.eps)
-        from .models import classifier_apply
-
-        y = classifier_apply(self.cls, p)
+        y = self._dnn_probs(power) if dnn_probs is None else dnn_probs
         if not self.soft_guidance:
             y = (y > 0.5)
         return np.asarray(y, np.float32)
 
-    def _pre_block(self, frames, k):
-        """Per-chunk host stage ahead of the block EM: analysis, causal
-        SPP/label recurrences, encoder warm init, fixed-shape window
-        assembly. Returns (block_args, aux): `block_args` are the
-        per-stream `_m2_block_em` inputs after `dec_params`; `aux` is the
-        state `_post_block` needs. Split out so `MultiStreamM2Enhancer`
-        can run many streams' blocks in ONE batched device program."""
-        re, im, power = _analyze_frames_jit(jnp.asarray(frames))
-        power = np.asarray(power)          # (chunk, F)
-        K = power.shape[0]                 # static chunk shape
+    def _pre_state(self, power, k):
+        """Causal host recurrences over this chunk: SPP noise track +
+        residual floor. Returns (Vb_new, spp), both (chunk, F)."""
         Vb_new = np.ones_like(power)
         spp = np.zeros_like(power)
         for i in range(k):                 # causal SPP recurrence
@@ -582,16 +599,19 @@ class StreamingM2Enhancer(_StreamingOLA):
         if self.residual_tracking and self._res is not None:
             # noise floor from the enhanced residual of PAST blocks
             Vb_new[:k] = np.maximum(Vb_new[:k], self._res)
-        y_new = self._labels(power, spp, k)   # (chunk, y_dim)
+        return Vb_new, spp
 
-        Z_new = np.asarray(_m2_init_z_jit(
-            self.enc, jnp.asarray(power), jnp.asarray(y_new)))
+    def _note_latent_dim(self, Z_new):
         if self._L is None:
             self._L = Z_new.shape[0]
         if self._ctx_Z is None:
             self._ctx_Z = np.zeros((self._L, self.C), np.float32)
 
-        # fixed-shape window [C | chunk]
+    def _assemble_window(self, power, Vb_new, y_new, Z_new, k):
+        """Fixed-shape [C | chunk] window assembly (host). Returns the
+        numpy `_m2_block_em` inputs before the label projection:
+        (Xw, yw, Vbw, Zw, gw, bw, maskw)."""
+        K = power.shape[0]                 # static chunk shape
         Xw = np.concatenate([self._ctx_X, power.T], axis=1)
         yw = np.concatenate([self._ctx_y, y_new.T], axis=1)
         Vbw = np.concatenate([self._ctx_Vb, Vb_new.T], axis=1)
@@ -618,7 +638,25 @@ class StreamingM2Enhancer(_StreamingOLA):
              (np.arange(K) < k).astype(np.float32)])
         Xw = np.maximum(Xw, 1e-12)         # benign pad values
         Vbw = np.maximum(Vbw, 1e-10)
+        return Xw, yw, Vbw, Zw, gw, bw, maskw
 
+    def _pre_block(self, frames, k):
+        """Per-chunk host stage ahead of the block EM: analysis, causal
+        SPP/label recurrences, encoder warm init, fixed-shape window
+        assembly. Returns (block_args, aux): `block_args` are the
+        per-stream `_m2_block_em` inputs after `dec_params`; `aux` is the
+        state `_post_block` needs. `MultiStreamM2Enhancer` composes the
+        same stages (`_pre_state`/`_labels`/`_assemble_window`/
+        `_post_state`) with each device call batched across streams."""
+        re, im, power = _analyze_frames_jit(jnp.asarray(frames))
+        power = np.asarray(power)          # (chunk, F)
+        Vb_new, spp = self._pre_state(power, k)
+        y_new = self._labels(power, spp, k)   # (chunk, y_dim)
+        Z_new = np.asarray(_m2_init_z_jit(
+            self.enc, jnp.asarray(power), jnp.asarray(y_new)))
+        self._note_latent_dim(Z_new)
+        Xw, yw, Vbw, Zw, gw, bw, maskw = self._assemble_window(
+            power, Vb_new, y_new, Z_new, k)
         y_pre = self._proj(self.dec, jnp.asarray(yw), self._L)
         block_args = (jnp.asarray(Xw), y_pre, jnp.asarray(Vbw),
                       jnp.asarray(Zw), jnp.asarray(gw), jnp.asarray(bw),
@@ -626,11 +664,10 @@ class StreamingM2Enhancer(_StreamingOLA):
         aux = (re, im, power, Xw, yw, Vbw, maskw)
         return block_args, aux
 
-    def _post_block(self, out, aux, k):
-        """Consume the block-EM outputs (numpy (Z, g, b, WFs)): residual
-        tracking, context rebuild for the next block, masked synthesis.
-        Returns (enhanced windowed frames, masks) like
-        `_enhance_frame_batch`."""
+    def _post_state(self, out, aux, k):
+        """Host half of the block epilogue: residual tracking + context
+        rebuild. Returns the (chunk, F) Wiener gains for the new frames
+        (synthesis happens separately so the pool can batch it)."""
         Z, g, bfr, WFs = out
         re, im, power, Xw, yw, Vbw, maskw = aux
         nb = self.noise_gain_bands
@@ -668,7 +705,13 @@ class StreamingM2Enhancer(_StreamingOLA):
             self._ctx_b[:, lead:] = bfr[:, keep]
         self._ctx_valid[:lead] = 0.0
         self._ctx_valid[lead:] = 1.0
+        return m
 
+    def _post_block(self, out, aux, k):
+        """Block epilogue for the single-stream path: host state update
+        + masked synthesis. Returns (enhanced windowed frames, masks)."""
+        m = self._post_state(out, aux, k)
+        re, im = aux[0], aux[1]
         y = _synth_frames_jit(re, im, jnp.asarray(m))
         return y, m.astype(np.float16)
 
@@ -793,39 +836,96 @@ class MultiStreamM2Enhancer:
         return ready
 
     def _tick(self, ready):
-        """One batched block: each ready slot contributes one chunk; all
-        chunks run as one vmapped device program."""
-        lanes = []
-        for sid, s, t_end in ready:
-            k = min(s.chunk_frames, t_end - s._t_done)
-            t0 = s._t_done
-            frames = s._take_frames(s._pad, t0, k)
-            block_args, aux = s._pre_block(frames, k)
-            lanes.append((s, t0, k, block_args, aux))
-        # bucket the lane count to the next power of two (capped at
-        # max_streams): a lightly occupied pool pays at most 2x its live
-        # lanes in padded compute instead of always max_streams lanes,
-        # at a bounded compile count (log2(max_streams)+1 programs)
+        """One batched block: each ready slot contributes one chunk, and
+        EVERY device program of the chunk path — analysis, classifier
+        probabilities, encoder warm init, label projection, the vmapped
+        block EM, synthesis — runs ONCE for all streams. A tick costs ~6
+        dispatches regardless of occupancy (the per-slot path costs ~5
+        each, which dominates on high-latency links). Host-side causal
+        recurrences (SPP/VAD/residual/context) stay per-slot, in lane
+        order.
+
+        The lane count is bucketed to the next power of two (capped at
+        max_streams): a lightly occupied pool pays at most 2x its live
+        lanes in padded compute at a bounded compile count
+        (log2(max_streams)+1 programs per distinct chunk path)."""
+        lanes = [(s, s._t_done, min(s.chunk_frames, t_end - s._t_done))
+                 for sid, s, t_end in ready]
+        s0 = lanes[0][0]
+        n = len(lanes)
         n_lanes = 1
-        while n_lanes < len(lanes):
+        while n_lanes < n:
             n_lanes *= 2
         n_lanes = min(n_lanes, self.max_streams)
-        n_args = len(lanes[0][3])
-        stacked = []
-        for j in range(n_args):
-            rows = [lane[3][j] for lane in lanes]
-            # pad to the bucket with copies of lane 0 (discarded)
-            rows += [rows[0]] * (n_lanes - len(rows))
-            stacked.append(jnp.stack(rows))
-        s0 = lanes[0][0]
+        lane_idx = list(range(n)) + [0] * (n_lanes - n)  # pad = lane 0
+        K, Fb = s0.chunk_frames, NFFT // 2 + 1
+
+        # A: one analysis program for every stream's chunk
+        frames_all = np.stack([
+            lanes[j][0]._take_frames(lanes[j][0]._pad, lanes[j][1],
+                                     lanes[j][2])
+            for j in lane_idx
+        ])                                           # (n_lanes, K, nfft)
+        re, im, power_d = _analyze_frames_jit(
+            jnp.asarray(frames_all.reshape(n_lanes * K, NFFT)))
+        power = np.asarray(power_d).reshape(n_lanes, K, Fb)
+
+        # B: causal host recurrences, per slot
+        states = [s._pre_state(power[i], k)
+                  for i, (s, t0, k) in enumerate(lanes)]
+
+        # C: guidance labels — one classifier call for every stream when
+        # the pool uses the DNN source (slots share config: all-or-none)
+        if s0.label_mode == "dnn":
+            probs = np.asarray(_dnn_probs_jit(
+                s0.cls, jnp.asarray(power.reshape(n_lanes * K, Fb)),
+                s0.mean, s0.std, s0.eps)).reshape(n_lanes, K, -1)
+            y_news = [s._labels(power[i], states[i][1], k,
+                                dnn_probs=probs[i])
+                      for i, (s, t0, k) in enumerate(lanes)]
+        else:
+            y_news = [s._labels(power[i], states[i][1], k)
+                      for i, (s, t0, k) in enumerate(lanes)]
+
+        # D: encoder warm init, one call
+        y_cat = np.concatenate([y_news[j] for j in lane_idx], axis=0)
+        Z_all = np.asarray(_m2_init_z_jit(
+            s0.enc, jnp.asarray(power.reshape(n_lanes * K, Fb)),
+            jnp.asarray(y_cat)))                     # (L, n_lanes*K)
+        L = Z_all.shape[0]
+
+        # E: host window assembly per slot + one projection call
+        winds = []
+        for i, (s, t0, k) in enumerate(lanes):
+            Z_new = Z_all[:, i * K:(i + 1) * K]
+            s._note_latent_dim(Z_new)
+            winds.append(s._assemble_window(
+                power[i], states[i][0], y_news[i], Z_new, k))
+        yws = np.stack([winds[j][1] for j in lane_idx])
+        y_pre_all = _label_proj_batched(s0.dec, jnp.asarray(yws), L)
+
+        def stacked(j):
+            return jnp.asarray(np.stack([winds[li][j] for li in lane_idx]))
+
         out = _m2_block_em_batched(
-            s0.dec, *stacked, iters=s0.block_iters, e_steps=s0.e_steps,
-            lr=s0.lr, noise_gain=s0.noise_gain,
-            n_bands=s0.noise_gain_bands)
+            s0.dec, stacked(0), y_pre_all, stacked(2), stacked(3),
+            stacked(4), stacked(5), stacked(6),
+            iters=s0.block_iters, e_steps=s0.e_steps, lr=s0.lr,
+            noise_gain=s0.noise_gain, n_bands=s0.noise_gain_bands)
         out = [np.asarray(o) for o in out]
-        for lane, (s, t0, k, _, aux) in enumerate(lanes):
-            y, m = s._post_block(tuple(o[lane] for o in out), aux, k)
-            s._ola_accumulate(t0, y, m, k)
+
+        # F: host epilogue per slot, then one synthesis program
+        ms = []
+        for i, (s, t0, k) in enumerate(lanes):
+            aux = (None, None, power[i], winds[i][0], winds[i][1],
+                   winds[i][2], winds[i][6])
+            ms.append(s._post_state(tuple(o[i] for o in out), aux, k))
+        m_all = np.stack([ms[j] for j in lane_idx])
+        y_all = np.asarray(_synth_frames_jit(
+            re, im, jnp.asarray(m_all.reshape(n_lanes * K, Fb))))
+        for i, (s, t0, k) in enumerate(lanes):
+            s._ola_accumulate(t0, y_all[i * K:(i + 1) * K],
+                              ms[i].astype(np.float16), k)
 
     def step(self):
         """Process every ready chunk of every live stream in batched
