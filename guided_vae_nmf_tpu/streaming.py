@@ -664,12 +664,11 @@ class StreamingM2Enhancer(_StreamingOLA):
         aux = (re, im, power, Xw, yw, Vbw, maskw)
         return block_args, aux
 
-    def _post_state(self, out, aux, k):
+    def _post_state(self, out, power, Xw, yw, Vbw, maskw, k):
         """Host half of the block epilogue: residual tracking + context
         rebuild. Returns the (chunk, F) Wiener gains for the new frames
         (synthesis happens separately so the pool can batch it)."""
         Z, g, bfr, WFs = out
-        re, im, power, Xw, yw, Vbw, maskw = aux
         nb = self.noise_gain_bands
         m = WFs[:, self.C:].T              # (chunk, F) gains, new frames
 
@@ -710,8 +709,8 @@ class StreamingM2Enhancer(_StreamingOLA):
     def _post_block(self, out, aux, k):
         """Block epilogue for the single-stream path: host state update
         + masked synthesis. Returns (enhanced windowed frames, masks)."""
-        m = self._post_state(out, aux, k)
-        re, im = aux[0], aux[1]
+        re, im, power, Xw, yw, Vbw, maskw = aux
+        m = self._post_state(out, power, Xw, yw, Vbw, maskw, k)
         y = _synth_frames_jit(re, im, jnp.asarray(m))
         return y, m.astype(np.float16)
 
@@ -752,8 +751,15 @@ class MultiStreamM2Enhancer:
 
     Every stream's output matches a dedicated `StreamingM2Enhancer` fed
     the same samples to float tolerance (lanes are independent; XLA may
-    tile the batched matmuls differently, so bitwise equality is not
-    guaranteed — pinned in tests/test_streaming.py). The per-tick
+    tile the batched analysis/classifier/encoder/EM programs differently
+    at different lane counts, so bitwise equality is not guaranteed —
+    pinned in tests/test_streaming.py). One edge of that caveat: with
+    hard guidance (`soft_guidance=False`) a classifier probability or
+    SPP value lying within ~1 ulp of the 0.5 threshold could flip a
+    binary label between the pooled and dedicated programs, amplifying
+    the ulp into a visible (still quality-neutral) output difference;
+    `soft_guidance=True` conditions on the probabilities themselves and
+    has no such discontinuity. The per-tick
     program has a FIXED lane count (`max_streams`): partially occupied
     ticks pad with copies of a live lane to the next power-of-two lane
     bucket (capped at `max_streams`), so the pool compiles at most
@@ -860,12 +866,10 @@ class MultiStreamM2Enhancer:
         lane_idx = list(range(n)) + [0] * (n_lanes - n)  # pad = lane 0
         K, Fb = s0.chunk_frames, NFFT // 2 + 1
 
-        # A: one analysis program for every stream's chunk
-        frames_all = np.stack([
-            lanes[j][0]._take_frames(lanes[j][0]._pad, lanes[j][1],
-                                     lanes[j][2])
-            for j in lane_idx
-        ])                                           # (n_lanes, K, nfft)
+        # A: one analysis program for every stream's chunk (pad lanes
+        # reuse lane 0's already-extracted block)
+        blocks = [s._take_frames(s._pad, t0, k) for s, t0, k in lanes]
+        frames_all = np.stack([blocks[j] for j in lane_idx])
         re, im, power_d = _analyze_frames_jit(
             jnp.asarray(frames_all.reshape(n_lanes * K, NFFT)))
         power = np.asarray(power_d).reshape(n_lanes, K, Fb)
@@ -877,9 +881,11 @@ class MultiStreamM2Enhancer:
         # C: guidance labels — one classifier call for every stream when
         # the pool uses the DNN source (slots share config: all-or-none)
         if s0.label_mode == "dnn":
+            # power_d is already the (n_lanes*K, F) device array — no
+            # host round-trip on the latency-critical path
             probs = np.asarray(_dnn_probs_jit(
-                s0.cls, jnp.asarray(power.reshape(n_lanes * K, Fb)),
-                s0.mean, s0.std, s0.eps)).reshape(n_lanes, K, -1)
+                s0.cls, power_d, s0.mean, s0.std,
+                s0.eps)).reshape(n_lanes, K, -1)
             y_news = [s._labels(power[i], states[i][1], k,
                                 dnn_probs=probs[i])
                       for i, (s, t0, k) in enumerate(lanes)]
@@ -890,7 +896,7 @@ class MultiStreamM2Enhancer:
         # D: encoder warm init, one call
         y_cat = np.concatenate([y_news[j] for j in lane_idx], axis=0)
         Z_all = np.asarray(_m2_init_z_jit(
-            s0.enc, jnp.asarray(power.reshape(n_lanes * K, Fb)),
+            s0.enc, power_d,
             jnp.asarray(y_cat)))                     # (L, n_lanes*K)
         L = Z_all.shape[0]
 
@@ -917,9 +923,10 @@ class MultiStreamM2Enhancer:
         # F: host epilogue per slot, then one synthesis program
         ms = []
         for i, (s, t0, k) in enumerate(lanes):
-            aux = (None, None, power[i], winds[i][0], winds[i][1],
-                   winds[i][2], winds[i][6])
-            ms.append(s._post_state(tuple(o[i] for o in out), aux, k))
+            Xw, yw, Vbw, maskw = (winds[i][0], winds[i][1],
+                                  winds[i][2], winds[i][6])
+            ms.append(s._post_state(tuple(o[i] for o in out),
+                                    power[i], Xw, yw, Vbw, maskw, k))
         m_all = np.stack([ms[j] for j in lane_idx])
         y_all = np.asarray(_synth_frames_jit(
             re, im, jnp.asarray(m_all.reshape(n_lanes * K, Fb))))

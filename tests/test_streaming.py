@@ -457,6 +457,47 @@ def test_multistream_matches_single():
                         err_msg=f"stream {i}")
 
 
+def test_multistream_dnn_labels_match_single():
+    """The pool's batched classifier path (one `_dnn_probs_jit` call per
+    tick, sliced per lane) produces the same guidance — and therefore
+    the same output — as a dedicated stream running the classifier on
+    its own chunk."""
+    from guided_vae_nmf_tpu.models import classifier_init
+    from guided_vae_nmf_tpu.streaming import (
+        MultiStreamM2Enhancer, StreamingM2Enhancer,
+    )
+
+    dgm, kw = _m2_cfg()
+    kw = dict(kw, label_mode="dnn",
+              classifier_params=classifier_init(
+                  jax.random.PRNGKey(3), [513, [16], 513]),
+              mean=np.full((513,), 0.01, np.float32),
+              std=np.full((513,), 0.02, np.float32))
+    sigs = [_pool_signal(s, n) for s, n in ((4, 12000), (5, 16000))]
+
+    singles = []
+    for x in sigs:
+        enh = StreamingM2Enhancer(dgm, **kw)
+        singles.append(np.concatenate([enh.push(x), enh.flush()]))
+
+    pool = MultiStreamM2Enhancer(dgm, max_streams=2, **kw)
+    sids = [pool.open() for _ in sigs]
+    outs = {sid: [] for sid in sids}
+    for lo in range(0, 16000, 4000):
+        for sid, x in zip(sids, sigs):
+            pool.feed(sid, x[lo:lo + 4000])
+        for sid, arr in pool.step().items():
+            outs[sid].append(arr)
+    for sid in sids:
+        outs[sid].append(pool.flush(sid))
+        pool.close(sid)
+    for i, x in enumerate(sigs):
+        got = np.concatenate(outs[sids[i]])
+        assert len(got) == len(x)
+        assert_allclose(got, singles[i], atol=2e-5, rtol=1e-4,
+                        err_msg=f"dnn stream {i}")
+
+
 def test_multistream_slot_lifecycle():
     """Admission control, recycling, and misuse guards."""
     from guided_vae_nmf_tpu.streaming import MultiStreamM2Enhancer
