@@ -135,25 +135,36 @@ def main():
         X_pb, maskb, y_bb,
     ))
 
-    def run():
+    def make_run(fast):
         # Timed device program: MCEM engine + Wiener filtering + batched
         # masked ISTFT. Fast mode (bf16 sample dumps + approximate
         # reciprocal) is validated quality-neutral on the trained-model
         # subset run (|dSI-SDR| <= 0.01 dB, |dESTOI| <= 0.001;
-        # VALIDATION.md).
-        s_est, n_est, WFs, WFn = _enhance_to_audio_jit(
-            params, *dev_args, keys, cfg, use_fused=on_tpu, fast=on_tpu,
-        )
-        # scalar fetch forces completion without a bulk tunnel D2H
-        return float(jnp.sum(s_est[:, :16]) + jnp.sum(WFs[:, 0, 0]))
+        # VALIDATION.md); 'trans' additionally uses the bit-arithmetic
+        # exp/log (<3e-7 rel err, chain-equivalence-tested) — which of
+        # the two wins depends on the chip's transcendental issue rate,
+        # so the bench times both and reports the faster.
+        def run():
+            s_est, n_est, WFs, WFn = _enhance_to_audio_jit(
+                params, *dev_args, keys, cfg, use_fused=on_tpu, fast=fast,
+            )
+            # scalar fetch forces completion without a bulk tunnel D2H
+            return float(jnp.sum(s_est[:, :16]) + jnp.sum(WFs[:, 0, 0]))
+        return run
 
-    run()  # compile + warm up
-    times = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        run()
-        times.append(time.perf_counter() - t0)
-    dt = sorted(times)[len(times) // 2]
+    def median_time(run, reps=3):
+        run()  # compile + warm up
+        times = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            run()
+            times.append(time.perf_counter() - t0)
+        return sorted(times)[len(times) // 2]
+
+    variants = ((True, "fast"), ("trans", "fast_trans")) if on_tpu \
+        else ((False, "exact"),)
+    dt, variant = min(
+        (median_time(make_run(fast)), name) for fast, name in variants)
 
     rtf = audio_sec / dt
     print(json.dumps({
@@ -161,6 +172,7 @@ def main():
         "value": round(rtf, 2),
         "unit": "x_realtime_per_chip",
         "vs_baseline": round(rtf / 200.0, 3),
+        "variant": variant,
     }))
 
 

@@ -205,6 +205,23 @@ def _spp2_two_pass(run_engine, Vb_spp, X_p, keys, cfg):
     return run_engine(Vb2, keys2)
 
 
+def _fast_kwargs(fast):
+    """Fused-engine kwargs for the `fast` level: False = exact; truthy =
+    bf16 sample dumps + approximate reciprocal, no cost trace (the
+    validated quality-neutral fast mode, VALIDATION.md); the string
+    'trans' additionally swaps the chain's per-bin exp/log for the
+    bit-arithmetic versions (<3e-7 rel err — an order tighter than the
+    already-validated bf16 dumps' 3e-3; equivalence pinned in
+    tests/mcem/test_pallas.py::test_approx_trans_chain_matches_exact)."""
+    if not fast:
+        return {}
+    kw = dict(samples_dtype=jnp.bfloat16, approx_recip=True,
+              compute_cost=False)
+    if fast == "trans":
+        kw["approx_trans"] = True
+    return kw
+
+
 def _mcem_wf_istft(vae_params, X_re, X_im, X_p, mask, y, keys, cfg,
                    use_fused, noise_model, fast):
     """Shared traced core: engine selection -> MCEM -> Wiener filtering ->
@@ -241,8 +258,7 @@ def _mcem_wf_istft(vae_params, X_re, X_im, X_p, mask, y, keys, cfg,
             from .mcem import peem_mcem_m2_batch
 
             pcfg, mcfg = cfg.split()
-            kw = dict(samples_dtype=jnp.bfloat16, approx_recip=True,
-                      compute_cost=False) if fast else {}
+            kw = _fast_kwargs(fast)
             return peem_mcem_m2_batch(vae_params, X_p, mask, y, keys, pcfg,
                                       mcfg, update_nmf=update_nmf,
                                       Vb_fixed=Vb_fixed, use_fused=use_fused,
@@ -253,8 +269,7 @@ def _mcem_wf_istft(vae_params, X_re, X_im, X_p, mask, y, keys, cfg,
             return fn(*args, keys, cfg, update_nmf=update_nmf,
                       Vb_fixed=Vb_fixed)
         if use_fused:
-            kw = dict(samples_dtype=jnp.bfloat16, approx_recip=True,
-                      compute_cost=False) if fast else {}
+            kw = _fast_kwargs(fast)
             return mcem_batch_fused(vae_params, X_p, mask, y, keys, cfg,
                                     update_nmf=update_nmf,
                                     Vb_fixed=Vb_fixed, **kw)

@@ -499,3 +499,20 @@ def test_enhance_files_skip_existing(tmp_path):
     assert enhance_files(files, PROCESSED, str(tmp_path), vae,
                          model_type="m1", cfg=FAST_CFG,
                          skip_existing=True) == 0.0
+
+
+def test_fast_kwargs_levels():
+    """The `fast` level -> fused-engine kwargs mapping: False = exact,
+    truthy = bf16 dumps + approx reciprocal, 'trans' adds the
+    bit-arithmetic exp/log (bench.py auto-picks between the two on
+    hardware)."""
+    import jax.numpy as jnp
+
+    from guided_vae_nmf_tpu.pipeline import _fast_kwargs
+
+    assert _fast_kwargs(False) == {}
+    base = _fast_kwargs(True)
+    assert base == dict(samples_dtype=jnp.bfloat16, approx_recip=True,
+                        compute_cost=False)
+    trans = _fast_kwargs("trans")
+    assert trans == dict(base, approx_trans=True)
