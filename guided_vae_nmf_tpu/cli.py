@@ -1,0 +1,359 @@
+"""gvnmf — the unified console entry point of the framework.
+
+The reference repo has no CLI at all (19 bare scripts with constant
+SETTINGS blocks, SURVEY §1); this package keeps reference-style script
+equivalents under `scripts/` and adds one installable command
+(`[project.scripts]` in pyproject.toml) for the common operations:
+
+    gvnmf enhance  in.wav out.wav --model DIR [--classifier DIR] ...
+    gvnmf stream   in.wav out.wav --model DIR ...      # online, chunked
+    gvnmf metrics  --clean s.wav --enhanced sh.wav [--mixture x.wav]
+    gvnmf serve    --models DIR [--port 8571] ...      # HTTP front end
+    gvnmf doctor                                       # bounded env check
+    gvnmf version
+
+Everything is a thin argparse layer over the tested library surface
+(pipeline / streaming / serving / metrics); no logic lives here.
+"""
+
+import argparse
+import os
+import sys
+
+os.environ.setdefault(
+    "GVNMF_CACHE_DIR", os.path.expanduser("~/.cache/gvnmf_xla")
+)
+
+
+# ---------------------------------------------------------------------------
+# enhance (offline wav -> wav)
+# ---------------------------------------------------------------------------
+
+def _build_cfg(a):
+    from .mcem import HybridConfig, MCEMConfig, PEEMConfig
+
+    if a.algorithm == "hybrid":
+        cfg = HybridConfig(niter=a.niter, refine=a.refine)
+    elif a.algorithm == "peem":
+        cfg = PEEMConfig(niter=a.niter, noise_gain=a.noise_gain,
+                         noise_gain_bands=a.noise_gain_bands)
+    else:
+        cfg = MCEMConfig(niter=a.niter, noise_gain=a.noise_gain,
+                         noise_gain_bands=a.noise_gain_bands)
+    return cfg
+
+
+def _load_guidance(a):
+    """(classifier_params, mean, std) for --label dnn, else Nones."""
+    from .train import load_model, load_norm_stats
+
+    if a.label != "dnn":
+        return None, None, None
+    if not a.classifier:
+        raise SystemExit("--classifier <ckpt-or-dir> is required with "
+                         "--label dnn")
+    cls = load_model(a.classifier, kind="classifier")
+    cdir = (a.classifier if os.path.isdir(a.classifier)
+            else os.path.dirname(a.classifier))
+    mean, std = load_norm_stats(cdir)
+    return cls, mean, std
+
+
+def cmd_enhance(a):
+    import jax
+    import numpy as np
+
+    from .data import read_wav, write_wav
+    from .dsp import stft
+    from .pipeline import enhance_to_audio, make_labels
+    from .train import load_model
+
+    x, fs = read_wav(a.input)
+    if fs != 16000:
+        raise SystemExit(f"expected 16 kHz input, got {fs} Hz")
+    X_tf = stft(x)
+    cfg = _build_cfg(a)
+
+    ys = None
+    if a.model_type == "m2":
+        params = load_model(a.model, kind="dgm",
+                            y_dim=1 if a.target == "vad" else 513)
+        cls, mean, std = _load_guidance(a)
+        y_soft, y_hard = make_labels(
+            a.label, np.abs(X_tf) ** 2, s_path=a.s_ref,
+            classifier_params=cls, mean=mean, std=std, target=a.target)
+        ys = [y_soft if a.soft_labels else y_hard]
+    else:
+        params = load_model(a.model, kind="vae")
+
+    keys = jax.random.split(jax.random.PRNGKey(a.seed), 1)
+    s_list, n_list = enhance_to_audio(
+        params, [X_tf], [len(x)], ys=ys, keys=keys, cfg=cfg,
+        noise_model=a.noise_model, fast=a.fast)
+    write_wav(a.output, np.asarray(s_list[0]), fs)
+    if a.noise_out:
+        write_wav(a.noise_out, np.asarray(n_list[0]), fs)
+    print(f"enhanced {a.input} -> {a.output} "
+          f"({len(x) / fs:.1f}s, {a.algorithm}/{a.noise_model}, "
+          f"niter={a.niter})")
+    return 0
+
+
+# ---------------------------------------------------------------------------
+# stream (online wav -> wav through the streaming flagship)
+# ---------------------------------------------------------------------------
+
+def cmd_stream(a):
+    import numpy as np
+
+    from .data import read_wav, write_wav
+    from .streaming import HOP, StreamingM2Enhancer
+    from .train import load_model
+
+    x, fs = read_wav(a.input)
+    if fs != 16000:
+        raise SystemExit(f"expected 16 kHz input, got {fs} Hz")
+    dgm = load_model(a.model, kind="dgm",
+                     y_dim=1 if a.target == "vad" else 513)
+    cls, mean, std = _load_guidance(a)
+    enh = StreamingM2Enhancer(
+        dgm, classifier_params=cls, mean=mean, std=std,
+        chunk_frames=a.chunk_frames, context_frames=a.context_frames,
+        block_iters=a.block_iters, e_steps=a.e_steps,
+        label_mode=a.label, soft_guidance=a.soft_labels,
+        residual_tracking=a.stream_residual, noise_gain=a.noise_gain,
+        noise_gain_bands=a.noise_gain_bands)
+    chunk = a.chunk_frames * HOP
+    outs = [enh.push(x[lo:lo + chunk]) for lo in range(0, len(x), chunk)]
+    outs.append(enh.flush())
+    y = np.concatenate(outs)
+    write_wav(a.output, y, fs)
+    latency_ms = (a.chunk_frames * HOP + 1024) / fs * 1000.0
+    print(f"streamed {a.input} -> {a.output} "
+          f"({len(x) / fs:.1f}s, chunk={a.chunk_frames} frames, "
+          f"algorithmic latency ~{latency_ms:.0f} ms)")
+    return 0
+
+
+# ---------------------------------------------------------------------------
+# metrics (pairwise quality report)
+# ---------------------------------------------------------------------------
+
+def cmd_metrics(a):
+    from .data import read_wav
+    from .metrics import energy_ratios, mos_lqo_wb, stoi
+    from .metrics.pesq import pesq
+
+    s, fs = read_wav(a.clean)
+    sh, fs2 = read_wav(a.enhanced)
+    if fs != fs2:
+        raise SystemExit(f"sample-rate mismatch: {fs} vs {fs2}")
+    ln = min(len(s), len(sh))
+    s, sh = s[:ln], sh[:ln]
+    rows = [
+        ("ESTOI", f"{stoi(s, sh, fs, True):.4f}"),
+        ("PESQ-wb (MOS-LQO)", f"{mos_lqo_wb(pesq(fs, s, sh, 'wb')):.3f}"),
+    ]
+    if a.mixture:
+        x, _ = read_wav(a.mixture)
+        n = x[:ln] - s
+        sdr, sir, sar = energy_ratios(sh, s, n)
+        rows += [("SI-SDR", f"{sdr:+.2f} dB"),
+                 ("SI-SIR", f"{sir:+.2f} dB"),
+                 ("SI-SAR", f"{sar:+.2f} dB")]
+    width = max(len(k) for k, _ in rows)
+    for k, v in rows:
+        print(f"{k:<{width}}  {v}")
+    return 0
+
+
+# ---------------------------------------------------------------------------
+# serve (HTTP front end; also backs scripts/serve_http.py)
+# ---------------------------------------------------------------------------
+
+def cmd_serve(a):
+    import time
+
+    from .http_serving import build_server
+
+    srv = build_server(
+        a.models, host=a.host, port=a.port, niter=a.niter,
+        noise_model=a.noise_model, noise_gain=a.noise_gain,
+        noise_gain_bands=a.noise_gain_bands, soft_labels=a.soft_labels,
+        fast=a.fast, wait_ms=a.wait_ms, warmup=a.warmup,
+        stream=bool(a.stream), chunk_frames=a.chunk_frames,
+        stream_residual=a.stream_residual,
+        pooled_streams=bool(a.pooled_streams),
+        max_streams=a.max_streams, tick_ms=a.tick_ms)
+    srv.start()
+    print(f"serving on http://{a.host}:{srv.port} "
+          f"(niter={a.niter}, noise_model={a.noise_model}, "
+          f"soft={a.soft_labels}, fast={a.fast})", flush=True)
+    try:
+        while True:
+            time.sleep(3600)
+    except KeyboardInterrupt:
+        pass
+    finally:
+        srv.close()
+    return 0
+
+
+# ---------------------------------------------------------------------------
+# doctor (bounded environment diagnostics)
+# ---------------------------------------------------------------------------
+
+def cmd_doctor(a):
+    """Never hangs on a wedged accelerator tunnel: the backend probe runs
+    in a subprocess with a hard timeout (scripts/doctor.py is the
+    repo-tree variant with deeper checks)."""
+    import subprocess
+
+    def row(name, value, ok=True):
+        print(f"  {'ok ' if ok else 'FAIL'} {name}: {value}")
+
+    print("gvnmf doctor")
+    import jax
+
+    row("jax", jax.__version__)
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(len(jax.devices()), "
+             "jax.default_backend())"],
+            capture_output=True, text=True, timeout=a.probe_s)
+        if out.returncode == 0:
+            n, backend = out.stdout.split()
+            row("backend", f"{backend} ({n} device(s))")
+        else:
+            row("backend", out.stderr.strip()[-120:], ok=False)
+    except subprocess.TimeoutExpired:
+        row("backend", f"init unresponsive after {a.probe_s:.0f}s "
+            "(wedged tunnel or no accelerator)", ok=False)
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; jax.config.update('jax_platforms', 'cpu'); "
+             "import jax.numpy as jnp; "
+             "print(float(jnp.dot(jnp.ones(4), jnp.ones(4))))"],
+            capture_output=True, text=True, timeout=a.probe_s)
+        row("cpu fallback", "compiles and runs" if out.returncode == 0
+            else out.stderr.strip()[-120:], ok=out.returncode == 0)
+    except subprocess.TimeoutExpired:
+        row("cpu fallback", "timed out", ok=False)
+    from .data.native_loader import is_available
+
+    row("native C++ loader", "loaded" if is_available()
+        else "absent (pure-Python fallback, bit-identical)")
+    cache = os.environ.get("GVNMF_CACHE_DIR", "")
+    row("XLA compile cache", cache if os.path.isdir(cache) else "unset")
+    return 0
+
+
+def cmd_version(a):
+    try:
+        from importlib.metadata import version
+
+        print(version("guided-vae-nmf-tpu"))
+    except Exception:
+        print("0.1.0 (source tree)")
+    return 0
+
+
+# ---------------------------------------------------------------------------
+# parser
+# ---------------------------------------------------------------------------
+
+def _add_engine_flags(p):
+    p.add_argument("--algorithm", choices=("mcem", "peem", "hybrid"),
+                   default="mcem")
+    p.add_argument("--niter", type=int, default=100)
+    p.add_argument("--refine", type=int, default=150,
+                   help="MCEM refinement iterations (--algorithm hybrid)")
+    p.add_argument("--noise_model",
+                   choices=("nmf", "spp", "spp2", "hybrid"), default="nmf")
+    p.add_argument("--noise_gain", action="store_true")
+    p.add_argument("--noise_gain_bands", type=int, default=1)
+    p.add_argument("--soft_labels", action="store_true")
+    p.add_argument("--fast", action="store_true",
+                   help="bf16 dumps + approx reciprocal (fused engine)")
+
+
+def _add_guidance_flags(p, label_default="dnn"):
+    p.add_argument("--label", default=label_default,
+                   choices=("dnn", "oracle", "timo", "ones", "zeros"))
+    p.add_argument("--target", choices=("ibm", "vad"), default="ibm")
+    p.add_argument("--classifier", help="classifier ckpt/dir (--label dnn)")
+    p.add_argument("--s_ref", help="clean wav (--label oracle)")
+
+
+def build_parser():
+    ap = argparse.ArgumentParser(
+        prog="gvnmf",
+        description="TPU-native guided-VAE + NMF speech enhancement")
+    sub = ap.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("enhance", help="offline wav -> enhanced wav")
+    p.add_argument("input")
+    p.add_argument("output")
+    p.add_argument("--model", required=True, help="M1/M2 ckpt or dir")
+    p.add_argument("--model_type", choices=("m1", "m2"), default="m2")
+    p.add_argument("--noise_out", help="also write the noise estimate")
+    p.add_argument("--seed", type=int, default=0)
+    _add_guidance_flags(p)
+    _add_engine_flags(p)
+    p.set_defaults(fn=cmd_enhance)
+
+    p = sub.add_parser("stream", help="online chunked wav -> wav")
+    p.add_argument("input")
+    p.add_argument("output")
+    p.add_argument("--model", required=True, help="M2 ckpt or dir")
+    p.add_argument("--chunk_frames", type=int, default=8)
+    p.add_argument("--context_frames", type=int, default=24)
+    p.add_argument("--block_iters", type=int, default=6)
+    p.add_argument("--e_steps", type=int, default=4)
+    p.add_argument("--stream_residual", action="store_true")
+    p.add_argument("--noise_gain", action="store_true")
+    p.add_argument("--noise_gain_bands", type=int, default=1)
+    p.add_argument("--soft_labels", action="store_true")
+    _add_guidance_flags(p, label_default="timo")
+    p.set_defaults(fn=cmd_stream)
+
+    p = sub.add_parser("metrics", help="quality report for a wav pair")
+    p.add_argument("--clean", required=True)
+    p.add_argument("--enhanced", required=True)
+    p.add_argument("--mixture", help="adds the SI-SDR decomposition")
+    p.set_defaults(fn=cmd_metrics)
+
+    p = sub.add_parser("serve", help="HTTP enhancement front end")
+    p.add_argument("--models", default="artifacts/pretrained",
+                   help="dir holding M2_ibm/ and classifier_ibm/")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8571)
+    p.add_argument("--wait_ms", type=float, default=20.0)
+    p.add_argument("--warmup", action="store_true")
+    p.add_argument("--stream", type=int, default=1)
+    p.add_argument("--pooled_streams", type=int, default=0)
+    p.add_argument("--max_streams", type=int, default=8)
+    p.add_argument("--tick_ms", type=float, default=5.0)
+    p.add_argument("--chunk_frames", type=int, default=8)
+    p.add_argument("--stream_residual", action="store_true")
+    _add_engine_flags(p)
+    p.set_defaults(fn=cmd_serve)
+
+    p = sub.add_parser("doctor", help="bounded environment diagnostics")
+    p.add_argument("--probe_s", type=float, default=30.0)
+    p.set_defaults(fn=cmd_doctor)
+
+    p = sub.add_parser("version", help="print the package version")
+    p.set_defaults(fn=cmd_version)
+    return ap
+
+
+def main(argv=None):
+    a = build_parser().parse_args(argv)
+    return a.fn(a)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

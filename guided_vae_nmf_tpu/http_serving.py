@@ -446,3 +446,65 @@ class EnhancementHTTPServer:
             self._httpd.shutdown()       # only serve_forever() ever sets
             self._thread.join(timeout=10)
         self._httpd.server_close()
+
+
+def build_server(models_dir, host="127.0.0.1", port=8571, niter=100,
+                 noise_model="spp", noise_gain=False, noise_gain_bands=1,
+                 soft_labels=False, fast=False, wait_ms=20.0, warmup=False,
+                 stream=True, chunk_frames=8, stream_residual=False,
+                 pooled_streams=False, max_streams=8, tick_ms=5.0):
+    """Assemble the full serving stack from a pretrained-models directory
+    (M2_ibm/ + classifier_ibm/): EnhancementService + optional streaming
+    endpoint (dedicated or pooled) + the HTTP front end. Shared by
+    `scripts/serve_http.py` and `gvnmf serve` — returns the (unstarted)
+    EnhancementHTTPServer; the caller owns both lifetimes."""
+    import os
+
+    from .mcem import MCEMConfig
+    from .serving import EnhancementService, ServeConfig
+    from .train import load_model, load_norm_stats
+
+    m2 = load_model(os.path.join(models_dir, "M2_ibm"), kind="dgm")
+    cls = load_model(os.path.join(models_dir, "classifier_ibm"),
+                     kind="classifier")
+    mean, std = load_norm_stats(os.path.join(models_dir, "classifier_ibm"))
+
+    svc = EnhancementService(
+        m2, classifier_params=cls, mean=mean, std=std,
+        cfg=MCEMConfig(niter=niter, noise_gain=noise_gain,
+                       noise_gain_bands=noise_gain_bands),
+        serve=ServeConfig(max_wait_ms=wait_ms, label_mode="dnn",
+                          noise_model=noise_model,
+                          soft_guidance=soft_labels, fast=fast),
+    )
+    if warmup:
+        print(f"warmup: {svc.warmup():.1f}s", flush=True)
+        svc.reset_stats()
+
+    stream_factory = None
+    stream_kw = dict(classifier_params=cls, mean=mean, std=std,
+                     chunk_frames=chunk_frames, soft_guidance=soft_labels,
+                     residual_tracking=stream_residual,
+                     noise_gain=noise_gain,
+                     noise_gain_bands=noise_gain_bands, label_mode="dnn")
+    if stream and pooled_streams:
+        from .streaming import (
+            MultiStreamM2Enhancer, PooledStreamSession, StreamPoolDriver,
+        )
+
+        driver = StreamPoolDriver(
+            MultiStreamM2Enhancer(m2, max_streams=max_streams,
+                                  **stream_kw),
+            tick_ms=tick_ms)
+
+        def stream_factory():
+            return PooledStreamSession(driver)
+    elif stream:
+        from .streaming import StreamingM2Enhancer
+
+        def stream_factory():
+            return StreamingM2Enhancer(m2, **stream_kw)
+
+    return EnhancementHTTPServer(svc, host=host, port=port, quiet=False,
+                                 stream_factory=stream_factory,
+                                 max_streams=max_streams)

@@ -143,3 +143,38 @@ def load_resume_state(model_dir, opt_state_template, static=None):
     ]
     opt_state = jax.tree_util.tree_unflatten(treedef, new_leaves)
     return epoch, params, opt_state
+
+
+def load_model(path_or_dir, kind="vae", y_dim=513):
+    """Load model params from a .ckpt.npz, a reference torch .pt
+    (models.torch_import), or — given a directory — its best (lowest
+    vloss) checkpoint. `kind`: 'vae' | 'dgm' | 'classifier'."""
+    path = path_or_dir
+    if os.path.isdir(path):
+        path = best_checkpoint(path)
+        if path is None:
+            raise FileNotFoundError(f"no checkpoints in {path_or_dir}")
+    if path.endswith(".pt"):
+        from ..models import import_classifier, import_dgm, import_vae
+
+        if kind == "classifier":
+            return import_classifier(path)
+        if kind == "dgm":
+            return import_dgm(path, y_dim)
+        return import_vae(path)
+    static = None
+    if kind == "dgm":
+        static = {"y_dim": y_dim}
+    elif kind == "classifier":
+        static = {"batch_norm": False}
+    return load_params(path, static=static)
+
+
+def load_norm_stats(model_dir):
+    """trainset_mean.npy / trainset_std.npy side-cars (reference
+    evaluate_M2_ibm.py:188-194); (None, None) when absent."""
+    mean_p = os.path.join(model_dir, "trainset_mean.npy")
+    std_p = os.path.join(model_dir, "trainset_std.npy")
+    if os.path.exists(mean_p):
+        return np.load(mean_p), np.load(std_p)
+    return None, None

@@ -4,7 +4,7 @@ Serves the flagship configuration (M2 + DNN classifier, SPP noise model)
 from the shipped pretrained artifacts over plain HTTP via the
 dynamic-batching EnhancementService — concurrent POSTs co-batch onto the
 device. stdlib HTTP only; see guided_vae_nmf_tpu/http_serving.py for the
-API (POST /v1/enhance, GET /healthz, GET /stats).
+API (POST /v1/enhance, GET /healthz, GET /stats, GET /metrics).
 
 Also serves POST /v1/enhance_stream — ONLINE enhancement (PCM16 in/out,
 chunked transfer both ways, ~chunk_frames x 16 ms + 64 ms latency) via a
@@ -12,7 +12,8 @@ per-connection StreamingM2Enhancer; disable with --stream 0. With
 --pooled_streams 1, concurrent stream connections share ONE batched
 device program per tick (MultiStreamM2Enhancer + StreamPoolDriver)
 instead of one dispatch per stream — higher per-chip stream capacity at
-up to --tick_ms extra latency.
+up to --tick_ms extra latency. Stack construction is shared with
+`gvnmf serve` (http_serving.build_server).
 
 Usage: python scripts/serve_http.py [--host 0.0.0.0] [--port 8571]
        [--models artifacts/pretrained] [--niter 100]
@@ -24,6 +25,7 @@ Usage: python scripts/serve_http.py [--host 0.0.0.0] [--port 8571]
 
 import os
 import sys
+import time
 
 sys.path.insert(0, ".")
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -32,7 +34,7 @@ os.environ.setdefault(
     "GVNMF_CACHE_DIR", os.path.expanduser("~/.cache/gvnmf_xla")
 )
 
-from _common import flag, load_model, load_norm_stats
+from _common import flag
 
 
 def main(argv=None):
@@ -55,69 +57,26 @@ def main(argv=None):
     max_streams = flag(argv, "max_streams", 8, int)
     tick_ms = flag(argv, "tick_ms", 5.0, float)
 
-    from guided_vae_nmf_tpu.http_serving import EnhancementHTTPServer
-    from guided_vae_nmf_tpu.mcem import MCEMConfig
-    from guided_vae_nmf_tpu.serving import EnhancementService, ServeConfig
+    from guided_vae_nmf_tpu.http_serving import build_server
 
-    m2 = load_model(os.path.join(models, "M2_ibm"), kind="dgm")
-    cls = load_model(os.path.join(models, "classifier_ibm"),
-                     kind="classifier")
-    mean, std = load_norm_stats(os.path.join(models, "classifier_ibm"))
-
-    svc = EnhancementService(
-        m2, classifier_params=cls, mean=mean, std=std,
-        cfg=MCEMConfig(niter=niter, noise_gain=noise_gain,
-                       noise_gain_bands=ng_bands),
-        serve=ServeConfig(max_wait_ms=wait_ms, label_mode="dnn",
-                          noise_model=noise_model, soft_guidance=soft,
-                          fast=fast),
-    )
-    if warmup:
-        print(f"warmup: {svc.warmup():.1f}s", flush=True)
-        svc.reset_stats()
-
-    stream_factory = None
-    driver = None
-    stream_kw = dict(classifier_params=cls, mean=mean, std=std,
-                     chunk_frames=chunk_frames, soft_guidance=soft,
-                     residual_tracking=residual, noise_gain=noise_gain,
-                     noise_gain_bands=ng_bands, label_mode="dnn")
-    if stream and pooled:
-        from guided_vae_nmf_tpu.streaming import (
-            MultiStreamM2Enhancer, PooledStreamSession, StreamPoolDriver,
-        )
-
-        driver = StreamPoolDriver(
-            MultiStreamM2Enhancer(m2, max_streams=max_streams,
-                                  **stream_kw),
-            tick_ms=tick_ms)
-
-        def stream_factory():
-            return PooledStreamSession(driver)
-    elif stream:
-        from guided_vae_nmf_tpu.streaming import StreamingM2Enhancer
-
-        def stream_factory():
-            return StreamingM2Enhancer(m2, **stream_kw)
-
-    srv = EnhancementHTTPServer(svc, host=host, port=port, quiet=False,
-                                stream_factory=stream_factory,
-                                max_streams=max_streams)
+    srv = build_server(
+        models, host=host, port=port, niter=niter,
+        noise_model=noise_model, noise_gain=noise_gain,
+        noise_gain_bands=ng_bands, soft_labels=soft, fast=fast,
+        wait_ms=wait_ms, warmup=warmup, stream=stream,
+        chunk_frames=chunk_frames, stream_residual=residual,
+        pooled_streams=pooled, max_streams=max_streams, tick_ms=tick_ms)
     srv.start()
     print(f"serving on http://{host}:{srv.port} "
           f"(niter={niter}, noise_model={noise_model}, "
           f"soft={soft}, fast={fast})", flush=True)
     try:
-        import time
         while True:
             time.sleep(3600)
     except KeyboardInterrupt:
         pass
     finally:
         srv.close()
-        if driver is not None:
-            driver.shutdown()
-        svc.close()
 
 
 if __name__ == "__main__":

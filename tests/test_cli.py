@@ -1,0 +1,125 @@
+"""The `gvnmf` console entry point (guided_vae_nmf_tpu/cli.py): every
+subcommand exercised end-to-end against the bundled subset + shipped
+pretrained artifacts (beyond-reference surface; the reference has no CLI
+at all, SURVEY §1)."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from conftest import REFERENCE_DATA, has_reference_data
+from guided_vae_nmf_tpu.data import read_wav
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ART = os.path.join(REPO, "artifacts", "pretrained")
+MIX_DIR = os.path.join(REFERENCE_DATA,
+                       "processed/CSR-1-WSJ-0/WAV/wsj0/si_et_05/440")
+
+pytestmark = pytest.mark.skipif(
+    not (has_reference_data() and os.path.isdir(ART)),
+    reason="reference subset or pretrained artifacts absent")
+
+
+def _run(*args, timeout=600):
+    env = dict(os.environ)
+    # GVNMF_PLATFORM beats the deployment site hook that would otherwise
+    # re-pin the subprocess to the accelerator tunnel (package __init__)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["GVNMF_PLATFORM"] = "cpu"
+    env["PYTHONPATH"] = REPO + ":" + env.get("PYTHONPATH", "")
+    return subprocess.run(
+        [sys.executable, "-m", "guided_vae_nmf_tpu.cli", *args],
+        capture_output=True, text=True, timeout=timeout, cwd=REPO,
+        env=env)
+
+
+def test_cli_help_and_version():
+    out = _run("--help", timeout=120)
+    assert out.returncode == 0
+    for cmd in ("enhance", "stream", "metrics", "serve", "doctor"):
+        assert cmd in out.stdout
+    out = _run("version", timeout=120)
+    assert out.returncode == 0 and out.stdout.strip()
+
+
+def test_cli_enhance_and_metrics(tmp_path):
+    mix = os.path.join(MIX_DIR, "440c020a_x.wav")
+    clean = os.path.join(MIX_DIR, "440c020a_s.wav")
+    s_out = str(tmp_path / "s.wav")
+    n_out = str(tmp_path / "n.wav")
+    out = _run("enhance", mix, s_out, "--model", f"{ART}/M2_ibm",
+               "--classifier", f"{ART}/classifier_ibm",
+               "--niter", "3", "--noise_model", "spp",
+               "--noise_out", n_out)
+    assert out.returncode == 0, out.stderr[-800:]
+    x, fs = read_wav(mix)
+    s, _ = read_wav(s_out)
+    n, _ = read_wav(n_out)
+    assert fs == 16000 and len(s) == len(x) == len(n)
+    assert np.all(np.isfinite(s))
+
+    out = _run("metrics", "--clean", clean, "--enhanced", s_out,
+               "--mixture", mix)
+    assert out.returncode == 0, out.stderr[-800:]
+    for key in ("ESTOI", "PESQ-wb", "SI-SDR", "SI-SIR", "SI-SAR"):
+        assert key in out.stdout
+
+
+def test_cli_enhance_peem_m1(tmp_path):
+    """Algorithm + model-type coverage: label-free M1 enhancement through
+    the deterministic PEEM engine, loading a bare .ckpt.npz path (no
+    shipped M1 artifact — the CLI must accept file checkpoints too)."""
+    import jax
+
+    from guided_vae_nmf_tpu.models import vae_init
+    from guided_vae_nmf_tpu.train import save_params
+
+    ckpt = save_params(str(tmp_path), "M1", 1, 0.0,
+                       vae_init(jax.random.PRNGKey(0), [513, 16, [32]]))
+    mix = os.path.join(MIX_DIR, "440c020b_x.wav")
+    s_out = str(tmp_path / "s.wav")
+    out = _run("enhance", mix, s_out, "--model", ckpt,
+               "--model_type", "m1", "--algorithm", "peem",
+               "--niter", "3", "--noise_model", "spp")
+    assert out.returncode == 0, out.stderr[-800:]
+    s, _ = read_wav(s_out)
+    assert len(s) == len(read_wav(mix)[0])
+
+
+def test_cli_stream(tmp_path):
+    mix = os.path.join(MIX_DIR, "440c020a_x.wav")
+    y_out = str(tmp_path / "y.wav")
+    out = _run("stream", mix, y_out, "--model", f"{ART}/M2_ibm",
+               "--label", "timo", "--block_iters", "2", "--e_steps", "2")
+    assert out.returncode == 0, out.stderr[-800:]
+    y, _ = read_wav(y_out)
+    assert len(y) == len(read_wav(mix)[0])
+    assert np.all(np.isfinite(y))
+
+
+def test_cli_doctor():
+    out = _run("doctor", "--probe_s", "20")
+    assert out.returncode == 0, out.stderr[-800:]
+    assert "cpu fallback" in out.stdout
+
+
+def test_build_server_shared_factory():
+    """http_serving.build_server (shared by `gvnmf serve` and
+    scripts/serve_http.py) assembles a working stack from the artifacts
+    directory: health endpoint answers on an ephemeral port."""
+    import json
+    from urllib.request import urlopen
+
+    from guided_vae_nmf_tpu.http_serving import build_server
+
+    srv = build_server(ART, port=0, niter=2, pooled_streams=True,
+                       max_streams=2).start()
+    try:
+        with urlopen(f"http://127.0.0.1:{srv.port}/healthz",
+                     timeout=10) as r:
+            assert json.load(r)["status"] == "ok"
+    finally:
+        srv.close()
