@@ -47,6 +47,9 @@ def _load_guidance(a):
     """(classifier_params, mean, std) for --label dnn, else Nones."""
     from .train import load_model, load_norm_stats
 
+    if a.label == "oracle" and not getattr(a, "s_ref", None):
+        raise SystemExit("--s_ref <clean wav> is required with "
+                         "--label oracle")
     if a.label != "dnn":
         return None, None, None
     if not a.classifier:
@@ -148,14 +151,17 @@ def cmd_metrics(a):
     sh, fs2 = read_wav(a.enhanced)
     if fs != fs2:
         raise SystemExit(f"sample-rate mismatch: {fs} vs {fs2}")
-    ln = min(len(s), len(sh))
+    x = None
+    if a.mixture:
+        x, _ = read_wav(a.mixture)
+    ln = min(len(s), len(sh)) if x is None else min(len(s), len(sh),
+                                                    len(x))
     s, sh = s[:ln], sh[:ln]
     rows = [
         ("ESTOI", f"{stoi(s, sh, fs, True):.4f}"),
         ("PESQ-wb (MOS-LQO)", f"{mos_lqo_wb(pesq(fs, s, sh, 'wb')):.3f}"),
     ]
-    if a.mixture:
-        x, _ = read_wav(a.mixture)
+    if x is not None:
         n = x[:ln] - s
         sdr, sir, sar = energy_ratios(sh, s, n)
         rows += [("SI-SDR", f"{sdr:+.2f} dB"),
@@ -195,7 +201,7 @@ def cmd_serve(a):
     except KeyboardInterrupt:
         pass
     finally:
-        srv.close()
+        srv.close_all()
     return 0
 
 
@@ -222,8 +228,9 @@ def cmd_doctor(a):
              "import jax; print(len(jax.devices()), "
              "jax.default_backend())"],
             capture_output=True, text=True, timeout=a.probe_s)
-        if out.returncode == 0:
-            n, backend = out.stdout.split()
+        if out.returncode == 0 and len(out.stdout.split()) >= 2:
+            # last two tokens: runtime banners may precede the print
+            n, backend = out.stdout.split()[-2:]
             row("backend", f"{backend} ({n} device(s))")
         else:
             row("backend", out.stderr.strip()[-120:], ok=False)
@@ -279,12 +286,14 @@ def _add_engine_flags(p):
                    help="bf16 dumps + approx reciprocal (fused engine)")
 
 
-def _add_guidance_flags(p, label_default="dnn"):
-    p.add_argument("--label", default=label_default,
-                   choices=("dnn", "oracle", "timo", "ones", "zeros"))
+def _add_guidance_flags(p, label_default="dnn",
+                        choices=("dnn", "oracle", "timo", "ones",
+                                 "zeros")):
+    p.add_argument("--label", default=label_default, choices=choices)
     p.add_argument("--target", choices=("ibm", "vad"), default="ibm")
     p.add_argument("--classifier", help="classifier ckpt/dir (--label dnn)")
-    p.add_argument("--s_ref", help="clean wav (--label oracle)")
+    if "oracle" in choices:
+        p.add_argument("--s_ref", help="clean wav (--label oracle)")
 
 
 def build_parser():
@@ -316,7 +325,8 @@ def build_parser():
     p.add_argument("--noise_gain", action="store_true")
     p.add_argument("--noise_gain_bands", type=int, default=1)
     p.add_argument("--soft_labels", action="store_true")
-    _add_guidance_flags(p, label_default="timo")
+    # causal label sources only: the stream has no oracle/constant modes
+    _add_guidance_flags(p, label_default="timo", choices=("dnn", "timo"))
     p.set_defaults(fn=cmd_stream)
 
     p = sub.add_parser("metrics", help="quality report for a wav pair")
@@ -338,7 +348,16 @@ def build_parser():
     p.add_argument("--tick_ms", type=float, default=5.0)
     p.add_argument("--chunk_frames", type=int, default=8)
     p.add_argument("--stream_residual", action="store_true")
-    _add_engine_flags(p)
+    # serving runs the MCEM flagship config; default = the real-noise
+    # serving point (matches scripts/serve_http.py and build_server)
+    p.add_argument("--niter", type=int, default=100)
+    p.add_argument("--noise_model",
+                   choices=("nmf", "spp", "spp2", "hybrid"), default="spp")
+    p.add_argument("--noise_gain", action="store_true")
+    p.add_argument("--noise_gain_bands", type=int, default=1)
+    p.add_argument("--soft_labels", action="store_true")
+    p.add_argument("--fast", action="store_true",
+                   help="bf16 dumps + approx reciprocal (fused engine)")
     p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("doctor", help="bounded environment diagnostics")

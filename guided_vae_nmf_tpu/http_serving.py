@@ -412,6 +412,9 @@ class EnhancementHTTPServer:
                  quiet=True, stream_factory=None, max_streams=8):
         import collections
 
+        self._service = service
+        self._stream_driver = None   # set by build_server (pooled mode)
+
         handler = type("BoundHandler", (_Handler,), {
             "service": service, "fs": fs, "quiet": quiet,
             # staticmethod: a bare function stored in the class dict would
@@ -447,6 +450,17 @@ class EnhancementHTTPServer:
             self._thread.join(timeout=10)
         self._httpd.server_close()
 
+    def close_all(self):
+        """Close the HTTP front end AND the underlying service (drains
+        in-flight requests) and, when `build_server` attached one, the
+        stream pool's ticker thread. Use for stacks owned end-to-end
+        (scripts/serve_http.py, `gvnmf serve`); plain `close()` keeps the
+        service alive for other in-process users."""
+        self.close()
+        if self._stream_driver is not None:
+            self._stream_driver.shutdown()
+        self._service.close()
+
 
 def build_server(models_dir, host="127.0.0.1", port=8571, niter=100,
                  noise_model="spp", noise_gain=False, noise_gain_bands=1,
@@ -457,7 +471,8 @@ def build_server(models_dir, host="127.0.0.1", port=8571, niter=100,
     (M2_ibm/ + classifier_ibm/): EnhancementService + optional streaming
     endpoint (dedicated or pooled) + the HTTP front end. Shared by
     `scripts/serve_http.py` and `gvnmf serve` — returns the (unstarted)
-    EnhancementHTTPServer; the caller owns both lifetimes."""
+    EnhancementHTTPServer; its `close_all()` tears down the whole stack
+    (HTTP + pool ticker + service drain)."""
     import os
 
     from .mcem import MCEMConfig
@@ -482,6 +497,7 @@ def build_server(models_dir, host="127.0.0.1", port=8571, niter=100,
         svc.reset_stats()
 
     stream_factory = None
+    driver = None
     stream_kw = dict(classifier_params=cls, mean=mean, std=std,
                      chunk_frames=chunk_frames, soft_guidance=soft_labels,
                      residual_tracking=stream_residual,
@@ -505,6 +521,8 @@ def build_server(models_dir, host="127.0.0.1", port=8571, niter=100,
         def stream_factory():
             return StreamingM2Enhancer(m2, **stream_kw)
 
-    return EnhancementHTTPServer(svc, host=host, port=port, quiet=False,
-                                 stream_factory=stream_factory,
-                                 max_streams=max_streams)
+    srv = EnhancementHTTPServer(svc, host=host, port=port, quiet=False,
+                                stream_factory=stream_factory,
+                                max_streams=max_streams)
+    srv._stream_driver = driver          # close_all() owns the stack
+    return srv

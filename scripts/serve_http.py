@@ -76,7 +76,7 @@ def main(argv=None):
     except KeyboardInterrupt:
         pass
     finally:
-        srv.close()
+        srv.close_all()
 
 
 if __name__ == "__main__":

@@ -122,4 +122,14 @@ def test_build_server_shared_factory():
                      timeout=10) as r:
             assert json.load(r)["status"] == "ok"
     finally:
-        srv.close()
+        # full-stack teardown: HTTP + pool ticker + service drain
+        srv.close_all()
+    assert srv._stream_driver is not None    # pooled mode attached it
+
+
+def test_cli_stream_rejects_non_causal_labels():
+    """The stream subcommand only offers causal label sources."""
+    out = _run("stream", "in.wav", "out.wav", "--model", "x",
+               "--label", "oracle", timeout=120)
+    assert out.returncode == 2
+    assert "invalid choice" in out.stderr
