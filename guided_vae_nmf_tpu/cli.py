@@ -62,6 +62,21 @@ def _load_guidance(a):
     return cls, mean, std
 
 
+def _expand_inputs(pattern):
+    """One wav path, a glob, or a directory -> sorted wav list."""
+    from glob import glob
+
+    if os.path.isdir(pattern):
+        files = sorted(glob(os.path.join(pattern, "*.wav")))
+    elif any(ch in pattern for ch in "*?["):
+        files = sorted(glob(pattern))
+    else:
+        files = [pattern]
+    if not files:
+        raise SystemExit(f"no wav files match {pattern!r}")
+    return files
+
+
 def cmd_enhance(a):
     import jax
     import numpy as np
@@ -71,33 +86,57 @@ def cmd_enhance(a):
     from .pipeline import enhance_to_audio, make_labels
     from .train import load_model
 
-    x, fs = read_wav(a.input)
-    if fs != 16000:
-        raise SystemExit(f"expected 16 kHz input, got {fs} Hz")
-    X_tf = stft(x)
-    cfg = _build_cfg(a)
+    files = _expand_inputs(a.input)
+    batch_out = len(files) > 1
+    if batch_out and a.s_ref:
+        raise SystemExit("--s_ref applies to a single input only")
+    if batch_out and a.noise_out:
+        raise SystemExit("--noise_out applies to a single input only")
+    if batch_out or os.path.isdir(a.output):
+        os.makedirs(a.output, exist_ok=True)
 
-    ys = None
+    cfg = _build_cfg(a)
     if a.model_type == "m2":
         params = load_model(a.model, kind="dgm",
                             y_dim=1 if a.target == "vad" else 513)
         cls, mean, std = _load_guidance(a)
-        y_soft, y_hard = make_labels(
-            a.label, np.abs(X_tf) ** 2, s_path=a.s_ref,
-            classifier_params=cls, mean=mean, std=std, target=a.target)
-        ys = [y_soft if a.soft_labels else y_hard]
     else:
         params = load_model(a.model, kind="vae")
 
-    keys = jax.random.split(jax.random.PRNGKey(a.seed), 1)
+    waves, X_tfs, ys = [], [], [] if a.model_type == "m2" else None
+    for path in files:
+        x, fs = read_wav(path)
+        if fs != 16000:
+            raise SystemExit(f"{path}: expected 16 kHz input, got {fs} Hz")
+        X_tf = stft(x)
+        waves.append(x)
+        X_tfs.append(X_tf)
+        if ys is not None:
+            y_soft, y_hard = make_labels(
+                a.label, np.abs(X_tf) ** 2, s_path=a.s_ref,
+                classifier_params=cls, mean=mean, std=std,
+                target=a.target)
+            ys.append(y_soft if a.soft_labels else y_hard)
+
+    # all inputs run as ONE padded device batch (pipeline bucketing)
+    keys = jax.random.split(jax.random.PRNGKey(a.seed), len(files))
     s_list, n_list = enhance_to_audio(
-        params, [X_tf], [len(x)], ys=ys, keys=keys, cfg=cfg,
-        noise_model=a.noise_model, fast=a.fast)
-    write_wav(a.output, np.asarray(s_list[0]), fs)
-    if a.noise_out:
-        write_wav(a.noise_out, np.asarray(n_list[0]), fs)
-    print(f"enhanced {a.input} -> {a.output} "
-          f"({len(x) / fs:.1f}s, {a.algorithm}/{a.noise_model}, "
+        params, X_tfs, [len(x) for x in waves], ys=ys, keys=keys,
+        cfg=cfg, noise_model=a.noise_model, fast=a.fast)
+
+    total_s = sum(len(x) for x in waves) / 16000.0
+    for i, path in enumerate(files):
+        if batch_out or os.path.isdir(a.output):
+            base = os.path.splitext(os.path.basename(path))[0]
+            out = os.path.join(a.output, base + "_enhanced.wav")
+        else:
+            out = a.output
+        write_wav(out, np.asarray(s_list[i]), 16000)
+        if a.noise_out:
+            write_wav(a.noise_out, np.asarray(n_list[i]), 16000)
+    dest = a.output if not batch_out else f"{a.output}/ ({len(files)} files)"
+    print(f"enhanced {a.input} -> {dest} "
+          f"({total_s:.1f}s, {a.algorithm}/{a.noise_model}, "
           f"niter={a.niter})")
     return 0
 
@@ -303,8 +342,10 @@ def build_parser():
     sub = ap.add_subparsers(dest="command", required=True)
 
     p = sub.add_parser("enhance", help="offline wav -> enhanced wav")
-    p.add_argument("input")
-    p.add_argument("output")
+    p.add_argument("input", help="wav file, glob, or directory "
+                   "(multiple inputs run as one padded device batch)")
+    p.add_argument("output", help="output wav (single input) or "
+                   "directory (writes <name>_enhanced.wav per input)")
     p.add_argument("--model", required=True, help="M1/M2 ckpt or dir")
     p.add_argument("--model_type", choices=("m1", "m2"), default="m2")
     p.add_argument("--noise_out", help="also write the noise estimate")

@@ -89,6 +89,21 @@ def test_cli_enhance_peem_m1(tmp_path):
     assert len(s) == len(read_wav(mix)[0])
 
 
+def test_cli_enhance_batch_glob(tmp_path):
+    """Glob input -> one padded device batch -> per-file outputs in the
+    output directory."""
+    out = _run("enhance", os.path.join(MIX_DIR, "440c020*_x.wav"),
+               str(tmp_path), "--model", f"{ART}/M2_ibm",
+               "--label", "timo", "--niter", "2", "--noise_model", "spp")
+    assert out.returncode == 0, out.stderr[-800:]
+    for utt in ("a", "b", "c"):
+        mix = os.path.join(MIX_DIR, f"440c020{utt}_x.wav")
+        est = tmp_path / f"440c020{utt}_x_enhanced.wav"
+        assert est.exists()
+        assert len(read_wav(str(est))[0]) == len(read_wav(mix)[0])
+    assert "3 files" in out.stdout
+
+
 def test_cli_stream(tmp_path):
     mix = os.path.join(MIX_DIR, "440c020a_x.wav")
     y_out = str(tmp_path / "y.wav")
