@@ -28,6 +28,8 @@ from .spp import (
     timo_vad_estimation,
     timo_noise_estimation,
     spp_track_jax,
+    spp_track_chunk,
+    spp_state_init,
     timo_mask_estimation_jax,
     timo_vad_estimation_jax,
 )

@@ -138,23 +138,18 @@ def timo_noise_estimation(spectrogram, mask):
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=("num_frames_init",))
-def spp_track_jax(power, fixed_smooth=SPP_FIX_SMOOTH,
-                  prob_smooth=SPP_PROB_SMOOTH, prior=SPP_PRIOR,
-                  snr_opt_db=SPP_SNR_OPT_DB,
-                  num_frames_init=SPP_NUM_FRAMES_INIT):
-    """Jittable SPP tracker over a (bins, frames) power spectrogram.
-
-    Returns (noise_psd, spp), both (bins, frames). Per-frame recurrence as a
-    `lax.scan` over the frame axis; the init-phase branch is a `where` on the
-    frame counter. vmap over a leading batch axis for utterance batches.
-    """
+def _spp_step(fixed_smooth, prob_smooth, prior, snr_opt_db,
+              num_frames_init, gated=False):
+    """Per-frame scan body shared by the whole-track and the
+    state-carrying chunk trackers. With `gated=True` the scanned input is
+    (per, valid): frames with valid <= 0 emit outputs but do NOT advance
+    the carried state (streaming pads)."""
     snr_opt_lin = 10.0 ** (snr_opt_db / 10.0)
     glr_factor = (1 - prior) / prior * (1.0 + snr_opt_lin)
     glr_exp = snr_opt_lin / (1.0 + snr_opt_lin)
-    n_bins = power.shape[0]
 
-    def step(carry, per):
+    def step(carry, inp):
+        per, valid = inp if gated else (inp, None)
         old_psd, smooth_prob, idx = carry
         # init phase: accumulate average, SPP = 0
         init_psd = old_psd + per / num_frames_init
@@ -171,8 +166,63 @@ def spp_track_jax(power, fixed_smooth=SPP_FIX_SMOOTH,
         new_smooth = jnp.where(in_init, smooth_prob, smooth2)
         out_psd = jnp.where(in_init, per, track_psd)
         out_spp = jnp.where(in_init, jnp.zeros_like(spp), spp)
+        if gated:
+            keep = valid > 0
+            new_old = jnp.where(keep, new_old, old_psd)
+            new_smooth = jnp.where(keep, new_smooth, smooth_prob)
+            idx = jnp.where(keep, idx + 1, idx)
+            return (new_old, new_smooth, idx), (out_psd, out_spp)
         return (new_old, new_smooth, idx + 1), (out_psd, out_spp)
 
+    return step
+
+
+def spp_state_init(n_bins, dtype=jnp.float32):
+    """Fresh carried state for :func:`spp_track_chunk` — equivalent to the
+    tracker before its first frame."""
+    return (jnp.zeros((n_bins,), dtype), jnp.zeros((n_bins,), dtype),
+            jnp.asarray(0, jnp.int32))
+
+
+@partial(jax.jit, static_argnames=("num_frames_init",))
+def spp_track_chunk(power, state, n_valid=None,
+                    fixed_smooth=SPP_FIX_SMOOTH,
+                    prob_smooth=SPP_PROB_SMOOTH, prior=SPP_PRIOR,
+                    snr_opt_db=SPP_SNR_OPT_DB,
+                    num_frames_init=SPP_NUM_FRAMES_INIT):
+    """State-carrying chunk tracker: (bins, frames) power + carried state
+    -> (noise_psd, spp, new_state). Feeding a track chunk-by-chunk equals
+    :func:`spp_track_jax` on the whole track exactly (same f32 scan body)
+    — the streaming enhancers' causal recurrence as ONE device scan per
+    chunk instead of a per-frame host loop. `n_valid` (traced scalar)
+    gates state advancement so end-of-stream pad rows emit benign outputs
+    without polluting the carry; vmap over a leading batch axis (states
+    stacked likewise) for the multi-stream pool."""
+    K = power.shape[1]
+    step = _spp_step(fixed_smooth, prob_smooth, prior, snr_opt_db,
+                     num_frames_init, gated=True)
+    if n_valid is None:
+        valid = jnp.ones((K,), jnp.int32)
+    else:
+        valid = (jnp.arange(K) < n_valid).astype(jnp.int32)
+    state, (psd, spp) = lax.scan(step, state, (power.T, valid))
+    return psd.T, spp.T, state
+
+
+@partial(jax.jit, static_argnames=("num_frames_init",))
+def spp_track_jax(power, fixed_smooth=SPP_FIX_SMOOTH,
+                  prob_smooth=SPP_PROB_SMOOTH, prior=SPP_PRIOR,
+                  snr_opt_db=SPP_SNR_OPT_DB,
+                  num_frames_init=SPP_NUM_FRAMES_INIT):
+    """Jittable SPP tracker over a (bins, frames) power spectrogram.
+
+    Returns (noise_psd, spp), both (bins, frames). Per-frame recurrence as a
+    `lax.scan` over the frame axis; the init-phase branch is a `where` on the
+    frame counter. vmap over a leading batch axis for utterance batches.
+    """
+    n_bins = power.shape[0]
+    step = _spp_step(fixed_smooth, prob_smooth, prior, snr_opt_db,
+                     num_frames_init)
     init = (
         jnp.zeros((n_bins,), power.dtype),
         jnp.zeros((n_bins,), power.dtype),

@@ -305,22 +305,26 @@ class StreamingSPPEnhancer(_StreamingOLA):
     track equals `timo_mask_estimation` of the whole spectrogram."""
 
     def __init__(self, chunk_frames=64):
-        from .mcem.spp import SPPNoiseEstimator
-
-        self._est = SPPNoiseEstimator(frame_length=NFFT)
         super().__init__(chunk_frames)
 
     def reset(self):
         super().reset()
-        if hasattr(self, "_est"):
-            self._est.reset()
+        from .mcem.spp import spp_state_init
+
+        # device-carried tracker state (psd, smoothed prob, frame count):
+        # the whole chunk recurrence is ONE lax.scan on device instead of
+        # a per-frame host loop (round-3 change; the n_valid gate keeps
+        # pad rows out of the carry)
+        self._spp_state = spp_state_init(NFFT // 2 + 1)
 
     def _enhance_frame_batch(self, frames, k):
+        from .mcem.spp import spp_track_chunk
+
         re, im, power = _analyze_frames_jit(jnp.asarray(frames))
-        power = np.asarray(power)
-        m = np.zeros_like(power)
-        for i in range(k):  # causal recurrence, frame order; NEVER feed
-            _, m[i] = self._est.update(power[i])  # the zero pad rows
+        _, spp, self._spp_state = spp_track_chunk(
+            power.T, self._spp_state, n_valid=k)
+        m = np.zeros_like(np.asarray(power))
+        m[:k] = np.asarray(spp).T[:k]      # pad rows stay masked out
         y = _synth_frames_jit(re, im, jnp.asarray(m))
         return y, m.astype(np.float16)
 
@@ -433,6 +437,18 @@ def _label_proj_batched(dec_params, ys, L):
 
 
 @jax.jit
+def _spp_chunk_batched(powers, states, n_valids):
+    """vmapped state-carrying SPP scan: (n, F, K) power + stacked states
+    + (n,) valid counts -> (psd, spp, new states) — the pool's per-tick
+    noise tracks in ONE device program."""
+    from .mcem.spp import spp_track_chunk
+
+    return jax.vmap(
+        lambda p, s, n: spp_track_chunk(p, s, n_valid=n))(
+            powers, states, n_valids)
+
+
+@jax.jit
 def _m2_init_z_jit(enc_params, Xnew, y_new):
     """Encoder posterior mean for new frames: (k, F) power + (k, y_dim)
     labels -> (L, k) latent init (reference mcem.py:214-215)."""
@@ -464,7 +480,6 @@ class StreamingM2Enhancer(_StreamingOLA):
                  soft_guidance=False, residual_tracking=False,
                  residual_alpha=0.5, noise_gain=False,
                  noise_gain_init="ones", noise_gain_bands=1, eps=1e-8):
-        from .mcem.spp import SPPNoiseEstimator
         from .mcem.engine import _precompute_label_proj
 
         if label_mode == "dnn" and classifier_params is None:
@@ -535,17 +550,18 @@ class StreamingM2Enhancer(_StreamingOLA):
         self.lr = lr
         self.eps = eps
         self._proj = _precompute_label_proj
-        self._est = SPPNoiseEstimator(frame_length=NFFT)
         self._L = None  # latent dim, resolved on first block
         super().__init__(chunk_frames)
 
     def reset(self):
         super().reset()
-        if hasattr(self, "_est"):
-            self._est.reset()
-            from .mcem.spp import SPPNoiseEstimator
+        if hasattr(self, "C"):     # base reset() fires before full init
+            from .mcem.spp import spp_state_init
 
-            self._vad_est = SPPNoiseEstimator(frame_length=0)
+            # device-carried causal trackers (noise PSD + frame VAD):
+            # each chunk's recurrence is one lax.scan on device
+            self._spp_state = spp_state_init(NFFT // 2 + 1)
+            self._vad_state = spp_state_init(1)
             F = NFFT // 2 + 1
             C = self.C
             self._ctx_X = np.zeros((F, C), np.float32)
@@ -573,11 +589,13 @@ class StreamingM2Enhancer(_StreamingOLA):
         if self.label_mode == "timo":
             if self.y_dim == 1:
                 # frame VAD = SPP of summed power (spp.timo_vad_estimation)
+                from .mcem.spp import spp_track_chunk
+
+                _, vspp, self._vad_state = spp_track_chunk(
+                    jnp.asarray(power.sum(axis=1)[None, :]),
+                    self._vad_state, n_valid=k)
                 vad = np.zeros((power.shape[0], 1), np.float32)
-                for i in range(k):
-                    _, s1 = self._vad_est.update(
-                        np.atleast_1d(power[i].sum()))
-                    vad[i, 0] = s1[0]
+                vad[:k] = np.asarray(vspp).T[:k]
                 if self.soft_guidance:
                     return vad
                 return (vad > 0.5).astype(np.float32)
@@ -589,17 +607,30 @@ class StreamingM2Enhancer(_StreamingOLA):
             y = (y > 0.5)
         return np.asarray(y, np.float32)
 
-    def _pre_state(self, power, k):
-        """Causal host recurrences over this chunk: SPP noise track +
-        residual floor. Returns (Vb_new, spp), both (chunk, F)."""
+    def _pre_state_from_track(self, power, psd_T, spp_T, k):
+        """Shape the (F, chunk) device SPP track into the (chunk, F)
+        (Vb_new, spp) pair with benign pad rows + the host residual
+        floor. Split from `_pre_state` so the pool can run ONE batched
+        scan for every lane and apply this per slot."""
         Vb_new = np.ones_like(power)
         spp = np.zeros_like(power)
-        for i in range(k):                 # causal SPP recurrence
-            Vb_new[i], spp[i] = self._est.update(power[i])
+        Vb_new[:k] = np.asarray(psd_T).T[:k]
+        spp[:k] = np.asarray(spp_T).T[:k]
         if self.residual_tracking and self._res is not None:
             # noise floor from the enhanced residual of PAST blocks
             Vb_new[:k] = np.maximum(Vb_new[:k], self._res)
         return Vb_new, spp
+
+    def _pre_state(self, power, k):
+        """Causal recurrences over this chunk: the SPP noise track runs
+        as ONE device scan (state carried on device, pad rows gated by
+        n_valid) + the host residual floor. Returns (Vb_new, spp), both
+        (chunk, F)."""
+        from .mcem.spp import spp_track_chunk
+
+        psd, spp_d, self._spp_state = spp_track_chunk(
+            jnp.asarray(power.T), self._spp_state, n_valid=k)
+        return self._pre_state_from_track(power, psd, spp_d, k)
 
     def _note_latent_dim(self, Z_new):
         if self._L is None:
@@ -874,9 +905,21 @@ class MultiStreamM2Enhancer:
             jnp.asarray(frames_all.reshape(n_lanes * K, NFFT)))
         power = np.asarray(power_d).reshape(n_lanes, K, Fb)
 
-        # B: causal host recurrences, per slot
-        states = [s._pre_state(power[i], k)
-                  for i, (s, t0, k) in enumerate(lanes)]
+        # B: causal SPP noise tracks — ONE batched device scan for every
+        # lane (pad lanes carry copies of lane 0's state; their outputs
+        # and updated states are discarded), then the host residual
+        # floor per slot
+        st_in = [lanes[j][0]._spp_state for j in lane_idx]
+        psd_b, spp_b, st_out = _spp_chunk_batched(
+            jnp.transpose(power_d.reshape(n_lanes, K, Fb), (0, 2, 1)),
+            tuple(jnp.stack([st[i] for st in st_in]) for i in range(3)),
+            jnp.asarray([lanes[j][2] for j in lane_idx], jnp.int32))
+        psd_np, spp_np = np.asarray(psd_b), np.asarray(spp_b)
+        states = []
+        for i, (s, t0, k) in enumerate(lanes):
+            s._spp_state = tuple(ns[i] for ns in st_out)
+            states.append(s._pre_state_from_track(
+                power[i], psd_np[i], spp_np[i], k))
 
         # C: guidance labels — one classifier call for every stream when
         # the pool uses the DNN source (slots share config: all-or-none)

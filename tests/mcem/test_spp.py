@@ -91,3 +91,48 @@ def test_parity_with_reference():
     m = timo_mask_estimation(S)
     assert_allclose(timo_noise_estimation(S, m),
                     ref.timo_noise_estimation(S, m))
+
+
+def test_spp_track_chunk_equals_whole_track():
+    """Chunked state-carrying tracking == the whole-track scan, exactly
+    (same f32 scan body, carried state between chunks), including ragged
+    chunk sizes and a pad-gated final chunk."""
+    import jax.numpy as jnp
+
+    from guided_vae_nmf_tpu.mcem import (
+        spp_state_init, spp_track_chunk, spp_track_jax,
+    )
+
+    S = _spectro(seed=11).astype(np.float32)    # (bins, frames)
+    want_psd, want_spp = spp_track_jax(jnp.asarray(S))
+
+    state = spp_state_init(S.shape[0])
+    got_psd, got_spp = [], []
+    lo = 0
+    for k in (1, 7, 4, 13, 2, 64):              # ragged chunking
+        chunk = S[:, lo:lo + k]
+        if chunk.shape[1] == 0:
+            break
+        psd, spp, state = spp_track_chunk(jnp.asarray(chunk), state)
+        got_psd.append(np.asarray(psd))
+        got_spp.append(np.asarray(spp))
+        lo += chunk.shape[1]
+    if lo < S.shape[1]:
+        # final ragged chunk padded to 8 rows; n_valid gates the carry
+        k = S.shape[1] - lo
+        pad = np.ones((S.shape[0], 8), np.float32)
+        pad[:, :k] = S[:, lo:]
+        psd, spp, state2 = spp_track_chunk(jnp.asarray(pad), state,
+                                           n_valid=k)
+        got_psd.append(np.asarray(psd)[:, :k])
+        got_spp.append(np.asarray(spp)[:, :k])
+        # pad rows advanced nothing: re-running them changes no state
+        psd_b, _, _ = spp_track_chunk(jnp.asarray(pad), state, n_valid=k)
+        assert_allclose(np.asarray(psd_b), np.asarray(psd))
+        state = state2
+
+    assert_allclose(np.concatenate(got_psd, axis=1), np.asarray(want_psd),
+                    rtol=0, atol=0)
+    assert_allclose(np.concatenate(got_spp, axis=1), np.asarray(want_spp),
+                    rtol=0, atol=0)
+    assert int(state[2]) == S.shape[1]
