@@ -876,11 +876,12 @@ class MultiStreamM2Enhancer:
         """One batched block: each ready slot contributes one chunk, and
         EVERY device program of the chunk path — analysis, classifier
         probabilities, encoder warm init, label projection, the vmapped
-        block EM, synthesis — runs ONCE for all streams. A tick costs ~6
-        dispatches regardless of occupancy (the per-slot path costs ~5
-        each, which dominates on high-latency links). Host-side causal
-        recurrences (SPP/VAD/residual/context) stay per-slot, in lane
-        order.
+        block EM, synthesis — runs ONCE for all streams, including the
+        causal SPP noise tracks (one vmapped state-carrying scan). A
+        tick costs ~7 dispatches regardless of occupancy (the per-slot
+        path costs ~6 each, which dominates on high-latency links).
+        Only the residual floor, window assembly and context rebuild
+        stay host-side, per slot in lane order.
 
         The lane count is bucketed to the next power of two (capped at
         max_streams): a lightly occupied pool pays at most 2x its live
