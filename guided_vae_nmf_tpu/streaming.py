@@ -395,68 +395,181 @@ _m2_block_em_jit = partial(jax.jit, static_argnames=(
     "iters", "e_steps", "noise_gain", "n_bands"))(_m2_block_em)
 
 
-@partial(jax.jit, static_argnames=("iters", "e_steps", "noise_gain",
-                                   "n_bands"))
-def _m2_block_em_batched(dec_params, Xw, y_pre, Vb, Z0, g0, b0, mask,
-                         iters=6, e_steps=4, lr=5e-3, noise_gain=False,
-                         n_bands=1):
-    """One device program for a pool tick: `_m2_block_em` vmapped over a
-    leading stream axis (decoder params shared across lanes). Lanes are
-    fully independent, so a stream's result does not depend on what
-    shares its batch (equality vs the single-stream program is pinned to
-    float tolerance in tests/test_streaming.py — XLA may tile the batched
-    matmuls differently, so bitwise equality is not guaranteed)."""
-    def one(X, yp, vb, z, g, b, m):
-        return _m2_block_em(dec_params, X, yp, vb, z, g, b, m,
-                            iters=iters, e_steps=e_steps, lr=lr,
-                            noise_gain=noise_gain, n_bands=n_bands)
-
-    return jax.vmap(one)(Xw, y_pre, Vb, Z0, g0, b0, mask)
+_TICK_STATICS = ("label_mode", "soft_guidance", "residual_tracking",
+                 "residual_alpha", "noise_gain", "noise_gain_init",
+                 "n_bands", "block_iters", "e_steps", "lr", "eps")
 
 
-@jax.jit
-def _dnn_probs_jit(params, power, mean, std, eps):
-    """Classifier probabilities for (rows, F) power frames: trainset
-    normalization + forward in ONE program (the eager version cost
-    several dispatches per chunk)."""
-    p = power
-    if mean is not None:
-        p = (p - mean[None, :]) / (std[None, :] + eps)
-    return classifier_apply(params, p)
+def _m2_tick_core(enc, dec, cls, mean, std, band_map, frames, k, state,
+                  label_mode="dnn", soft_guidance=False,
+                  residual_tracking=False, residual_alpha=0.5,
+                  noise_gain=False, noise_gain_init="ones", n_bands=1,
+                  block_iters=6, e_steps=4, lr=5e-3, eps=1e-8):
+    """The WHOLE M2 streaming chunk path as one traced program: analysis,
+    causal SPP noise track, guidance labels, encoder warm init, window
+    assembly, blockwise EM, residual tracking, context rebuild and masked
+    synthesis — every recurrence state device-resident in `state`, so one
+    chunk costs ONE dispatch (previously ~6 plus host loops; pooled
+    streams vmap this whole function, `_m2_tick_batched`).
 
-
-@partial(jax.jit, static_argnames=("L",))
-def _label_proj_batched(dec_params, ys, L):
-    """(n, y_dim, W) label windows -> (n, W, h1) decoder label
-    projections (vmapped `_precompute_label_proj`) — one dispatch for a
-    whole pool tick."""
+    `state` pytree: spp/vad tracker carries, (res, res_valid) EMA,
+    ctx_{X,y,Vb,Z} (·, C) warm windows, ctx_g/ctx_b gains, n_ctx valid
+    count (context validity is right-aligned contiguous by construction).
+    `k` (traced) = valid rows of this chunk; pad rows emit benign outputs
+    and never advance any carry."""
     from .mcem.engine import _precompute_label_proj
-
-    return jax.vmap(
-        lambda y: _precompute_label_proj(dec_params, y, L))(ys)
-
-
-@jax.jit
-def _spp_chunk_batched(powers, states, n_valids):
-    """vmapped state-carrying SPP scan: (n, F, K) power + stacked states
-    + (n,) valid counts -> (psd, spp, new states) — the pool's per-tick
-    noise tracks in ONE device program."""
     from .mcem.spp import spp_track_chunk
-
-    return jax.vmap(
-        lambda p, s, n: spp_track_chunk(p, s, n_valid=n))(
-            powers, states, n_valids)
-
-
-@jax.jit
-def _m2_init_z_jit(enc_params, Xnew, y_new):
-    """Encoder posterior mean for new frames: (k, F) power + (k, y_dim)
-    labels -> (L, k) latent init (reference mcem.py:214-215)."""
     from .models.nets import encoder_apply
 
-    enc_in = jnp.concatenate([Xnew, y_new], axis=1)
-    _, mu, _ = encoder_apply(enc_params, enc_in)
-    return mu.T
+    K = frames.shape[0]
+    C = state["ctx_X"].shape[1]
+    L = state["ctx_Z"].shape[0]
+    window = jnp.asarray(periodic_hann(NFFT), jnp.float32)
+    X = jnp.fft.rfft(frames * window, axis=-1)
+    re = jnp.real(X).astype(jnp.float32)
+    im = jnp.imag(X).astype(jnp.float32)
+    power = re**2 + im**2                       # (K, F)
+    rows = jnp.arange(K)
+    valid_row = (rows < k)[:, None]             # (K, 1)
+
+    # causal SPP noise track; benign pad rows (Vb=1, spp=0) as before
+    psd_T, spp_T, spp_state = spp_track_chunk(
+        power.T, state["spp"], n_valid=k)
+    Vb_new = jnp.where(valid_row, psd_T.T, 1.0)
+    spp = jnp.where(valid_row, spp_T.T, 0.0)
+    res, res_valid = state["res"]
+    if residual_tracking:
+        # noise floor from the enhanced residual of PAST blocks
+        Vb_new = jnp.where(valid_row & (res_valid > 0),
+                           jnp.maximum(Vb_new, res[None, :]), Vb_new)
+
+    # guidance labels (hard IBM by default, probabilities when soft)
+    vad_state = state["vad"]
+    if label_mode == "timo":
+        if state["ctx_y"].shape[0] == 1:
+            # frame VAD = SPP of summed power (spp.timo_vad_estimation)
+            _, vspp, vad_state = spp_track_chunk(
+                power.sum(axis=1)[None, :], vad_state, n_valid=k)
+            y_soft = jnp.where(valid_row, vspp.T, 0.0)   # (K, 1)
+        else:
+            y_soft = spp
+    else:
+        p = power
+        if mean is not None:
+            p = (p - mean[None, :]) / (std[None, :] + eps)
+        y_soft = classifier_apply(cls, p)
+    y_new = (y_soft if soft_guidance
+             else (y_soft > 0.5)).astype(jnp.float32)
+
+    # encoder posterior mean for the new frames (reference mcem.py:214)
+    _, mu, _ = encoder_apply(enc, jnp.concatenate([power, y_new], axis=1))
+    Z_new = mu.T                                # (L, K)
+
+    # fixed-shape window [C | chunk]
+    Xw = jnp.concatenate([state["ctx_X"], power.T], axis=1)
+    yw = jnp.concatenate([state["ctx_y"], y_new.T], axis=1)
+    Vbw = jnp.concatenate([state["ctx_Vb"], Vb_new.T], axis=1)
+    Zw = jnp.concatenate([state["ctx_Z"], Z_new], axis=1)
+    gw = jnp.concatenate([state["ctx_g"], jnp.ones((K,), jnp.float32)])
+    if n_bands == 1:
+        b_new = jnp.ones((K,), jnp.float32)
+        if noise_gain and noise_gain_init == "ratio":
+            ratio = power.sum(axis=1) / jnp.maximum(
+                Vb_new.sum(axis=1), 1e-12)
+            b_new = jnp.maximum(ratio, 1.0)
+        bw = jnp.concatenate([state["ctx_b"], b_new])
+    else:
+        b_new = jnp.ones((n_bands, K), jnp.float32)
+        if noise_gain and noise_gain_init == "ratio":
+            num = band_map @ power.T            # per-band ratio (nb, K)
+            den = jnp.maximum(band_map @ Vb_new.T, 1e-12)
+            b_new = jnp.maximum(num / den, 1.0)
+        bw = jnp.concatenate([state["ctx_b"], b_new], axis=1)
+    n_ctx = state["n_ctx"]
+    maskw = jnp.concatenate([
+        (jnp.arange(C) >= C - n_ctx).astype(jnp.float32),
+        (rows < k).astype(jnp.float32)])
+    Xw = jnp.maximum(Xw, 1e-12)                 # benign pad values
+    Vbw = jnp.maximum(Vbw, 1e-10)
+
+    y_pre = _precompute_label_proj(dec, yw, L)
+    Z, g, bfr, WFs = _m2_block_em(
+        dec, Xw, y_pre, Vbw, Zw, gw, bw, maskw, iters=block_iters,
+        e_steps=e_steps, lr=lr, noise_gain=noise_gain, n_bands=n_bands)
+    m = WFs[:, C:].T                            # (K, F) gains, new frames
+
+    if residual_tracking:
+        # same IIR recurrence as pipeline._ema_time, causal over the
+        # valid rows
+        a = residual_alpha
+
+        def rstep(carry, inp):
+            r_st, r_ok = carry
+            m_i, p_i, v_i = inp
+            r = (1.0 - m_i) ** 2 * p_i
+            blended = jnp.where(r_ok > 0, a * r_st + (1.0 - a) * r, r)
+            r_st = jnp.where(v_i > 0, blended, r_st)
+            r_ok = jnp.where(v_i > 0, 1.0, r_ok)
+            return (r_st, r_ok), None
+
+        (res, res_valid), _ = jax.lax.scan(
+            rstep, (res, res_valid),
+            (m, power, (rows < k).astype(jnp.float32)))
+
+    # context rebuild: right-align the last (up to C) VALID frames. The
+    # valid region of the window is contiguous [C - n_ctx, C + k), so
+    # "last C valid" is always window columns [k, C + k) with the first
+    # C - v columns (v = new valid count) overwritten by the benign fill.
+    v = jnp.minimum(n_ctx + k, C)
+    col = jnp.arange(C)
+    lead = (col < C - v)
+
+    def rebuild(buf, fill):
+        sl = jax.lax.dynamic_slice_in_dim(buf, k, C, axis=buf.ndim - 1)
+        return jnp.where(lead if buf.ndim == 1 else lead[None, :],
+                         fill, sl)
+
+    new_state = dict(
+        spp=spp_state, vad=vad_state, res=(res, res_valid),
+        ctx_X=rebuild(Xw, 0.0), ctx_y=rebuild(yw, 0.0),
+        ctx_Vb=rebuild(Vbw, 1.0), ctx_Z=rebuild(Z, 0.0),
+        ctx_g=rebuild(g, 1.0), ctx_b=rebuild(bfr, 1.0),
+        n_ctx=v,
+    )
+    S = m.astype(jnp.complex64) * (re + 1j * im)
+    y = jnp.fft.irfft(S, n=NFFT, axis=-1).astype(jnp.float32) * window
+    return y, m, new_state
+
+
+_m2_tick_jit = partial(jax.jit, static_argnames=_TICK_STATICS)(
+    _m2_tick_core)
+
+
+@partial(jax.jit, static_argnames=_TICK_STATICS)
+def _m2_pool_tick(enc, dec, cls, mean, std, band_map, frames, ks,
+                  slot_ids, pool_state, **cfg):
+    """One device program for a pool tick: gather each lane's recurrence
+    state out of the RESIDENT stacked pool state (leading dim =
+    max_streams — it never leaves the device between ticks), run the
+    whole chunk path vmapped over lanes, scatter the updated states back.
+    Pad lanes replay a live lane's slot: their scatter writes the exact
+    same values that lane wrote, so duplicate indices are benign.
+
+    Lanes are fully independent, so a stream's result does not depend on
+    what shares its batch (equality vs the single-stream program is
+    pinned to float tolerance in tests/test_streaming.py — XLA may tile
+    the batched programs differently, so bitwise equality is not
+    guaranteed)."""
+    states = jax.tree_util.tree_map(lambda a: a[slot_ids], pool_state)
+
+    def one(f, k1, st):
+        return _m2_tick_core(enc, dec, cls, mean, std, band_map,
+                             f, k1, st, **cfg)
+
+    y, m, new_states = jax.vmap(one)(frames, ks, states)
+    pool_state = jax.tree_util.tree_map(
+        lambda a, u: a.at[slot_ids].set(u), pool_state, new_states)
+    return y, m, pool_state
 
 
 class StreamingM2Enhancer(_StreamingOLA):
@@ -480,8 +593,6 @@ class StreamingM2Enhancer(_StreamingOLA):
                  soft_guidance=False, residual_tracking=False,
                  residual_alpha=0.5, noise_gain=False,
                  noise_gain_init="ones", noise_gain_bands=1, eps=1e-8):
-        from .mcem.engine import _precompute_label_proj
-
         if label_mode == "dnn" and classifier_params is None:
             raise ValueError("label_mode='dnn' needs classifier_params")
         # guidance dimension from the model (513 for IBM-guided M2, 1 for
@@ -549,8 +660,9 @@ class StreamingM2Enhancer(_StreamingOLA):
         self.e_steps = e_steps
         self.lr = lr
         self.eps = eps
-        self._proj = _precompute_label_proj
-        self._L = None  # latent dim, resolved on first block
+        # latent dim from the encoder's gaussian head (needed to build
+        # the device-resident context state eagerly)
+        self._L = int(np.asarray(self.enc["mu"]["w"]).shape[1])
         super().__init__(chunk_frames)
 
     def reset(self):
@@ -558,200 +670,70 @@ class StreamingM2Enhancer(_StreamingOLA):
         if hasattr(self, "C"):     # base reset() fires before full init
             from .mcem.spp import spp_state_init
 
-            # device-carried causal trackers (noise PSD + frame VAD):
-            # each chunk's recurrence is one lax.scan on device
-            self._spp_state = spp_state_init(NFFT // 2 + 1)
-            self._vad_state = spp_state_init(1)
+            # EVERY recurrence state of the stream lives on device as one
+            # pytree consumed/produced by the fused tick program
+            # (_m2_tick_core): tracker carries, residual EMA, warm
+            # context windows, context validity count.
             F = NFFT // 2 + 1
-            C = self.C
-            self._ctx_X = np.zeros((F, C), np.float32)
-            self._ctx_y = np.zeros((self.y_dim, C), np.float32)
-            self._ctx_Vb = np.ones((F, C), np.float32)
-            self._ctx_g = np.ones((C,), np.float32)
-            nb = getattr(self, "noise_gain_bands", 1)
-            self._ctx_b = (np.ones((C,), np.float32) if nb == 1
-                           else np.ones((nb, C), np.float32))
-            self._ctx_Z = None
-            self._ctx_valid = np.zeros((C,), np.float32)
-            self._res = None          # residual-tracking EMA state (F,)
+            C, nb = self.C, self.noise_gain_bands
 
-    def _dnn_probs(self, power):
-        """Classifier probabilities for (rows, F) power frames (device)."""
-        return np.asarray(_dnn_probs_jit(
-            self.cls, jnp.asarray(power), self.mean, self.std, self.eps))
+            def z(*s):
+                return jnp.zeros(s, jnp.float32)
 
-    def _labels(self, power, spp, k, dnn_probs=None):
-        """(chunk, y_dim) guidance labels (hard IBM by default,
-        probabilities when soft_guidance); only the first `k` rows
-        are real frames (the causal VAD tracker must not see pad rows).
-        `dnn_probs` lets the pool pass classifier output it computed in
-        one batched call for every stream."""
-        if self.label_mode == "timo":
-            if self.y_dim == 1:
-                # frame VAD = SPP of summed power (spp.timo_vad_estimation)
-                from .mcem.spp import spp_track_chunk
+            def o(*s):
+                return jnp.ones(s, jnp.float32)
 
-                _, vspp, self._vad_state = spp_track_chunk(
-                    jnp.asarray(power.sum(axis=1)[None, :]),
-                    self._vad_state, n_valid=k)
-                vad = np.zeros((power.shape[0], 1), np.float32)
-                vad[:k] = np.asarray(vspp).T[:k]
-                if self.soft_guidance:
-                    return vad
-                return (vad > 0.5).astype(np.float32)
-            if self.soft_guidance:
-                return spp.astype(np.float32)
-            return (spp > 0.5).astype(np.float32)
-        y = self._dnn_probs(power) if dnn_probs is None else dnn_probs
-        if not self.soft_guidance:
-            y = (y > 0.5)
-        return np.asarray(y, np.float32)
+            self._dstate = dict(
+                spp=spp_state_init(F),
+                vad=spp_state_init(1),
+                res=(z(F), jnp.asarray(0.0, jnp.float32)),
+                ctx_X=z(F, C), ctx_y=z(self.y_dim, C), ctx_Vb=o(F, C),
+                ctx_Z=z(self._L, C), ctx_g=o(C),
+                ctx_b=(o(C) if nb == 1 else o(nb, C)),
+                n_ctx=jnp.asarray(0, jnp.int32),
+            )
 
-    def _pre_state_from_track(self, power, psd_T, spp_T, k):
-        """Shape the (F, chunk) device SPP track into the (chunk, F)
-        (Vb_new, spp) pair with benign pad rows + the host residual
-        floor. Split from `_pre_state` so the pool can run ONE batched
-        scan for every lane and apply this per slot."""
-        Vb_new = np.ones_like(power)
-        spp = np.zeros_like(power)
-        Vb_new[:k] = np.asarray(psd_T).T[:k]
-        spp[:k] = np.asarray(spp_T).T[:k]
-        if self.residual_tracking and self._res is not None:
-            # noise floor from the enhanced residual of PAST blocks
-            Vb_new[:k] = np.maximum(Vb_new[:k], self._res)
-        return Vb_new, spp
+    # state views for tests/introspection (context validity is
+    # right-aligned contiguous; n_ctx is the carried count)
+    @property
+    def _ctx_valid(self):
+        C, v = self.C, int(self._dstate["n_ctx"])
+        out = np.zeros((C,), np.float32)
+        if v:
+            out[C - v:] = 1.0
+        return out
 
-    def _pre_state(self, power, k):
-        """Causal recurrences over this chunk: the SPP noise track runs
-        as ONE device scan (state carried on device, pad rows gated by
-        n_valid) + the host residual floor. Returns (Vb_new, spp), both
-        (chunk, F)."""
-        from .mcem.spp import spp_track_chunk
+    @property
+    def _ctx_b(self):
+        return np.asarray(self._dstate["ctx_b"])
 
-        psd, spp_d, self._spp_state = spp_track_chunk(
-            jnp.asarray(power.T), self._spp_state, n_valid=k)
-        return self._pre_state_from_track(power, psd, spp_d, k)
+    @property
+    def _res(self):
+        """Residual-tracking EMA state: None until warmed (host-API
+        compatibility view of the device carry)."""
+        res, ok = self._dstate["res"]
+        return np.asarray(res) if float(ok) > 0 else None
 
-    def _note_latent_dim(self, Z_new):
-        if self._L is None:
-            self._L = Z_new.shape[0]
-        if self._ctx_Z is None:
-            self._ctx_Z = np.zeros((self._L, self.C), np.float32)
-
-    def _assemble_window(self, power, Vb_new, y_new, Z_new, k):
-        """Fixed-shape [C | chunk] window assembly (host). Returns the
-        numpy `_m2_block_em` inputs before the label projection:
-        (Xw, yw, Vbw, Zw, gw, bw, maskw)."""
-        K = power.shape[0]                 # static chunk shape
-        Xw = np.concatenate([self._ctx_X, power.T], axis=1)
-        yw = np.concatenate([self._ctx_y, y_new.T], axis=1)
-        Vbw = np.concatenate([self._ctx_Vb, Vb_new.T], axis=1)
-        Zw = np.concatenate([self._ctx_Z, Z_new], axis=1)
-        gw = np.concatenate([self._ctx_g, np.ones((K,), np.float32)])
-        nb = self.noise_gain_bands
-        if nb == 1:
-            b_new = np.ones((K,), np.float32)
-            if self.noise_gain and self.noise_gain_init == "ratio":
-                ratio = power.sum(axis=1) / np.maximum(
-                    Vb_new.sum(axis=1), 1e-12)
-                b_new = np.maximum(ratio, 1.0).astype(np.float32)
-            bw = np.concatenate([self._ctx_b, b_new])
-        else:
-            b_new = np.ones((nb, K), np.float32)
-            if self.noise_gain and self.noise_gain_init == "ratio":
-                # per-band power ratio: (nb, K)
-                num = self._band_map @ power.T
-                den = np.maximum(self._band_map @ Vb_new.T, 1e-12)
-                b_new = np.maximum(num / den, 1.0).astype(np.float32)
-            bw = np.concatenate([self._ctx_b, b_new], axis=1)
-        maskw = np.concatenate(
-            [self._ctx_valid,
-             (np.arange(K) < k).astype(np.float32)])
-        Xw = np.maximum(Xw, 1e-12)         # benign pad values
-        Vbw = np.maximum(Vbw, 1e-10)
-        return Xw, yw, Vbw, Zw, gw, bw, maskw
-
-    def _pre_block(self, frames, k):
-        """Per-chunk host stage ahead of the block EM: analysis, causal
-        SPP/label recurrences, encoder warm init, fixed-shape window
-        assembly. Returns (block_args, aux): `block_args` are the
-        per-stream `_m2_block_em` inputs after `dec_params`; `aux` is the
-        state `_post_block` needs. `MultiStreamM2Enhancer` composes the
-        same stages (`_pre_state`/`_labels`/`_assemble_window`/
-        `_post_state`) with each device call batched across streams."""
-        re, im, power = _analyze_frames_jit(jnp.asarray(frames))
-        power = np.asarray(power)          # (chunk, F)
-        Vb_new, spp = self._pre_state(power, k)
-        y_new = self._labels(power, spp, k)   # (chunk, y_dim)
-        Z_new = np.asarray(_m2_init_z_jit(
-            self.enc, jnp.asarray(power), jnp.asarray(y_new)))
-        self._note_latent_dim(Z_new)
-        Xw, yw, Vbw, Zw, gw, bw, maskw = self._assemble_window(
-            power, Vb_new, y_new, Z_new, k)
-        y_pre = self._proj(self.dec, jnp.asarray(yw), self._L)
-        block_args = (jnp.asarray(Xw), y_pre, jnp.asarray(Vbw),
-                      jnp.asarray(Zw), jnp.asarray(gw), jnp.asarray(bw),
-                      jnp.asarray(maskw))
-        aux = (re, im, power, Xw, yw, Vbw, maskw)
-        return block_args, aux
-
-    def _post_state(self, out, power, Xw, yw, Vbw, maskw, k):
-        """Host half of the block epilogue: residual tracking + context
-        rebuild. Returns the (chunk, F) Wiener gains for the new frames
-        (synthesis happens separately so the pool can batch it)."""
-        Z, g, bfr, WFs = out
-        nb = self.noise_gain_bands
-        m = WFs[:, self.C:].T              # (chunk, F) gains, new frames
-
-        if self.residual_tracking:
-            # same IIR recurrence as pipeline._ema_time, run causally
-            # over this block's valid frames
-            a = self.residual_alpha
-            for i in range(k):
-                r = (1.0 - m[i]) ** 2 * power[i]
-                self._res = r if self._res is None else \
-                    a * self._res + (1.0 - a) * r
-
-        # rebuild the context: right-align the last (up to C) VALID frames
-        # of the window, benign-fill the rest and mark it invalid. (A roll
-        # of the old buffer would duplicate frames during stream warm-up:
-        # the shifted prefix still holds frames that `keep` re-selects.)
-        keep = np.flatnonzero(maskw)[-self.C:]
-        n_keep = len(keep)
-        lead = self.C - n_keep
-        for buf, src, fill in ((self._ctx_X, Xw, 0.0),
-                               (self._ctx_y, yw, 0.0),
-                               (self._ctx_Vb, Vbw, 1.0),
-                               (self._ctx_Z, Z, 0.0)):
-            buf[:, :lead] = fill
-            buf[:, lead:] = src[:, keep]
-        self._ctx_g[:lead] = 1.0
-        self._ctx_g[lead:] = g[keep]
-        if nb == 1:
-            self._ctx_b[:lead] = 1.0
-            self._ctx_b[lead:] = bfr[keep]
-        else:
-            self._ctx_b[:, :lead] = 1.0
-            self._ctx_b[:, lead:] = bfr[:, keep]
-        self._ctx_valid[:lead] = 0.0
-        self._ctx_valid[lead:] = 1.0
-        return m
-
-    def _post_block(self, out, aux, k):
-        """Block epilogue for the single-stream path: host state update
-        + masked synthesis. Returns (enhanced windowed frames, masks)."""
-        re, im, power, Xw, yw, Vbw, maskw = aux
-        m = self._post_state(out, power, Xw, yw, Vbw, maskw, k)
-        y = _synth_frames_jit(re, im, jnp.asarray(m))
-        return y, m.astype(np.float16)
+    def _tick_cfg(self):
+        """Static (compile-time) config of the fused tick program."""
+        return dict(label_mode=self.label_mode,
+                    soft_guidance=self.soft_guidance,
+                    residual_tracking=self.residual_tracking,
+                    residual_alpha=self.residual_alpha,
+                    noise_gain=self.noise_gain,
+                    noise_gain_init=self.noise_gain_init,
+                    n_bands=self.noise_gain_bands,
+                    block_iters=self.block_iters, e_steps=self.e_steps,
+                    lr=self.lr, eps=self.eps)
 
     def _enhance_frame_batch(self, frames, k):
-        block_args, aux = self._pre_block(frames, k)
-        out = _m2_block_em_jit(
-            self.dec, *block_args,
-            iters=self.block_iters, e_steps=self.e_steps, lr=self.lr,
-            noise_gain=self.noise_gain, n_bands=self.noise_gain_bands)
-        return self._post_block(tuple(np.asarray(o) for o in out), aux, k)
+        band_map = (None if self._band_map is None
+                    else jnp.asarray(self._band_map))
+        y, m, self._dstate = _m2_tick_jit(
+            self.enc, self.dec, self.cls, self.mean, self.std,
+            band_map, jnp.asarray(frames), k, self._dstate,
+            **self._tick_cfg())
+        return y, np.asarray(m).astype(np.float16)
 
 
 # ---------------------------------------------------------------------------
@@ -815,6 +797,12 @@ class MultiStreamM2Enhancer:
         self._buffered = {}     # sid -> [arrays] emitted by ticks that
         #                         ran inside another stream's flush()
         self._t_target = {}     # sid -> total frame count after flush()
+        # stacked recurrence states, one row per slot, RESIDENT on
+        # device across ticks (built from the first slot's fresh state);
+        # rows are (re)initialized by open() and gathered/scattered
+        # inside the single tick program
+        self._pool_state = None
+        self._n_created = 0     # rows handed out (<= max_streams)
 
     # -- slot management ----------------------------------------------------
 
@@ -835,6 +823,19 @@ class MultiStreamM2Enhancer:
             enh.reset()
         else:
             enh = StreamingM2Enhancer(**self._kw)
+            enh._pool_row = self._n_created
+            self._n_created += 1
+        if self._pool_state is None:
+            # all rows start fresh (identical to enh's just-reset state)
+            self._pool_state = jax.tree_util.tree_map(
+                lambda a: jnp.stack([a] * self.max_streams),
+                enh._dstate)
+        else:
+            # recycle: reset this slot's resident row to the fresh state
+            row = enh._pool_row
+            self._pool_state = jax.tree_util.tree_map(
+                lambda a, f: a.at[row].set(f),
+                self._pool_state, enh._dstate)
         sid = self._next_sid
         self._next_sid += 1
         self._slots[sid] = enh
@@ -873,20 +874,22 @@ class MultiStreamM2Enhancer:
         return ready
 
     def _tick(self, ready):
-        """One batched block: each ready slot contributes one chunk, and
-        EVERY device program of the chunk path — analysis, classifier
-        probabilities, encoder warm init, label projection, the vmapped
-        block EM, synthesis — runs ONCE for all streams, including the
-        causal SPP noise tracks (one vmapped state-carrying scan). A
-        tick costs ~7 dispatches regardless of occupancy (the per-slot
-        path costs ~6 each, which dominates on high-latency links).
-        Only the residual floor, window assembly and context rebuild
-        stay host-side, per slot in lane order.
+        """One batched tick: each ready slot contributes one chunk, and
+        the WHOLE chunk path — analysis, causal SPP tracks, guidance
+        labels, encoder warm init, window assembly, block EM, residual
+        tracking, context rebuild, synthesis — runs as ONE device
+        program for all streams (`_m2_pool_tick`), with every slot's
+        recurrence state RESIDENT on device in the stacked pool state
+        (gathered/scattered by slot row inside the program). Host work
+        per tick is frame extraction and overlap-add only: one dispatch
+        per tick at any occupancy.
 
         The lane count is bucketed to the next power of two (capped at
         max_streams): a lightly occupied pool pays at most 2x its live
         lanes in padded compute at a bounded compile count
-        (log2(max_streams)+1 programs per distinct chunk path)."""
+        (log2(max_streams)+1 programs per distinct chunk path). Pad
+        lanes replay lane 0 (same frames, same slot row); their scatter
+        rewrites lane 0's row with identical values."""
         lanes = [(s, s._t_done, min(s.chunk_frames, t_end - s._t_done))
                  for sid, s, t_end in ready]
         s0 = lanes[0][0]
@@ -896,87 +899,21 @@ class MultiStreamM2Enhancer:
             n_lanes *= 2
         n_lanes = min(n_lanes, self.max_streams)
         lane_idx = list(range(n)) + [0] * (n_lanes - n)  # pad = lane 0
-        K, Fb = s0.chunk_frames, NFFT // 2 + 1
 
-        # A: one analysis program for every stream's chunk (pad lanes
-        # reuse lane 0's already-extracted block)
         blocks = [s._take_frames(s._pad, t0, k) for s, t0, k in lanes]
         frames_all = np.stack([blocks[j] for j in lane_idx])
-        re, im, power_d = _analyze_frames_jit(
-            jnp.asarray(frames_all.reshape(n_lanes * K, NFFT)))
-        power = np.asarray(power_d).reshape(n_lanes, K, Fb)
-
-        # B: causal SPP noise tracks — ONE batched device scan for every
-        # lane (pad lanes carry copies of lane 0's state; their outputs
-        # and updated states are discarded), then the host residual
-        # floor per slot
-        st_in = [lanes[j][0]._spp_state for j in lane_idx]
-        psd_b, spp_b, st_out = _spp_chunk_batched(
-            jnp.transpose(power_d.reshape(n_lanes, K, Fb), (0, 2, 1)),
-            tuple(jnp.stack([st[i] for st in st_in]) for i in range(3)),
-            jnp.asarray([lanes[j][2] for j in lane_idx], jnp.int32))
-        psd_np, spp_np = np.asarray(psd_b), np.asarray(spp_b)
-        states = []
+        ks = jnp.asarray([lanes[j][2] for j in lane_idx], jnp.int32)
+        slot_ids = jnp.asarray(
+            [lanes[j][0]._pool_row for j in lane_idx], jnp.int32)
+        band_map = (None if s0._band_map is None
+                    else jnp.asarray(s0._band_map))
+        y_all, m_all, self._pool_state = _m2_pool_tick(
+            s0.enc, s0.dec, s0.cls, s0.mean, s0.std, band_map,
+            jnp.asarray(frames_all), ks, slot_ids, self._pool_state,
+            **s0._tick_cfg())
+        y_np, m_np = np.asarray(y_all), np.asarray(m_all)
         for i, (s, t0, k) in enumerate(lanes):
-            s._spp_state = tuple(ns[i] for ns in st_out)
-            states.append(s._pre_state_from_track(
-                power[i], psd_np[i], spp_np[i], k))
-
-        # C: guidance labels — one classifier call for every stream when
-        # the pool uses the DNN source (slots share config: all-or-none)
-        if s0.label_mode == "dnn":
-            # power_d is already the (n_lanes*K, F) device array — no
-            # host round-trip on the latency-critical path
-            probs = np.asarray(_dnn_probs_jit(
-                s0.cls, power_d, s0.mean, s0.std,
-                s0.eps)).reshape(n_lanes, K, -1)
-            y_news = [s._labels(power[i], states[i][1], k,
-                                dnn_probs=probs[i])
-                      for i, (s, t0, k) in enumerate(lanes)]
-        else:
-            y_news = [s._labels(power[i], states[i][1], k)
-                      for i, (s, t0, k) in enumerate(lanes)]
-
-        # D: encoder warm init, one call
-        y_cat = np.concatenate([y_news[j] for j in lane_idx], axis=0)
-        Z_all = np.asarray(_m2_init_z_jit(
-            s0.enc, power_d,
-            jnp.asarray(y_cat)))                     # (L, n_lanes*K)
-        L = Z_all.shape[0]
-
-        # E: host window assembly per slot + one projection call
-        winds = []
-        for i, (s, t0, k) in enumerate(lanes):
-            Z_new = Z_all[:, i * K:(i + 1) * K]
-            s._note_latent_dim(Z_new)
-            winds.append(s._assemble_window(
-                power[i], states[i][0], y_news[i], Z_new, k))
-        yws = np.stack([winds[j][1] for j in lane_idx])
-        y_pre_all = _label_proj_batched(s0.dec, jnp.asarray(yws), L)
-
-        def stacked(j):
-            return jnp.asarray(np.stack([winds[li][j] for li in lane_idx]))
-
-        out = _m2_block_em_batched(
-            s0.dec, stacked(0), y_pre_all, stacked(2), stacked(3),
-            stacked(4), stacked(5), stacked(6),
-            iters=s0.block_iters, e_steps=s0.e_steps, lr=s0.lr,
-            noise_gain=s0.noise_gain, n_bands=s0.noise_gain_bands)
-        out = [np.asarray(o) for o in out]
-
-        # F: host epilogue per slot, then one synthesis program
-        ms = []
-        for i, (s, t0, k) in enumerate(lanes):
-            Xw, yw, Vbw, maskw = (winds[i][0], winds[i][1],
-                                  winds[i][2], winds[i][6])
-            ms.append(s._post_state(tuple(o[i] for o in out),
-                                    power[i], Xw, yw, Vbw, maskw, k))
-        m_all = np.stack([ms[j] for j in lane_idx])
-        y_all = np.asarray(_synth_frames_jit(
-            re, im, jnp.asarray(m_all.reshape(n_lanes * K, Fb))))
-        for i, (s, t0, k) in enumerate(lanes):
-            s._ola_accumulate(t0, y_all[i * K:(i + 1) * K],
-                              ms[i].astype(np.float16), k)
+            s._ola_accumulate(t0, y_np[i], m_np[i].astype(np.float16), k)
 
     def step(self):
         """Process every ready chunk of every live stream in batched
