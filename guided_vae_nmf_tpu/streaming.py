@@ -391,10 +391,6 @@ def _m2_block_em(dec_params, Xw, y_pre, Vb, Z0, g0, b0, mask,
     return Z, g, b, (g * Vs) / Vx
 
 
-_m2_block_em_jit = partial(jax.jit, static_argnames=(
-    "iters", "e_steps", "noise_gain", "n_bands"))(_m2_block_em)
-
-
 _TICK_STATICS = ("label_mode", "soft_guidance", "residual_tracking",
                  "residual_alpha", "noise_gain", "noise_gain_init",
                  "n_bands", "block_iters", "e_steps", "lr", "eps")
@@ -410,7 +406,7 @@ def _m2_tick_core(enc, dec, cls, mean, std, band_map, frames, k, state,
     assembly, blockwise EM, residual tracking, context rebuild and masked
     synthesis — every recurrence state device-resident in `state`, so one
     chunk costs ONE dispatch (previously ~6 plus host loops; pooled
-    streams vmap this whole function, `_m2_tick_batched`).
+    streams vmap this whole function inside `_m2_pool_tick`).
 
     `state` pytree: spp/vad tracker carries, (res, res_valid) EMA,
     ctx_{X,y,Vb,Z} (·, C) warm windows, ctx_g/ctx_b gains, n_ctx valid
@@ -653,7 +649,9 @@ class StreamingM2Enhancer(_StreamingOLA):
         if noise_gain_bands > 1:
             from .mcem.engine import _noise_gain_band_map
 
-            self._band_map = np.asarray(
+            # kept as a device array: the fused tick consumes it every
+            # chunk, so no per-tick host->device upload
+            self._band_map = jnp.asarray(
                 _noise_gain_band_map(NFFT // 2 + 1, noise_gain_bands))
         self.C = context_frames
         self.block_iters = block_iters
@@ -693,11 +691,21 @@ class StreamingM2Enhancer(_StreamingOLA):
                 n_ctx=jnp.asarray(0, jnp.int32),
             )
 
+    def _current_state(self):
+        """The stream's live recurrence state: its own `_dstate`, or —
+        when the stream is a pool slot — its row of the pool's resident
+        stacked state (ticks update only that row, never `_dstate`)."""
+        pool = getattr(self, "_pool", None)
+        if pool is not None and pool._pool_state is not None:
+            return jax.tree_util.tree_map(
+                lambda a: a[self._pool_row], pool._pool_state)
+        return self._dstate
+
     # state views for tests/introspection (context validity is
     # right-aligned contiguous; n_ctx is the carried count)
     @property
     def _ctx_valid(self):
-        C, v = self.C, int(self._dstate["n_ctx"])
+        C, v = self.C, int(self._current_state()["n_ctx"])
         out = np.zeros((C,), np.float32)
         if v:
             out[C - v:] = 1.0
@@ -705,13 +713,13 @@ class StreamingM2Enhancer(_StreamingOLA):
 
     @property
     def _ctx_b(self):
-        return np.asarray(self._dstate["ctx_b"])
+        return np.asarray(self._current_state()["ctx_b"])
 
     @property
     def _res(self):
         """Residual-tracking EMA state: None until warmed (host-API
         compatibility view of the device carry)."""
-        res, ok = self._dstate["res"]
+        res, ok = self._current_state()["res"]
         return np.asarray(res) if float(ok) > 0 else None
 
     def _tick_cfg(self):
@@ -727,11 +735,9 @@ class StreamingM2Enhancer(_StreamingOLA):
                     lr=self.lr, eps=self.eps)
 
     def _enhance_frame_batch(self, frames, k):
-        band_map = (None if self._band_map is None
-                    else jnp.asarray(self._band_map))
         y, m, self._dstate = _m2_tick_jit(
             self.enc, self.dec, self.cls, self.mean, self.std,
-            band_map, jnp.asarray(frames), k, self._dstate,
+            self._band_map, jnp.asarray(frames), k, self._dstate,
             **self._tick_cfg())
         return y, np.asarray(m).astype(np.float16)
 
@@ -824,6 +830,7 @@ class MultiStreamM2Enhancer:
         else:
             enh = StreamingM2Enhancer(**self._kw)
             enh._pool_row = self._n_created
+            enh._pool = self    # state views read the resident row
             self._n_created += 1
         if self._pool_state is None:
             # all rows start fresh (identical to enh's just-reset state)
@@ -905,10 +912,8 @@ class MultiStreamM2Enhancer:
         ks = jnp.asarray([lanes[j][2] for j in lane_idx], jnp.int32)
         slot_ids = jnp.asarray(
             [lanes[j][0]._pool_row for j in lane_idx], jnp.int32)
-        band_map = (None if s0._band_map is None
-                    else jnp.asarray(s0._band_map))
         y_all, m_all, self._pool_state = _m2_pool_tick(
-            s0.enc, s0.dec, s0.cls, s0.mean, s0.std, band_map,
+            s0.enc, s0.dec, s0.cls, s0.mean, s0.std, s0._band_map,
             jnp.asarray(frames_all), ks, slot_ids, self._pool_state,
             **s0._tick_cfg())
         y_np, m_np = np.asarray(y_all), np.asarray(m_all)

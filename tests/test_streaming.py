@@ -498,6 +498,27 @@ def test_multistream_dnn_labels_match_single():
                         err_msg=f"dnn stream {i}")
 
 
+def test_multistream_state_views_read_resident_rows():
+    """A pool slot's introspection views (_ctx_valid/_ctx_b/_res) must
+    reflect the device-resident pool row the ticks actually update, not
+    the slot's untouched fresh _dstate."""
+    from guided_vae_nmf_tpu.streaming import MultiStreamM2Enhancer
+
+    dgm, kw = _m2_cfg()
+    pool = MultiStreamM2Enhancer(dgm, max_streams=2, **kw)
+    sid = pool.open()
+    pool.feed(sid, _pool_signal(9, 8000))
+    pool.step()
+    enh = pool._slot(sid)
+    assert enh._ctx_valid.sum() > 0          # warm context visible
+    # recycling resets the resident row: a fresh slot sees fresh state
+    pool.flush(sid)
+    pool.close(sid)
+    sid2 = pool.open()
+    assert pool._slot(sid2)._ctx_valid.sum() == 0
+    pool.close(sid2)
+
+
 def test_multistream_slot_lifecycle():
     """Admission control, recycling, and misuse guards."""
     from guided_vae_nmf_tpu.streaming import MultiStreamM2Enhancer
