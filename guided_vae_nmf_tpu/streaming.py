@@ -297,12 +297,32 @@ def _synth_frames_jit(re, im, m):
     return jnp.fft.irfft(S, n=NFFT, axis=-1).astype(jnp.float32) * window
 
 
+@jax.jit
+def _spp_tick_jit(frames, k, state):
+    """Model-free chunk path as one program: analysis -> causal SPP scan
+    (state carried on device, pad rows gated) -> masked synthesis."""
+    from .mcem.spp import spp_track_chunk
+
+    window = jnp.asarray(periodic_hann(NFFT), jnp.float32)
+    X = jnp.fft.rfft(frames * window, axis=-1)
+    re = jnp.real(X).astype(jnp.float32)
+    im = jnp.imag(X).astype(jnp.float32)
+    power = re**2 + im**2
+    _, spp, state = spp_track_chunk(power.T, state, n_valid=k)
+    valid = (jnp.arange(frames.shape[0]) < k)[:, None]
+    m = jnp.where(valid, spp.T, 0.0)       # pad rows stay masked out
+    S = m.astype(jnp.complex64) * (re + 1j * im)
+    y = jnp.fft.irfft(S, n=NFFT, axis=-1).astype(jnp.float32) * window
+    return y, m, state
+
+
 class StreamingSPPEnhancer(_StreamingOLA):
     """Model-free streaming enhancement: the soft mask is the per-frame
     speech presence probability of the causal Gerkmann SPP tracker (the
     reference's "timo" source, mcem/spp.py) — no trained network, no
-    oracle. The SPP recurrence state persists across chunks, so the mask
-    track equals `timo_mask_estimation` of the whole spectrogram."""
+    oracle. The SPP recurrence state persists across chunks ON DEVICE
+    (the whole chunk is one program, `_spp_tick_jit`), so the mask track
+    equals `timo_mask_estimation` of the whole spectrogram."""
 
     def __init__(self, chunk_frames=64):
         super().__init__(chunk_frames)
@@ -311,22 +331,12 @@ class StreamingSPPEnhancer(_StreamingOLA):
         super().reset()
         from .mcem.spp import spp_state_init
 
-        # device-carried tracker state (psd, smoothed prob, frame count):
-        # the whole chunk recurrence is ONE lax.scan on device instead of
-        # a per-frame host loop (round-3 change; the n_valid gate keeps
-        # pad rows out of the carry)
         self._spp_state = spp_state_init(NFFT // 2 + 1)
 
     def _enhance_frame_batch(self, frames, k):
-        from .mcem.spp import spp_track_chunk
-
-        re, im, power = _analyze_frames_jit(jnp.asarray(frames))
-        _, spp, self._spp_state = spp_track_chunk(
-            power.T, self._spp_state, n_valid=k)
-        m = np.zeros_like(np.asarray(power))
-        m[:k] = np.asarray(spp).T[:k]      # pad rows stay masked out
-        y = _synth_frames_jit(re, im, jnp.asarray(m))
-        return y, m.astype(np.float16)
+        y, m, self._spp_state = _spp_tick_jit(
+            jnp.asarray(frames), k, self._spp_state)
+        return y, np.asarray(m).astype(np.float16)
 
 
 # ---------------------------------------------------------------------------
