@@ -229,7 +229,8 @@ def cmd_serve(a):
         stream=bool(a.stream), chunk_frames=a.chunk_frames,
         stream_residual=a.stream_residual,
         pooled_streams=bool(a.pooled_streams),
-        max_streams=a.max_streams, tick_ms=a.tick_ms)
+        max_streams=a.max_streams, tick_ms=a.tick_ms,
+        data_parallel=a.data_parallel)
     srv.start()
     print(f"serving on http://{a.host}:{srv.port} "
           f"(niter={a.niter}, noise_model={a.noise_model}, "
@@ -387,6 +388,9 @@ def build_parser():
     p.add_argument("--pooled_streams", type=int, default=0)
     p.add_argument("--max_streams", type=int, default=8)
     p.add_argument("--tick_ms", type=float, default=5.0)
+    p.add_argument("--data_parallel", action="store_true",
+                   help="shard request batches and pooled streams over "
+                        "all devices of the mesh")
     p.add_argument("--chunk_frames", type=int, default=8)
     p.add_argument("--stream_residual", action="store_true")
     # serving runs the MCEM flagship config; default = the real-noise

@@ -466,18 +466,31 @@ def build_server(models_dir, host="127.0.0.1", port=8571, niter=100,
                  noise_model="spp", noise_gain=False, noise_gain_bands=1,
                  soft_labels=False, fast=False, wait_ms=20.0, warmup=False,
                  stream=True, chunk_frames=8, stream_residual=False,
-                 pooled_streams=False, max_streams=8, tick_ms=5.0):
+                 pooled_streams=False, max_streams=8, tick_ms=5.0,
+                 data_parallel=False):
     """Assemble the full serving stack from a pretrained-models directory
     (M2_ibm/ + classifier_ibm/): EnhancementService + optional streaming
     endpoint (dedicated or pooled) + the HTTP front end. Shared by
     `scripts/serve_http.py` and `gvnmf serve` — returns the (unstarted)
     EnhancementHTTPServer; its `close_all()` tears down the whole stack
-    (HTTP + pool ticker + service drain)."""
+    (HTTP + pool ticker + service drain). `data_parallel=True` shards
+    BOTH serving paths over all devices: request batches via the
+    service's mesh dispatch, and the stream pool's lanes + resident
+    state over the mesh data axis (max_streams is rounded up to a
+    multiple of the device count)."""
     import os
 
     from .mcem import MCEMConfig
     from .serving import EnhancementService, ServeConfig
     from .train import load_model, load_norm_stats
+
+    mesh = None
+    if data_parallel:
+        from .parallel import make_mesh
+
+        mesh = make_mesh()
+        n_dev = mesh.shape["data"]
+        max_streams = ((max_streams + n_dev - 1) // n_dev) * n_dev
 
     m2 = load_model(os.path.join(models_dir, "M2_ibm"), kind="dgm")
     cls = load_model(os.path.join(models_dir, "classifier_ibm"),
@@ -488,6 +501,7 @@ def build_server(models_dir, host="127.0.0.1", port=8571, niter=100,
         m2, classifier_params=cls, mean=mean, std=std,
         cfg=MCEMConfig(niter=niter, noise_gain=noise_gain,
                        noise_gain_bands=noise_gain_bands),
+        mesh=mesh,
         serve=ServeConfig(max_wait_ms=wait_ms, label_mode="dnn",
                           noise_model=noise_model,
                           soft_guidance=soft_labels, fast=fast),
@@ -510,7 +524,7 @@ def build_server(models_dir, host="127.0.0.1", port=8571, niter=100,
 
         driver = StreamPoolDriver(
             MultiStreamM2Enhancer(m2, max_streams=max_streams,
-                                  **stream_kw),
+                                  mesh=mesh, **stream_kw),
             tick_ms=tick_ms)
 
         def stream_factory():

@@ -578,6 +578,42 @@ def _m2_pool_tick(enc, dec, cls, mean, std, band_map, frames, ks,
     return y, m, pool_state
 
 
+def _make_pool_tick_sharded(mesh, enc, dec, cls, mean, std, band_map,
+                            cfg, axis="data"):
+    """Build the multi-chip pool tick: a FULL-LANE tick (every slot row
+    every tick) shard_mapped over the mesh's data axis — rows and the
+    resident stacked state stay sharded across chips, each device runs
+    its local rows with ZERO collectives (lanes are independent). Idle
+    rows run with k=0 on zero frames: the gated SPP scan and a
+    keep-select on the state leave them untouched; their outputs are
+    discarded. Model params are closed over (replicated). Returns a
+    jitted (frames, ks, pool_state) -> (y, m, pool_state) function;
+    build once per pool (the trace is cached on the instance)."""
+    from jax.sharding import PartitionSpec as P
+
+    def local(frames_l, ks_l, state_l):
+        def one(f, k1, st):
+            return _m2_tick_core(enc, dec, cls, mean, std, band_map,
+                                 f, k1, st, **cfg)
+
+        y, m, new = jax.vmap(one)(frames_l, ks_l, state_l)
+        keep = ks_l > 0
+
+        def sel(n, o):
+            return jnp.where(
+                keep.reshape((-1,) + (1,) * (n.ndim - 1)), n, o)
+
+        new = jax.tree_util.tree_map(sel, new, state_l)
+        return y, m, new
+
+    spec = P(axis)
+    fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(spec, spec, spec),
+        out_specs=(spec, spec, spec))
+    return jax.jit(fn)
+
+
 class StreamingM2Enhancer(_StreamingOLA):
     """Online flagship: M2 guided-VAE enhancement on a live stream.
 
@@ -797,9 +833,17 @@ class MultiStreamM2Enhancer:
     """
 
     def __init__(self, dgm_params, classifier_params=None, mean=None,
-                 std=None, max_streams=8, **enhancer_kwargs):
+                 std=None, max_streams=8, mesh=None, **enhancer_kwargs):
         if max_streams < 1:
             raise ValueError("max_streams must be >= 1")
+        self.mesh = mesh
+        if mesh is not None:
+            n_dev = mesh.shape.get("data", 1)
+            if max_streams % n_dev != 0:
+                raise ValueError(
+                    f"max_streams ({max_streams}) must be a multiple of "
+                    f"the mesh data axis ({n_dev})")
+        self._sharded_tick = None   # built lazily (mesh mode)
         self.max_streams = max_streams
         # mirrored from StreamingM2Enhancer's default for API clients
         # (e.g. the HTTP X-Chunk-Frames header) without opening a slot
@@ -910,6 +954,8 @@ class MultiStreamM2Enhancer:
         lanes = [(s, s._t_done, min(s.chunk_frames, t_end - s._t_done))
                  for sid, s, t_end in ready]
         s0 = lanes[0][0]
+        if self.mesh is not None:
+            return self._tick_sharded(lanes, s0)
         n = len(lanes)
         n_lanes = 1
         while n_lanes < n:
@@ -929,6 +975,34 @@ class MultiStreamM2Enhancer:
         y_np, m_np = np.asarray(y_all), np.asarray(m_all)
         for i, (s, t0, k) in enumerate(lanes):
             s._ola_accumulate(t0, y_np[i], m_np[i].astype(np.float16), k)
+
+    def _tick_sharded(self, lanes, s0):
+        """Multi-chip tick: EVERY slot row runs every tick (idle rows at
+        k=0 keep their state), rows + the resident state sharded over the
+        mesh's data axis — live streams scale across all chips in one
+        shard_map program per tick. No lane bucketing: at mesh scale the
+        pool is sized for capacity and the full-lane program is the
+        single compiled shape."""
+        R = self.max_streams
+        frames_full = np.zeros((R, s0.chunk_frames, NFFT), np.float32)
+        ks_full = np.zeros((R,), np.int32)
+        by_row = {}
+        for s, t0, k in lanes:
+            row = s._pool_row
+            frames_full[row] = s._take_frames(s._pad, t0, k)
+            ks_full[row] = k
+            by_row[row] = (s, t0, k)
+        if self._sharded_tick is None:
+            self._sharded_tick = _make_pool_tick_sharded(
+                self.mesh, s0.enc, s0.dec, s0.cls, s0.mean, s0.std,
+                s0._band_map, s0._tick_cfg())
+        y_all, m_all, self._pool_state = self._sharded_tick(
+            jnp.asarray(frames_full), jnp.asarray(ks_full),
+            self._pool_state)
+        y_np, m_np = np.asarray(y_all), np.asarray(m_all)
+        for row, (s, t0, k) in by_row.items():
+            s._ola_accumulate(t0, y_np[row], m_np[row].astype(np.float16),
+                              k)
 
     def step(self):
         """Process every ready chunk of every live stream in batched

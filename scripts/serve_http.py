@@ -21,6 +21,8 @@ Usage: python scripts/serve_http.py [--host 0.0.0.0] [--port 8571]
        [--wait_ms 20] [--warmup 0] [--stream 1] [--chunk_frames 8]
        [--stream_residual 0]   (causal spp2 noise tracking in the stream)
        [--pooled_streams 0] [--max_streams 8] [--tick_ms 5]
+       [--data_parallel 0]     (shard requests + pooled streams over all
+                                devices of the mesh)
 """
 
 import os
@@ -56,6 +58,7 @@ def main(argv=None):
     pooled = flag(argv, "pooled_streams", "0") in ("1", "true")
     max_streams = flag(argv, "max_streams", 8, int)
     tick_ms = flag(argv, "tick_ms", 5.0, float)
+    data_parallel = flag(argv, "data_parallel", "0") in ("1", "true")
 
     from guided_vae_nmf_tpu.http_serving import build_server
 
@@ -65,7 +68,8 @@ def main(argv=None):
         noise_gain_bands=ng_bands, soft_labels=soft, fast=fast,
         wait_ms=wait_ms, warmup=warmup, stream=stream,
         chunk_frames=chunk_frames, stream_residual=residual,
-        pooled_streams=pooled, max_streams=max_streams, tick_ms=tick_ms)
+        pooled_streams=pooled, max_streams=max_streams, tick_ms=tick_ms,
+        data_parallel=data_parallel)
     srv.start()
     print(f"serving on http://{host}:{srv.port} "
           f"(niter={niter}, noise_model={noise_model}, "

@@ -141,6 +141,20 @@ def test_build_server_shared_factory():
         srv.close_all()
     assert srv._stream_driver is not None    # pooled mode attached it
 
+    # data_parallel: requests AND pooled streams shard over the mesh
+    # (8-way virtual CPU mesh under the test conftest)
+    srv = build_server(ART, port=0, niter=2, pooled_streams=True,
+                       max_streams=2, data_parallel=True).start()
+    try:
+        pool = srv._stream_driver._pool
+        assert pool.mesh is not None
+        assert pool.max_streams % pool.mesh.shape["data"] == 0
+        with urlopen(f"http://127.0.0.1:{srv.port}/healthz",
+                     timeout=10) as r:
+            assert json.load(r)["status"] == "ok"
+    finally:
+        srv.close_all()
+
 
 def test_cli_stream_rejects_non_causal_labels():
     """The stream subcommand only offers causal label sources."""

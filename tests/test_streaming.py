@@ -498,6 +498,57 @@ def test_multistream_dnn_labels_match_single():
                         err_msg=f"dnn stream {i}")
 
 
+def test_multistream_mesh_sharded_matches_single():
+    """Mesh mode: live streams shard across the 8-way virtual mesh (rows
+    + resident state on the data axis, one shard_map program per tick,
+    idle rows frozen at k=0). Every stream's output must equal a
+    dedicated single-device StreamingM2Enhancer fed the same samples,
+    including slots that sit idle for whole ticks."""
+    from guided_vae_nmf_tpu.parallel import make_mesh
+    from guided_vae_nmf_tpu.streaming import (
+        MultiStreamM2Enhancer, StreamingM2Enhancer,
+    )
+
+    mesh = make_mesh()
+    n_dev = mesh.shape["data"]
+    dgm, kw = _m2_cfg()
+    sigs = [_pool_signal(s, n) for s, n in
+            ((6, 15000), (7, 9000), (8, 20000))]
+
+    singles = []
+    for x in sigs:
+        enh = StreamingM2Enhancer(dgm, **kw)
+        parts = [enh.push(x[lo:lo + 3000]) for lo in range(0, len(x), 3000)]
+        parts.append(enh.flush())
+        singles.append(np.concatenate(parts))
+
+    pool = MultiStreamM2Enhancer(dgm, max_streams=n_dev, mesh=mesh, **kw)
+    sids = [pool.open() for _ in sigs]
+    outs = {sid: [] for sid in sids}
+    pos = [0, 0, 0]
+    live = set(range(3))
+    rng = np.random.RandomState(3)
+    while live:
+        for i in sorted(live):
+            if rng.rand() < 0.3:
+                continue                  # this stream idles this round
+            n = int(rng.randint(1000, 4000))
+            pool.feed(sids[i], sigs[i][pos[i]:pos[i] + n])
+            pos[i] += n
+        for sid, arr in pool.step().items():
+            outs[sid].append(arr)
+        for i in sorted(live):
+            if pos[i] >= len(sigs[i]):
+                outs[sids[i]].append(pool.flush(sids[i]))
+                pool.close(sids[i])
+                live.discard(i)
+    for i, x in enumerate(sigs):
+        got = np.concatenate(outs[sids[i]])
+        assert len(got) == len(x)
+        assert_allclose(got, singles[i], atol=2e-5, rtol=1e-4,
+                        err_msg=f"mesh stream {i}")
+
+
 def test_multistream_state_views_read_resident_rows():
     """A pool slot's introspection views (_ctx_valid/_ctx_b/_res) must
     reflect the device-resident pool row the ticks actually update, not
