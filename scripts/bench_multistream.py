@@ -43,10 +43,11 @@ def _signal(seed, n):
     return (s + 0.02 * rng.randn(n)).astype(np.float32)
 
 
-def _run_pooled(dgm, kw, sigs, chunk_samples, max_streams):
+def _run_pooled(dgm, kw, sigs, chunk_samples, max_streams, mesh=None):
     from guided_vae_nmf_tpu.streaming import MultiStreamM2Enhancer
 
-    pool = MultiStreamM2Enhancer(dgm, max_streams=max_streams, **kw)
+    pool = MultiStreamM2Enhancer(dgm, max_streams=max_streams,
+                                 mesh=mesh, **kw)
     sids = [pool.open() for _ in sigs]
     n = len(sigs[0])
     t0 = time.perf_counter()
@@ -86,6 +87,14 @@ def main(argv=None):
     label_mode = flag(argv, "label_mode", "timo")
     block_iters = flag(argv, "block_iters", 6, int)
     e_steps = flag(argv, "e_steps", 4, int)
+    # shard the pool's lanes + resident state over the mesh data axis
+    # (full-lane ticks; measures the multi-chip live-stream capacity)
+    data_parallel = flag(argv, "data_parallel", "0") in ("1", "true")
+    mesh = None
+    if data_parallel:
+        from guided_vae_nmf_tpu.parallel import make_mesh
+
+        mesh = make_mesh()
 
     from _common import load_model, load_norm_stats
     from guided_vae_nmf_tpu.streaming import HOP
@@ -107,10 +116,13 @@ def main(argv=None):
         sigs = [_signal(7 + i, n) for i in range(B)]
         # warm both compiled paths (pool program + single program)
         pool_size = max_streams or B
+        if mesh is not None:
+            n_dev = mesh.shape["data"]
+            pool_size = ((pool_size + n_dev - 1) // n_dev) * n_dev
         _run_pooled(dgm, kw, [s[: 4 * chunk_samples] for s in sigs],
-                    chunk_samples, pool_size)
+                    chunk_samples, pool_size, mesh)
         _run_serial(dgm, kw, [sigs[0][: 4 * chunk_samples]], chunk_samples)
-        t_pool = _run_pooled(dgm, kw, sigs, chunk_samples, pool_size)
+        t_pool = _run_pooled(dgm, kw, sigs, chunk_samples, pool_size, mesh)
         t_serial = _run_serial(dgm, kw, sigs, chunk_samples)
         audio_s = B * seconds
         rows.append({
