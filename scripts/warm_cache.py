@@ -9,6 +9,8 @@ processes start warm.
 Usage: GVNMF_CACHE_DIR=~/.cache/gvnmf_xla python scripts/warm_cache.py
        [--buckets 384,512,640] [--batch_size 32] [--labels oracle,dnn]
        [--noise_models nmf] [--fast 1] [--y_dim 513]
+       [--serving 1]  (online endpoint batch x bucket lattice)
+       [--stream 1]   (fused streaming ticks, dedicated + pooled)
 """
 
 import os
@@ -96,6 +98,31 @@ def main(argv=None):
             print(f"serving lattice warmed ({dt:.1f}s)", flush=True)
         finally:
             svc.close()
+
+    if flag(argv, "stream", 0, int):
+        # the fused streaming tick (dedicated + pooled) at the serving
+        # default chunk shape — a live connection's first chunk then
+        # reloads instead of compiling
+        from guided_vae_nmf_tpu.streaming import (
+            HOP as SHOP, MultiStreamM2Enhancer, StreamingM2Enhancer,
+        )
+
+        t0 = time.perf_counter()
+        chunk_frames = flag(argv, "chunk_frames", 8, int)
+        max_streams = flag(argv, "max_streams", 8, int)
+        skw = dict(classifier_params=cls, mean=mean, std=std,
+                   label_mode="dnn", chunk_frames=chunk_frames)
+        enh = StreamingM2Enhancer(params, **skw)
+        enh.push(np.zeros(2 * chunk_frames * SHOP, np.float32))
+        pool = MultiStreamM2Enhancer(params, max_streams=max_streams,
+                                     **skw)
+        sid = pool.open()
+        pool.feed(sid, np.zeros(2 * chunk_frames * SHOP, np.float32))
+        pool.step()
+        pool.close(sid)
+        n_done += 2
+        print(f"streaming ticks warmed ({time.perf_counter() - t0:.1f}s)",
+              flush=True)
 
     print(f"warmed {n_done} programs into "
           f"{os.environ['GVNMF_CACHE_DIR']}")
