@@ -281,23 +281,6 @@ class StreamingWienerEnhancer(_StreamingOLA):
 
 
 @jax.jit
-def _analyze_frames_jit(frames):
-    """(k, nfft) raw frames -> split-complex spectra + power."""
-    window = jnp.asarray(periodic_hann(NFFT), jnp.float32)
-    X = jnp.fft.rfft(frames * window, axis=-1)
-    re, im = jnp.real(X).astype(jnp.float32), jnp.imag(X).astype(jnp.float32)
-    return re, im, re**2 + im**2
-
-
-@jax.jit
-def _synth_frames_jit(re, im, m):
-    """Masked synthesis: (k, F) spectra + masks -> windowed frames."""
-    window = jnp.asarray(periodic_hann(NFFT), jnp.float32)
-    S = m.astype(jnp.complex64) * (re + 1j * im)
-    return jnp.fft.irfft(S, n=NFFT, axis=-1).astype(jnp.float32) * window
-
-
-@jax.jit
 def _spp_tick_jit(frames, k, state):
     """Model-free chunk path as one program: analysis -> causal SPP scan
     (state carried on device, pad rows gated) -> masked synthesis."""
