@@ -246,6 +246,65 @@ def cmd_serve(a):
 
 
 # ---------------------------------------------------------------------------
+# train (any model family from a labeled-frames H5)
+# ---------------------------------------------------------------------------
+
+def cmd_train(a):
+    import numpy as np
+
+    from .data.h5io import H5FrameReader
+    from .train import (
+        TrainConfig, train_classifier, train_m1, train_m2, train_wiener,
+    )
+
+    mesh = None
+    if a.data_parallel:
+        from .parallel import make_mesh
+
+        mesh = make_mesh()
+    cfg = TrainConfig(end_epoch=a.epochs, batch_size=a.batch_size,
+                      learning_rate=a.lr, seed=a.seed)
+    h_dim = tuple(int(v) for v in a.h_dim.split(","))
+
+    rtr = H5FrameReader(a.h5, "train")
+    Xtr, Ytr = rtr.load_all()
+    mean = rtr.mean[:, 0] if rtr.mean is not None else Xtr.mean(0)
+    std = rtr.std[:, 0] if rtr.std is not None else Xtr.std(0)
+    rva = H5FrameReader(a.h5, "validation")
+    Xva, Yva = rva.load_all()
+    rtr.close()
+    rva.close()
+    y_dim = (Ytr.shape[1] if Ytr is not None and Ytr.ndim == 2 else 1)
+
+    if a.family == "m1":
+        params, hist = train_m1(
+            Xtr, Xva, dims=(513, a.z_dim, h_dim), cfg=cfg,
+            model_dir=a.out, name="M1", mesh=mesh, resume=a.resume,
+            verbose=True)
+    elif a.family == "m2":
+        params, hist = train_m2(
+            (Xtr, Ytr), (Xva, Yva), dims=(513, y_dim, a.z_dim, h_dim),
+            cfg=cfg, model_dir=a.out, name="M2", mesh=mesh,
+            resume=a.resume, verbose=True)
+    else:
+        # classifier / wiener standardize with the H5 train stats
+        # (reference training_classifier.py:97-108) and save .npy
+        # side-cars consumed at enhancement time
+        eps = 1e-8
+        Xtr = ((Xtr - mean) / (std + eps)).astype(np.float32)
+        Xva = ((Xva - mean) / (std + eps)).astype(np.float32)
+        fn = train_classifier if a.family == "classifier" else train_wiener
+        name = "Classifier" if a.family == "classifier" else "Wiener"
+        params, hist = fn(
+            (Xtr, Ytr), (Xva, Yva), dims=(513, h_dim, y_dim), cfg=cfg,
+            model_dir=a.out, name=name, mean=mean, std=std, mesh=mesh,
+            resume=a.resume, verbose=True)
+    best = min(h["valid"] for h in hist)
+    print(f"done; best valid {best:.2f}; checkpoints in {a.out}")
+    return 0
+
+
+# ---------------------------------------------------------------------------
 # doctor (bounded environment diagnostics)
 # ---------------------------------------------------------------------------
 
@@ -404,6 +463,22 @@ def build_parser():
     p.add_argument("--fast", action="store_true",
                    help="bf16 dumps + approx reciprocal (fused engine)")
     p.set_defaults(fn=cmd_serve)
+
+    p = sub.add_parser("train", help="train a model family from an H5")
+    p.add_argument("family", choices=("m1", "m2", "classifier", "wiener"))
+    p.add_argument("--h5", required=True,
+                   help="labeled-frames H5 (create_*_train_set output)")
+    p.add_argument("--out", required=True, help="checkpoint directory")
+    p.add_argument("--epochs", type=int, default=200)
+    p.add_argument("--batch_size", type=int, default=128)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--z_dim", type=int, default=32)
+    p.add_argument("--h_dim", default="128,128")
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--data_parallel", action="store_true",
+                   help="shard the frame batch over all devices")
+    p.set_defaults(fn=cmd_train)
 
     p = sub.add_parser("doctor", help="bounded environment diagnostics")
     p.add_argument("--probe_s", type=float, default=30.0)

@@ -115,6 +115,37 @@ def test_cli_stream(tmp_path):
     assert np.all(np.isfinite(y))
 
 
+def test_cli_train_and_enhance_roundtrip(tmp_path):
+    """`gvnmf train` fits an M2 on a tiny synthetic H5, then `gvnmf
+    enhance` loads the resulting checkpoint directory — the full
+    train -> deploy lifecycle through the console command."""
+    from guided_vae_nmf_tpu.data import H5FrameWriter
+
+    rng = np.random.RandomState(0)
+    X = rng.uniform(0.01, 1.0, (513, 512)).astype(np.float32)
+    Y = (rng.rand(513, 512) > 0.5).astype(np.float32)
+    h5p = str(tmp_path / "frames.h5")
+    for split, sl in (("train", slice(0, 384)),
+                      ("validation", slice(384, 512))):
+        with H5FrameWriter(h5p, split) as w:
+            w.append(X[:, sl], Y[:, sl])
+    out_dir = str(tmp_path / "ckpt")
+    out = _run("train", "m2", "--h5", h5p, "--out", out_dir,
+               "--epochs", "2", "--z_dim", "8", "--h_dim", "16")
+    assert out.returncode == 0, out.stderr[-800:]
+    assert "best valid" in out.stdout
+    import glob as _glob
+
+    assert _glob.glob(os.path.join(out_dir, "*.ckpt.npz"))
+
+    mix = os.path.join(MIX_DIR, "440c020a_x.wav")
+    s_out = str(tmp_path / "s.wav")
+    out = _run("enhance", mix, s_out, "--model", out_dir,
+               "--label", "timo", "--niter", "2", "--noise_model", "spp")
+    assert out.returncode == 0, out.stderr[-800:]
+    assert len(read_wav(s_out)[0]) == len(read_wav(mix)[0])
+
+
 def test_cli_doctor():
     out = _run("doctor", "--probe_s", "20")
     assert out.returncode == 0, out.stderr[-800:]
