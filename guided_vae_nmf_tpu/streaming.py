@@ -193,7 +193,14 @@ class _StreamingOLA:
             raise RuntimeError(
                 "push() after flush(): the stream was finalized with the "
                 "end-pad rule; call reset() to start a new stream")
-        self._append_raw(np.asarray(samples, np.float32))
+        samples = np.asarray(samples, np.float32)
+        if samples.size and not np.all(np.isfinite(samples)):
+            # same contract as EnhancementService.submit: a NaN/Inf chunk
+            # would poison the device-resident recurrence state (SPP
+            # carry, warm context) for the REST of the stream — fail the
+            # bad chunk instead
+            raise ValueError("non-finite samples in stream input")
+        self._append_raw(samples)
         if self._pad is None:
             if self._n_raw < NFFT // 2 + 1:
                 return 0

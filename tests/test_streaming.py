@@ -740,3 +740,20 @@ def test_stream_pool_flush_failure_releases_slot(monkeypatch):
     sid2 = driver.open()                 # slot came back
     driver.abort(sid2)
     driver.shutdown()
+
+
+def test_streaming_rejects_non_finite_input():
+    """A NaN/Inf chunk would poison the device-resident recurrence state
+    for the rest of the stream; _ingest fails the bad chunk instead
+    (same contract as EnhancementService.submit)."""
+    from guided_vae_nmf_tpu.streaming import StreamingSPPEnhancer
+
+    enh = StreamingSPPEnhancer(chunk_frames=4)
+    enh.push(np.zeros(2000, np.float32))
+    bad = np.zeros(1000, np.float32)
+    bad[500] = np.nan
+    with pytest.raises(ValueError, match="non-finite"):
+        enh.push(bad)
+    # the stream survives: good chunks keep flowing
+    y = enh.push(np.zeros(2000, np.float32))
+    assert np.all(np.isfinite(y))
