@@ -516,7 +516,11 @@ def build_server(models_dir, host="127.0.0.1", port=8571, niter=100,
                      chunk_frames=chunk_frames, soft_guidance=soft_labels,
                      residual_tracking=stream_residual,
                      noise_gain=noise_gain,
-                     noise_gain_bands=noise_gain_bands, label_mode="dnn")
+                     noise_gain_bands=noise_gain_bands, label_mode="dnn",
+                     # HTTP streams never expose masks; with the
+                     # prefix-trimming this makes indefinite live
+                     # connections fully bounded-memory
+                     keep_masks=False)
     if stream and pooled_streams:
         from .streaming import (
             MultiStreamM2Enhancer, PooledStreamSession, StreamPoolDriver,

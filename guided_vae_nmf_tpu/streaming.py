@@ -64,13 +64,20 @@ class _StreamingOLA:
     zero padding and must not advance any recurrent state).
     """
 
-    def __init__(self, chunk_frames=64):
+    # finalized prefixes are trimmed once they exceed this many samples
+    # (amortizes the copy; ~4 s of audio)
+    TRIM_CHUNK = 64 * 1024
+
+    def __init__(self, chunk_frames=64, keep_masks=True):
         self.chunk_frames = chunk_frames
+        # False = bounded-memory mode for indefinite live streams (the
+        # `masks` history would otherwise grow ~8 GB/day at 16 kHz)
+        self.keep_masks = keep_masks
         self._win_sq = periodic_hann(NFFT).astype(np.float32) ** 2
         self.reset()
 
     def reset(self):
-        self._raw = np.zeros(0, np.float32)   # all original samples seen
+        self._raw = np.zeros(0, np.float32)   # UN-trimmed original tail
         self._pad = None                      # padded signal (lead known)
         self._t_done = 0                      # frames processed
         self._emitted = 0                     # original samples emitted
@@ -78,6 +85,11 @@ class _StreamingOLA:
         self._w = np.zeros(NFFT, np.float32)
         self._masks = []
         self._flushed = False
+        # samples discarded from the buffer fronts (indefinite streams
+        # run at BOUNDED memory: finalized prefixes are trimmed and all
+        # absolute coordinates offset by these counters)
+        self._drop = 0       # padded coords: _pad/_y/_w fronts
+        self._raw_drop = 0   # original coords: _raw front
 
     # -- internals --------------------------------------------------------
 
@@ -141,7 +153,8 @@ class _StreamingOLA:
         """Extract frames [t0, t0+k) from the padded signal, zero-padded
         to the fixed compile shape (chunk_frames, nfft)."""
         frames = np.stack([
-            padded[(t0 + i) * HOP:(t0 + i) * HOP + NFFT]
+            padded[(t0 + i) * HOP - self._drop:
+                   (t0 + i) * HOP - self._drop + NFFT]
             for i in range(k)
         ])
         if k < self.chunk_frames:  # fixed compile shape
@@ -152,10 +165,11 @@ class _StreamingOLA:
         """Overlap-add k enhanced windowed frames starting at frame t0
         into the accumulators and advance the processed-frame cursor."""
         y = np.asarray(y)[:k]
-        self._masks.append(np.asarray(m)[:k])
-        self._ensure_acc((t0 + k - 1) * HOP + NFFT)
+        if self.keep_masks:
+            self._masks.append(np.asarray(m)[:k])
+        self._ensure_acc((t0 + k - 1) * HOP + NFFT - self._drop)
         for i in range(k):
-            lo = (t0 + i) * HOP
+            lo = (t0 + i) * HOP - self._drop
             self._y[lo:lo + NFFT] += y[i]
             self._w[lo:lo + NFFT] += self._win_sq
         self._t_done = t0 + k
@@ -172,16 +186,32 @@ class _StreamingOLA:
 
     def _emit_upto(self, orig_end):
         """Return finalized original samples [self._emitted, orig_end)."""
-        orig_end = min(orig_end, len(self._raw))
+        orig_end = min(orig_end, self._raw_drop + self._n_raw)
         if orig_end <= self._emitted:
             return np.zeros(0, np.float32)
-        lo = self._emitted + NFFT // 2     # padded coords
-        hi = orig_end + NFFT // 2
+        lo = self._emitted + NFFT // 2 - self._drop    # padded coords
+        hi = orig_end + NFFT // 2 - self._drop
         w = self._w[lo:hi]
         y = self._y[lo:hi]
         out = np.where(w > np.finfo(np.float32).tiny, y / w, y)
         self._emitted = orig_end
         return out.astype(np.float32)
+
+    def _maybe_trim(self):
+        """Discard finalized buffer prefixes (bounded-memory streaming).
+        Keeps an NFFT margin behind the emit point: flush's reflect tail
+        reads the padded buffer's last NFFT//2+2 samples and the OLA
+        normalizer only ever reads forward of the emit point."""
+        cut = self._emitted + NFFT // 2 - self._drop - NFFT
+        if cut >= self.TRIM_CHUNK:
+            self._pad = self._pad[cut:].copy()
+            self._y = self._y[cut:].copy()
+            self._w = self._w[cut:].copy()
+            self._drop += cut
+        cut_r = self._emitted - self._raw_drop - NFFT
+        if cut_r >= self.TRIM_CHUNK:
+            self._raw = self._raw[cut_r:].copy()
+            self._raw_drop += cut_r
 
     # -- public API -------------------------------------------------------
 
@@ -208,7 +238,8 @@ class _StreamingOLA:
             raw = self._raw
             self._pad = np.concatenate([raw[NFFT // 2:0:-1], raw])
         else:
-            new = self._n_raw + NFFT // 2 - self._n_pad
+            new = (self._raw_drop + self._n_raw + NFFT // 2
+                   - self._drop - self._n_pad)
             if new > 0:
                 self._append_pad(self._raw[-new:])
         return self._t_avail()
@@ -217,19 +248,48 @@ class _StreamingOLA:
         """Frames fully inside the causally-known padded prefix."""
         if self._pad is None:
             return 0
-        return max(0, (len(self._pad) - NFFT) // HOP + 1)
+        total = self._drop + self._n_pad
+        return max(0, (total - NFFT) // HOP + 1)
 
     def _flush_pad(self):
-        """End-of-stream framing: apply the reference end-pad rule and the
-        reflect tail. Returns (padded signal, total frame count) without
-        processing anything."""
-        x = _maybe_end_pad(self._raw, FS, 64e-3, 0.25, HOP)
-        n_frames = 1 + len(x) // HOP
-        padded = np.pad(x, NFFT // 2, mode="reflect").astype(np.float32)
+        """End-of-stream framing: apply the reference end-pad rule and
+        the reflect tail by APPENDING to the causally-built padded
+        buffer (the prefix is identical, so indefinite streams flush at
+        bounded memory). Returns the total frame count."""
+        import math
+
+        if self._pad is None:
+            # stream shorter than the reflect lead: build the padded
+            # signal outright (the append-only path needs the lead)
+            x = _maybe_end_pad(self._raw, FS, 64e-3, 0.25, HOP)
+            n_frames = 1 + len(x) // HOP
+            padded = np.pad(x, NFFT // 2, mode="reflect").astype(
+                np.float32)
+            need = (n_frames - 1) * HOP + NFFT
+            if len(padded) < need:
+                padded = np.pad(padded, (0, need - len(padded)))
+            self._pad = padded
+            return n_frames
+
+        L = self._raw_drop + self._n_raw
+        # reference end-pad rule on the total length (dsp._maybe_end_pad)
+        utt_len = L / FS
+        z = HOP if math.ceil(utt_len / 64e-3 / 0.25) != int(
+            utt_len / 64e-3 / 0.25) else 0
+        if z:
+            self._append_pad(np.zeros(z, np.float32))
+        x_ep_len = L + z
+        n_frames = 1 + x_ep_len // HOP
+        # reflect tail: np.pad(x_ep, nfft//2, 'reflect') right side =
+        # x_ep[-2], x_ep[-3], ... — the padded buffer ends with x_ep, so
+        # its own tail provides the samples (the trim margin keeps them)
+        tail = self._pad[-2:-2 - NFFT // 2:-1].copy()
+        self._append_pad(tail)
         need = (n_frames - 1) * HOP + NFFT
-        if len(padded) < need:  # hop-remainder: frames may overrun; pad
-            padded = np.pad(padded, (0, need - len(padded)))
-        return padded, n_frames
+        total = self._drop + self._n_pad
+        if total < need:  # hop-remainder: frames may overrun; pad
+            self._append_pad(np.zeros(need - total, np.float32))
+        return n_frames
 
     def push(self, samples):
         """Feed a chunk; returns the newly-finalized enhanced samples."""
@@ -237,7 +297,9 @@ class _StreamingOLA:
         if t_avail:
             self._process_frames(self._pad, t_avail)
         # a sample is final once the next unprocessed frame starts after it
-        return self._emit_upto(self._t_done * HOP - NFFT // 2)
+        out = self._emit_upto(self._t_done * HOP - NFFT // 2)
+        self._maybe_trim()
+        return out
 
     def flush(self):
         """Apply the reference end-pad rule + reflect tail, process the
@@ -246,9 +308,9 @@ class _StreamingOLA:
         self._flushed = True
         if self._raw.size == 0:   # nothing ever pushed: nothing to finalize
             return np.zeros(0, np.float32)
-        padded, n_frames = self._flush_pad()
-        self._process_frames(padded, n_frames)
-        return self._emit_upto(len(self._raw))
+        n_frames = self._flush_pad()
+        self._process_frames(self._pad, n_frames)
+        return self._emit_upto(self._raw_drop + self._n_raw)
 
     @property
     def masks(self):
@@ -273,14 +335,14 @@ class StreamingWienerEnhancer(_StreamingOLA):
     """
 
     def __init__(self, params, mean=None, std=None, chunk_frames=64,
-                 eps=1e-8):
+                 eps=1e-8, keep_masks=True):
         self.params = params
         self.mean = None if mean is None else jnp.asarray(
             np.asarray(mean, np.float32))
         self.std = None if std is None else jnp.asarray(
             np.asarray(std, np.float32))
         self.eps = eps
-        super().__init__(chunk_frames)
+        super().__init__(chunk_frames, keep_masks)
 
     def _enhance_frame_batch(self, frames, k):
         return _wiener_frames_jit(self.params, jnp.asarray(frames),
@@ -314,8 +376,8 @@ class StreamingSPPEnhancer(_StreamingOLA):
     (the whole chunk is one program, `_spp_tick_jit`), so the mask track
     equals `timo_mask_estimation` of the whole spectrogram."""
 
-    def __init__(self, chunk_frames=64):
-        super().__init__(chunk_frames)
+    def __init__(self, chunk_frames=64, keep_masks=True):
+        super().__init__(chunk_frames, keep_masks)
 
     def reset(self):
         super().reset()
@@ -624,7 +686,8 @@ class StreamingM2Enhancer(_StreamingOLA):
                  block_iters=6, e_steps=4, lr=5e-3, label_mode="dnn",
                  soft_guidance=False, residual_tracking=False,
                  residual_alpha=0.5, noise_gain=False,
-                 noise_gain_init="ones", noise_gain_bands=1, eps=1e-8):
+                 noise_gain_init="ones", noise_gain_bands=1, eps=1e-8,
+                 keep_masks=True):
         if label_mode == "dnn" and classifier_params is None:
             raise ValueError("label_mode='dnn' needs classifier_params")
         # guidance dimension from the model (513 for IBM-guided M2, 1 for
@@ -697,7 +760,7 @@ class StreamingM2Enhancer(_StreamingOLA):
         # latent dim from the encoder's gaussian head (needed to build
         # the device-resident context state eagerly)
         self._L = int(np.asarray(self.enc["mu"]["w"]).shape[1])
-        super().__init__(chunk_frames)
+        super().__init__(chunk_frames, keep_masks)
 
     def reset(self):
         super().reset()
@@ -1008,9 +1071,10 @@ class MultiStreamM2Enhancer:
             self._buffered[sid] = []
             if sid in self._t_target:
                 if s._t_done >= self._t_target[sid]:
-                    parts.append(s._emit_upto(len(s._raw)))
+                    parts.append(s._emit_upto(s._raw_drop + s._n_raw))
             else:
                 parts.append(s._emit_upto(s._t_done * HOP - NFFT // 2))
+                s._maybe_trim()      # bounded memory for long streams
             parts = [p for p in parts if p.size]
             if parts:
                 outs[sid] = np.concatenate(parts)
@@ -1029,9 +1093,7 @@ class MultiStreamM2Enhancer:
         if s._raw.size == 0:
             self._t_target[sid] = 0
             return np.zeros(0, np.float32)
-        padded, n_frames = s._flush_pad()
-        s._pad = padded
-        self._t_target[sid] = n_frames
+        self._t_target[sid] = s._flush_pad()   # extends s._pad in place
         outs = self.step()
         for osid, arr in outs.items():
             if osid != sid:

@@ -757,3 +757,36 @@ def test_streaming_rejects_non_finite_input():
     # the stream survives: good chunks keep flowing
     y = enh.push(np.zeros(2000, np.float32))
     assert np.all(np.isfinite(y))
+
+
+def test_streaming_bounded_memory_trim():
+    """Indefinite live streams run at bounded memory: finalized buffer
+    prefixes are trimmed (absolute coordinates offset by the drop
+    counters) without changing a single output sample, including the
+    flush tail built append-only from the trimmed buffer."""
+    from guided_vae_nmf_tpu.streaming import StreamingSPPEnhancer
+
+    rng = np.random.RandomState(3)
+    x = (0.05 * rng.randn(12 * 16000)).astype(np.float32)
+
+    ref = StreamingSPPEnhancer(chunk_frames=8)
+    ref.TRIM_CHUNK = 1 << 62          # effectively no trimming
+    trim = StreamingSPPEnhancer(chunk_frames=8)
+    trim.TRIM_CHUNK = 8192            # aggressive trimming
+
+    out_r, out_t = [], []
+    for lo in range(0, len(x), 3210):
+        out_r.append(ref.push(x[lo:lo + 3210]))
+        out_t.append(trim.push(x[lo:lo + 3210]))
+    # the trimmed stream's working set is bounded...
+    bound = trim.TRIM_CHUNK + 4 * 1024 + 2 * 4000
+    assert len(trim._pad) < bound, len(trim._pad)
+    assert trim._y.size < 2 * bound
+    assert trim._raw.size < bound
+    # ...while the reference kept everything
+    assert len(ref._pad) > len(x)
+    out_r.append(ref.flush())
+    out_t.append(trim.flush())
+    a, b = np.concatenate(out_r), np.concatenate(out_t)
+    assert len(a) == len(b) == len(x)
+    np.testing.assert_array_equal(a, b)   # bit-identical output
