@@ -51,15 +51,26 @@ def periodic_hann(n):
     return 0.5 - 0.5 * np.cos(2.0 * np.pi * np.arange(n) / n)
 
 
-def _maybe_end_pad(x, fs, wlen_sec, hop_percent, hopsamp):
-    """Reference end-padding rule (stft.py:48-53): append one hop of zeros
-    unless the utterance duration is an exact multiple of the hop. The
-    comparison is done in float seconds exactly as the reference does."""
-    utt_len = len(x) / fs
+def _end_pad_len(n, fs, wlen_sec, hop_percent, hopsamp):
+    """Zeros the reference end-padding rule appends to an `n`-sample
+    utterance (stft.py:48-53): one hop unless the duration is an exact
+    multiple of the hop, compared in float seconds exactly as the
+    reference does. Length-based so streaming flush (which no longer
+    materializes the whole signal) shares the frozen contract."""
+    utt_len = n / fs
     if math.ceil(utt_len / wlen_sec / hop_percent) != int(
         utt_len / wlen_sec / hop_percent
     ):
-        return np.pad(x, (0, hopsamp), mode="constant")
+        return hopsamp
+    return 0
+
+
+def _maybe_end_pad(x, fs, wlen_sec, hop_percent, hopsamp):
+    """Reference end-padding rule applied to a signal (see
+    :func:`_end_pad_len`)."""
+    z = _end_pad_len(len(x), fs, wlen_sec, hop_percent, hopsamp)
+    if z:
+        return np.pad(x, (0, z), mode="constant")
     return x
 
 

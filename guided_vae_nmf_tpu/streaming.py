@@ -28,7 +28,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .dsp.stft import periodic_hann, stft_params, _maybe_end_pad
+from .dsp.stft import (periodic_hann, stft_params, _maybe_end_pad,
+                       _end_pad_len)
 from .models import classifier_apply
 
 FS = 16000
@@ -204,13 +205,21 @@ class _StreamingOLA:
         normalizer only ever reads forward of the emit point."""
         cut = self._emitted + NFFT // 2 - self._drop - NFFT
         if cut >= self.TRIM_CHUNK:
-            self._pad = self._pad[cut:].copy()
-            self._y = self._y[cut:].copy()
-            self._w = self._w[cut:].copy()
+            # shift the live tail down INSIDE the backing buffers (one
+            # copy, keeps the geometric growth headroom)
+            keep = self._n_pad - cut
+            self._pad_buf[:keep] = self._pad_buf[cut:self._n_pad]
+            self._n_pad = keep
+            self._y[:self._y.size - cut] = self._y[cut:]
+            self._y = self._y[:self._y.size - cut]
+            self._w[:self._w.size - cut] = self._w[cut:]
+            self._w = self._w[:self._w.size - cut]
             self._drop += cut
         cut_r = self._emitted - self._raw_drop - NFFT
         if cut_r >= self.TRIM_CHUNK:
-            self._raw = self._raw[cut_r:].copy()
+            keep = self._n_raw - cut_r
+            self._raw_buf[:keep] = self._raw_buf[cut_r:self._n_raw]
+            self._n_raw = keep
             self._raw_drop += cut_r
 
     # -- public API -------------------------------------------------------
@@ -256,8 +265,6 @@ class _StreamingOLA:
         the reflect tail by APPENDING to the causally-built padded
         buffer (the prefix is identical, so indefinite streams flush at
         bounded memory). Returns the total frame count."""
-        import math
-
         if self._pad is None:
             # stream shorter than the reflect lead: build the padded
             # signal outright (the append-only path needs the lead)
@@ -272,10 +279,9 @@ class _StreamingOLA:
             return n_frames
 
         L = self._raw_drop + self._n_raw
-        # reference end-pad rule on the total length (dsp._maybe_end_pad)
-        utt_len = L / FS
-        z = HOP if math.ceil(utt_len / 64e-3 / 0.25) != int(
-            utt_len / 64e-3 / 0.25) else 0
+        # reference end-pad rule on the total length (shared frozen
+        # contract with the offline path)
+        z = _end_pad_len(L, FS, 64e-3, 0.25, HOP)
         if z:
             self._append_pad(np.zeros(z, np.float32))
         x_ep_len = L + z
@@ -314,7 +320,12 @@ class _StreamingOLA:
 
     @property
     def masks(self):
-        """(F, frames) float16 soft masks of everything processed so far."""
+        """(F, frames) float16 soft masks of everything processed so far.
+        Raises when the stream runs with keep_masks=False (bounded-memory
+        serving mode) — an empty array would read as 'no frames'."""
+        if not self.keep_masks:
+            raise RuntimeError(
+                "mask history disabled (keep_masks=False)")
         if not self._masks:
             return np.zeros((NFFT // 2 + 1, 0), np.float16)
         return np.concatenate(self._masks, axis=0).T

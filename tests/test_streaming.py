@@ -790,3 +790,35 @@ def test_streaming_bounded_memory_trim():
     a, b = np.concatenate(out_r), np.concatenate(out_t)
     assert len(a) == len(b) == len(x)
     np.testing.assert_array_equal(a, b)   # bit-identical output
+
+
+def test_multistream_bounded_memory_trim():
+    """The pooled emit path trims finalized prefixes too (long-lived
+    pool slots run at bounded memory) without changing output vs a
+    dedicated untrimmed stream."""
+    from guided_vae_nmf_tpu.streaming import (
+        MultiStreamM2Enhancer, StreamingM2Enhancer,
+    )
+
+    dgm, kw = _m2_cfg()
+    x = _pool_signal(12, 6 * 16000)
+
+    single = StreamingM2Enhancer(dgm, **kw)
+    single.TRIM_CHUNK = 1 << 62
+    want = np.concatenate([single.push(x), single.flush()])
+
+    pool = MultiStreamM2Enhancer(dgm, max_streams=2, **kw)
+    sid = pool.open()
+    s = pool._slot(sid)
+    s.TRIM_CHUNK = 8192
+    outs = []
+    for lo in range(0, len(x), 4000):
+        pool.feed(sid, x[lo:lo + 4000])
+        outs.extend(pool.step().values())
+    assert len(s._pad) < 8192 + 3 * 4096 + 4000, len(s._pad)
+    assert s._raw.size < 8192 + 3 * 4096 + 4000
+    outs.append(pool.flush(sid))
+    pool.close(sid)
+    got = np.concatenate(outs)
+    assert len(got) == len(x)
+    assert_allclose(got, want, atol=2e-5, rtol=1e-4)
