@@ -14,11 +14,23 @@ tests/test_streaming.py).
 Causality notes: the reflect lead-in of the centered STFT needs only the
 FIRST nfft//2+1 samples, so it is available ~32 ms into the stream; the
 reflect tail and the reference's end-pad rule need the stream end and are
-applied in `flush()`. A sample is emitted once every frame overlapping it
-has been processed.
+applied in `flush()` (append-only against the causally-built padded
+buffer). A sample is emitted once every frame overlapping it has been
+processed.
 
-The per-chunk device program has a fixed frame-batch shape (`chunk_frames`)
-so the stream triggers exactly one compile.
+TPU-native shape of the module (round 3):
+- every enhancer's WHOLE chunk path is ONE fixed-shape device program
+  (one compile per stream, one dispatch per chunk) with all recurrent
+  state — SPP/VAD tracker carries, residual EMA, warm EM context —
+  device-resident (`_m2_tick_core`, `_spp_tick_jit`);
+- concurrent streams share one program per tick: the pool keeps a
+  STACKED state (rows = slots) permanently on device and
+  gathers/scatters lanes by slot row inside the program
+  (`_m2_pool_tick`); with `mesh=` the rows shard over the data axis
+  (multi-chip live streams, zero collectives);
+- streams run at BOUNDED host memory indefinitely: finalized buffer
+  prefixes are trimmed (drop-counter offsets, bit-identical output) and
+  `keep_masks=False` disables the mask history for serving.
 """
 
 import time
