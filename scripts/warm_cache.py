@@ -114,13 +114,21 @@ def main(argv=None):
                    label_mode="dnn", chunk_frames=chunk_frames)
         enh = StreamingM2Enhancer(params, **skw)
         enh.push(np.zeros(2 * chunk_frames * SHOP, np.float32))
+        n_done += 1
+        # every power-of-two lane bucket the pool can compile
         pool = MultiStreamM2Enhancer(params, max_streams=max_streams,
                                      **skw)
-        sid = pool.open()
-        pool.feed(sid, np.zeros(2 * chunk_frames * SHOP, np.float32))
-        pool.step()
-        pool.close(sid)
-        n_done += 2
+        b = 1
+        while b <= max_streams:
+            sids = [pool.open() for _ in range(b)]
+            for sid in sids:
+                pool.feed(sid, np.zeros(2 * chunk_frames * SHOP,
+                                        np.float32))
+            pool.step()
+            for sid in sids:
+                pool.close(sid)
+            n_done += 1
+            b *= 2
         print(f"streaming ticks warmed ({time.perf_counter() - t0:.1f}s)",
               flush=True)
 
