@@ -164,15 +164,19 @@ class _StreamingOLA:
 
     def _take_frames(self, padded, t0, k):
         """Extract frames [t0, t0+k) from the padded signal, zero-padded
-        to the fixed compile shape (chunk_frames, nfft)."""
-        frames = np.stack([
-            padded[(t0 + i) * HOP - self._drop:
-                   (t0 + i) * HOP - self._drop + NFFT]
-            for i in range(k)
-        ])
+        to the fixed compile shape (chunk_frames, nfft). Strided-view
+        gather: one copy, no per-frame python loop."""
+        lo = t0 * HOP - self._drop
+        windows = np.lib.stride_tricks.sliding_window_view(
+            padded[lo:lo + (k - 1) * HOP + NFFT], NFFT)
+        frames = np.ascontiguousarray(windows[::HOP][:k])
         if k < self.chunk_frames:  # fixed compile shape
             frames = np.pad(frames, ((0, self.chunk_frames - k), (0, 0)))
         return frames
+
+    # NFFT == 4*HOP: frames 4 apart don't overlap, so the overlap-add
+    # vectorizes as (at most) 4 phase-grouped contiguous adds
+    _OLA_PHASES = NFFT // HOP if NFFT % HOP == 0 else None
 
     def _ola_accumulate(self, t0, y, m, k):
         """Overlap-add k enhanced windowed frames starting at frame t0
@@ -181,10 +185,22 @@ class _StreamingOLA:
         if self.keep_masks:
             self._masks.append(np.asarray(m)[:k])
         self._ensure_acc((t0 + k - 1) * HOP + NFFT - self._drop)
-        for i in range(k):
-            lo = (t0 + i) * HOP - self._drop
-            self._y[lo:lo + NFFT] += y[i]
-            self._w[lo:lo + NFFT] += self._win_sq
+        base = t0 * HOP - self._drop
+        P = self._OLA_PHASES
+        if P:
+            for p in range(min(P, k)):
+                rows = y[p::P]                 # non-overlapping frames
+                n = rows.shape[0]
+                lo = base + p * HOP
+                dst = self._y[lo:lo + n * NFFT].reshape(n, NFFT)
+                dst += rows
+                dstw = self._w[lo:lo + n * NFFT].reshape(n, NFFT)
+                dstw += self._win_sq[None, :]
+        else:  # non-divisor hop (not used by this framework's params)
+            for i in range(k):
+                lo = base + i * HOP
+                self._y[lo:lo + NFFT] += y[i]
+                self._w[lo:lo + NFFT] += self._win_sq
         self._t_done = t0 + k
 
     def _process_frames(self, padded, t_end):
