@@ -822,3 +822,65 @@ def test_multistream_bounded_memory_trim():
     got = np.concatenate(outs)
     assert len(got) == len(x)
     assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+
+
+def test_stream_pool_driver_churn():
+    """Sustained churn: waves of short-lived clients — half aborting
+    mid-stream — cycle through recycled slots while a long-lived client
+    streams continuously. The long stream must equal a dedicated
+    enhancer (recycled resident rows cannot leak state into it) and
+    every wave must complete."""
+    import threading
+
+    from guided_vae_nmf_tpu.streaming import (
+        MultiStreamM2Enhancer, PooledStreamSession, StreamingM2Enhancer,
+        StreamPoolDriver,
+    )
+
+    dgm, kw = _m2_cfg()
+    x_long = _pool_signal(20, 30000)
+    single = StreamingM2Enhancer(dgm, **kw)
+    want = np.concatenate(
+        [single.push(x_long[lo:lo + 1500])
+         for lo in range(0, len(x_long), 1500)] + [single.flush()])
+
+    driver = StreamPoolDriver(
+        MultiStreamM2Enhancer(dgm, max_streams=3, **kw), tick_ms=1.0)
+    done = {"churn": 0}
+    got = {}
+
+    def long_client():
+        sess = PooledStreamSession(driver)
+        try:
+            parts = [sess.push(x_long[lo:lo + 1500])
+                     for lo in range(0, len(x_long), 1500)]
+            parts.append(sess.flush())
+            got["long"] = np.concatenate([p for p in parts if p.size])
+        finally:
+            sess.close()
+
+    def churn_client(seed):
+        rng = np.random.RandomState(seed)
+        for it in range(6):
+            sess = PooledStreamSession(driver)
+            try:
+                sess.push(_pool_signal(100 + seed * 31 + it, 2500))
+                if rng.rand() < 0.5:
+                    pass                      # abort via close()
+                else:
+                    sess.flush()
+                done["churn"] += 1
+            finally:
+                sess.close()
+
+    threads = [threading.Thread(target=long_client)] + [
+        threading.Thread(target=churn_client, args=(s,)) for s in (1, 2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert not any(t.is_alive() for t in threads)
+    assert done["churn"] == 12
+    assert len(got["long"]) == len(x_long)
+    assert_allclose(got["long"], want, atol=2e-5, rtol=1e-4)
+    driver.shutdown()
