@@ -62,6 +62,27 @@ def _load_guidance(a):
     return cls, mean, std
 
 
+def _read_wav_16k(path):
+    """Read a wav for enhancement: first channel, resampled to 16 kHz
+    when needed (the reference's noise-preprocessing conventions,
+    qut_database.py:63-82). Output is always written at 16 kHz."""
+    import numpy as np
+
+    from .data import read_wav
+
+    x, fs = read_wav(path)
+    x = np.asarray(x)
+    if x.ndim > 1:
+        x = x[:, 0]
+    if fs != 16000:
+        from scipy.signal import resample_poly
+
+        g = int(np.gcd(16000, int(fs)))
+        x = resample_poly(x, 16000 // g, int(fs) // g).astype(np.float32)
+        print(f"{path}: resampled {fs} Hz -> 16000 Hz")
+    return x.astype(np.float32), 16000
+
+
 def _expand_inputs(pattern):
     """One wav path, a glob, or a directory -> sorted wav list."""
     from glob import glob
@@ -81,7 +102,7 @@ def cmd_enhance(a):
     import jax
     import numpy as np
 
-    from .data import read_wav, write_wav
+    from .data import write_wav
     from .dsp import stft
     from .pipeline import enhance_to_audio, make_labels
     from .train import load_model
@@ -105,9 +126,7 @@ def cmd_enhance(a):
 
     waves, X_tfs, ys = [], [], [] if a.model_type == "m2" else None
     for path in files:
-        x, fs = read_wav(path)
-        if fs != 16000:
-            raise SystemExit(f"{path}: expected 16 kHz input, got {fs} Hz")
+        x, fs = _read_wav_16k(path)
         X_tf = stft(x)
         waves.append(x)
         X_tfs.append(X_tf)
@@ -148,13 +167,11 @@ def cmd_enhance(a):
 def cmd_stream(a):
     import numpy as np
 
-    from .data import read_wav, write_wav
+    from .data import write_wav
     from .streaming import HOP, StreamingM2Enhancer
     from .train import load_model
 
-    x, fs = read_wav(a.input)
-    if fs != 16000:
-        raise SystemExit(f"expected 16 kHz input, got {fs} Hz")
+    x, fs = _read_wav_16k(a.input)
     dgm = load_model(a.model, kind="dgm",
                      y_dim=1 if a.target == "vad" else 513)
     cls, mean, std = _load_guidance(a)

@@ -193,3 +193,24 @@ def test_cli_stream_rejects_non_causal_labels():
                "--label", "oracle", timeout=120)
     assert out.returncode == 2
     assert "invalid choice" in out.stderr
+
+
+def test_cli_enhance_resamples_and_downmixes(tmp_path):
+    """Non-16k / stereo inputs are auto-converted (first channel,
+    polyphase resample) instead of rejected; output is 16 kHz."""
+    from scipy.signal import resample_poly
+
+    from guided_vae_nmf_tpu.data import write_wav
+
+    x16, _ = read_wav(os.path.join(MIX_DIR, "440c020a_x.wav"))
+    x8 = resample_poly(x16[:32000], 1, 2).astype(np.float32)
+    stereo8 = np.stack([x8, 0.5 * x8], axis=1)
+    src = str(tmp_path / "in8k.wav")
+    write_wav(src, stereo8, 8000)
+    s_out = str(tmp_path / "s.wav")
+    out = _run("enhance", src, s_out, "--model", f"{ART}/M2_ibm",
+               "--label", "timo", "--niter", "2", "--noise_model", "spp")
+    assert out.returncode == 0, out.stderr[-800:]
+    assert "resampled 8000 Hz -> 16000 Hz" in out.stdout
+    s, fs = read_wav(s_out)
+    assert fs == 16000 and len(s) == 2 * len(x8)
