@@ -5,6 +5,8 @@ SETTINGS blocks, SURVEY §1); this package keeps reference-style script
 equivalents under `scripts/` and adds one installable command
 (`[project.scripts]` in pyproject.toml) for the common operations:
 
+    gvnmf dataset  --clean 'dir/*.wav' --noise noises/ --out frames.h5
+    gvnmf train    m2 --h5 frames.h5 --out ckpt/       # any model family
     gvnmf enhance  in.wav out.wav --model DIR [--classifier DIR] ...
     gvnmf stream   in.wav out.wav --model DIR ...      # online, chunked
     gvnmf metrics  --clean s.wav --enhanced sh.wav [--mixture x.wav]
@@ -263,6 +265,46 @@ def cmd_serve(a):
 
 
 # ---------------------------------------------------------------------------
+# dataset (arbitrary user wavs -> labeled-frames H5)
+# ---------------------------------------------------------------------------
+
+def cmd_dataset(a):
+    import numpy as np
+
+    from .data import read_wav
+    from .data.noise import preprocess_noise
+    from .data.synthesis import create_noisy_frames
+
+    clean = _expand_inputs(a.clean)
+    if len(clean) < 2:
+        raise SystemExit("need at least 2 clean wavs (train + validation)")
+    rng = np.random.RandomState(a.seed)
+    order = rng.permutation(len(clean))
+    n_val = max(1, int(round(a.val_fraction * len(clean))))
+    splits = {
+        "validation": [clean[i] for i in order[:n_val]],
+        "train": [clean[i] for i in order[n_val:]],
+    }
+
+    noises = {}
+    for path in _expand_inputs(a.noise):
+        x, fs = read_wav(path)
+        stem = os.path.splitext(os.path.basename(path))[0]
+        noises[stem] = preprocess_noise(x, fs)  # ch. 0 + resample to 16k
+    snrs = tuple(float(v) for v in a.snrs.split(","))
+
+    all_snr = create_noisy_frames(
+        "", a.out, {"train": noises, "validation": noises},
+        labels=a.labels, snrs=snrs, seed=a.seed, file_lists=splits)
+    n_tr, n_va = len(splits["train"]), len(splits["validation"])
+    print(f"wrote {a.out}: {n_tr} train / {n_va} validation utterances, "
+          f"{len(noises)} noise types {sorted(noises)}, "
+          f"SNRs {sorted(set(sum(all_snr.values(), [])))} dB, "
+          f"labels={a.labels}")
+    return 0
+
+
+# ---------------------------------------------------------------------------
 # train (any model family from a labeled-frames H5)
 # ---------------------------------------------------------------------------
 
@@ -480,6 +522,22 @@ def build_parser():
     p.add_argument("--fast", action="store_true",
                    help="bf16 dumps + approx reciprocal (fused engine)")
     p.set_defaults(fn=cmd_serve)
+
+    p = sub.add_parser(
+        "dataset", help="synthesize a labeled-frames H5 from user wavs")
+    p.add_argument("--clean", required=True,
+                   help="clean-speech wavs (file, glob, or directory)")
+    p.add_argument("--noise", required=True,
+                   help="noise wavs (file, glob, or directory); each "
+                        "file becomes one noise type")
+    p.add_argument("--out", required=True, help="output H5 path")
+    p.add_argument("--labels", default="noisy_labels",
+                   choices=("noisy_labels", "noisy_vad_labels",
+                            "noisy_wiener_labels"))
+    p.add_argument("--snrs", default="-5,-2.5,0,2.5,5")
+    p.add_argument("--val_fraction", type=float, default=0.15)
+    p.add_argument("--seed", type=int, default=0)
+    p.set_defaults(fn=cmd_dataset)
 
     p = sub.add_parser("train", help="train a model family from an H5")
     p.add_argument("family", choices=("m1", "m2", "classifier", "wiener"))

@@ -112,13 +112,16 @@ def create_noisy_frames(input_speech_dir, output_file, noise_audios_by_type,
                         labels="noisy_labels", quantile_fraction=0.999,
                         quantile_weight=0.999, snrs=(-5, -2.5, 0, 2.5, 5.0),
                         eps=1e-8, wlen_sec=64e-3, hop_percent=0.25, fs=FS,
-                        output_wav_dir=None, seed=0):
+                        output_wav_dir=None, seed=0, file_lists=None):
     """Noisy frame store: seeded noise-type/SNR draws per utterance, SNR
     mixing, IBM/VAD/ideal-Wiener labels from the clean (and noise) STFTs,
     train mean/std accumulation (reference
     create_noisy_train_set.py:155-331).
 
     `noise_audios_by_type` maps split -> {noise_type: 16 kHz mono array}.
+    `file_lists` (split -> wav paths, joined onto `input_speech_dir`)
+    replaces the WSJ0 directory enumeration for arbitrary user corpora
+    (`gvnmf dataset`).
     """
     y_bins = 1 if labels == "noisy_vad_labels" else 513
     attrs = {
@@ -128,7 +131,8 @@ def create_noisy_frames(input_speech_dir, output_file, noise_audios_by_type,
     }
     all_snr = {}
     for dataset_type in dataset_types:
-        files = speech_list(input_speech_dir, dataset_type)
+        files = (file_lists[dataset_type] if file_lists is not None
+                 else speech_list(input_speech_dir, dataset_type))
         noise_audios = noise_audios_by_type[dataset_type]
         noise_types = list(noise_audios.keys())
 

@@ -146,6 +146,37 @@ def test_cli_train_and_enhance_roundtrip(tmp_path):
     assert len(read_wav(s_out)[0]) == len(read_wav(mix)[0])
 
 
+def test_cli_dataset_to_train_lifecycle(tmp_path):
+    """`gvnmf dataset` synthesizes a labeled H5 from arbitrary user wavs
+    (no WSJ0 layout), and `gvnmf train` consumes it — the full
+    data -> model lifecycle on user corpora."""
+    from guided_vae_nmf_tpu.data import write_wav
+
+    rng = np.random.RandomState(0)
+    t = np.arange(int(1.2 * 16000)) / 16000
+    for i in range(3):
+        s = (0.4 * np.sin(2 * np.pi * (180 + 40 * i) * t)
+             * np.clip(np.sin(2 * np.pi * 1.3 * t + i), 0, None))
+        write_wav(str(tmp_path / f"clean{i}.wav"),
+                  s.astype(np.float32), 16000)
+    write_wav(str(tmp_path / "hum.wav"),
+              (0.1 * rng.randn(3 * 16000)).astype(np.float32), 16000)
+
+    h5p = str(tmp_path / "frames.h5")
+    out = _run("dataset", "--clean", str(tmp_path / "clean*.wav"),
+               "--noise", str(tmp_path / "hum.wav"), "--out", h5p,
+               "--val_fraction", "0.34")
+    assert out.returncode == 0, out.stderr[-800:]
+    assert "2 train / 1 validation" in out.stdout
+    assert "hum" in out.stdout
+
+    out = _run("train", "m2", "--h5", h5p,
+               "--out", str(tmp_path / "ckpt"),
+               "--epochs", "1", "--z_dim", "4", "--h_dim", "8")
+    assert out.returncode == 0, out.stderr[-800:]
+    assert "best valid" in out.stdout
+
+
 def test_cli_doctor():
     out = _run("doctor", "--probe_s", "20")
     assert out.returncode == 0, out.stderr[-800:]
