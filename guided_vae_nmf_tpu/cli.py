@@ -66,23 +66,37 @@ def _load_guidance(a):
 
 def _read_wav_16k(path):
     """Read a wav for enhancement: first channel, resampled to 16 kHz
-    when needed (the reference's noise-preprocessing conventions,
-    qut_database.py:63-82). Output is always written at 16 kHz."""
+    when needed (data.noise.preprocess_noise — the reference's
+    conversion conventions, qut_database.py:63-82)."""
     import numpy as np
 
     from .data import read_wav
+    from .data.noise import preprocess_noise
 
     x, fs = read_wav(path)
-    x = np.asarray(x)
-    if x.ndim > 1:
-        x = x[:, 0]
-    if fs != 16000:
-        from scipy.signal import resample_poly
-
-        g = int(np.gcd(16000, int(fs)))
-        x = resample_poly(x, 16000 // g, int(fs) // g).astype(np.float32)
-        print(f"{path}: resampled {fs} Hz -> 16000 Hz")
+    converted = np.asarray(x).ndim > 1 or fs != 16000
+    x = preprocess_noise(x, fs)
+    if converted:
+        print(f"{path}: converted to 16 kHz mono")
     return x.astype(np.float32), 16000
+
+
+def _to_16k_mono_file(path, tmpdir):
+    """Return `path` unchanged if it is already 16 kHz mono, else write a
+    converted copy under `tmpdir` and return that (for library paths
+    that read files themselves under the strict reference contract)."""
+    import numpy as np
+
+    from .data import read_wav, write_wav
+
+    x, fs = read_wav(path)
+    if fs == 16000 and np.asarray(x).ndim == 1:
+        return path
+    x, _ = _read_wav_16k(path)
+    os.makedirs(tmpdir, exist_ok=True)
+    out = os.path.join(tmpdir, os.path.basename(path))
+    write_wav(out, x, 16000)
+    return out
 
 
 def _expand_inputs(pattern):
@@ -123,6 +137,14 @@ def cmd_enhance(a):
         params = load_model(a.model, kind="dgm",
                             y_dim=1 if a.target == "vad" else 513)
         cls, mean, std = _load_guidance(a)
+        if a.s_ref:
+            # the oracle reference must match the (possibly converted)
+            # mixture's rate so label frames align
+            import tempfile
+
+            a.s_ref = _to_16k_mono_file(
+                a.s_ref, os.path.join(tempfile.gettempdir(),
+                                      "gvnmf_sref"))
     else:
         params = load_model(a.model, kind="vae")
 
@@ -275,12 +297,18 @@ def cmd_dataset(a):
     from .data.noise import preprocess_noise
     from .data.synthesis import create_noisy_frames
 
-    clean = _expand_inputs(a.clean)
+    import tempfile
+
+    conv_dir = os.path.join(tempfile.gettempdir(), "gvnmf_dataset_conv")
+    clean = [_to_16k_mono_file(p, conv_dir)
+             for p in _expand_inputs(a.clean)]
     if len(clean) < 2:
         raise SystemExit("need at least 2 clean wavs (train + validation)")
     rng = np.random.RandomState(a.seed)
     order = rng.permutation(len(clean))
-    n_val = max(1, int(round(a.val_fraction * len(clean))))
+    # at least one utterance on each side of the split
+    n_val = min(max(1, int(round(a.val_fraction * len(clean)))),
+                len(clean) - 1)
     splits = {
         "validation": [clean[i] for i in order[:n_val]],
         "train": [clean[i] for i in order[n_val:]],
@@ -290,6 +318,10 @@ def cmd_dataset(a):
     for path in _expand_inputs(a.noise):
         x, fs = read_wav(path)
         stem = os.path.splitext(os.path.basename(path))[0]
+        if stem in noises:
+            raise SystemExit(
+                f"duplicate noise type {stem!r} (two files share the "
+                "basename); rename one — each file becomes one type")
         noises[stem] = preprocess_noise(x, fs)  # ch. 0 + resample to 16k
     snrs = tuple(float(v) for v in a.snrs.split(","))
 

@@ -242,6 +242,18 @@ def test_cli_enhance_resamples_and_downmixes(tmp_path):
     out = _run("enhance", src, s_out, "--model", f"{ART}/M2_ibm",
                "--label", "timo", "--niter", "2", "--noise_model", "spp")
     assert out.returncode == 0, out.stderr[-800:]
-    assert "resampled 8000 Hz -> 16000 Hz" in out.stdout
+    assert "converted to 16 kHz mono" in out.stdout
     s, fs = read_wav(s_out)
     assert fs == 16000 and len(s) == 2 * len(x8)
+
+    # oracle labels must align with the converted mixture: the s_ref is
+    # converted the same way (regression for the label/frame mismatch)
+    c16, _ = read_wav(os.path.join(MIX_DIR, "440c020a_s.wav"))
+    c8 = resample_poly(c16[:32000], 1, 2).astype(np.float32)
+    sref = str(tmp_path / "clean8k.wav")
+    write_wav(sref, c8, 8000)
+    out = _run("enhance", src, s_out, "--model", f"{ART}/M2_ibm",
+               "--label", "oracle", "--s_ref", sref,
+               "--niter", "2", "--noise_model", "spp")
+    assert out.returncode == 0, out.stderr[-800:]
+    assert len(read_wav(s_out)[0]) == 2 * len(x8)

@@ -846,7 +846,7 @@ def test_stream_pool_driver_churn():
 
     driver = StreamPoolDriver(
         MultiStreamM2Enhancer(dgm, max_streams=3, **kw), tick_ms=1.0)
-    done = {"churn": 0}
+    done = []          # list.append is atomic under the GIL
     got = {}
 
     def long_client():
@@ -869,7 +869,7 @@ def test_stream_pool_driver_churn():
                     pass                      # abort via close()
                 else:
                     sess.flush()
-                done["churn"] += 1
+                done.append(1)
             finally:
                 sess.close()
 
@@ -880,7 +880,7 @@ def test_stream_pool_driver_churn():
     for t in threads:
         t.join(timeout=300)
     assert not any(t.is_alive() for t in threads)
-    assert done["churn"] == 12
+    assert len(done) == 12
     assert len(got["long"]) == len(x_long)
     assert_allclose(got["long"], want, atol=2e-5, rtol=1e-4)
     driver.shutdown()
