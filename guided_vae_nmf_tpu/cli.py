@@ -100,18 +100,21 @@ def _to_16k_mono_file(path, tmpdir):
 
 
 def _expand_inputs(pattern):
-    """One wav path, a glob, or a directory -> sorted wav list."""
+    """One wav path, a glob, or a directory -> (sorted wav list,
+    multi-mode flag). Multi-mode is set by the FORM of the input (glob
+    or directory), not the match count — a glob matching one file still
+    writes per-file outputs into the output directory."""
     from glob import glob
 
     if os.path.isdir(pattern):
-        files = sorted(glob(os.path.join(pattern, "*.wav")))
+        files, multi = sorted(glob(os.path.join(pattern, "*.wav"))), True
     elif any(ch in pattern for ch in "*?["):
-        files = sorted(glob(pattern))
+        files, multi = sorted(glob(pattern)), True
     else:
-        files = [pattern]
+        files, multi = [pattern], False
     if not files:
         raise SystemExit(f"no wav files match {pattern!r}")
-    return files
+    return files, multi
 
 
 def cmd_enhance(a):
@@ -123,13 +126,14 @@ def cmd_enhance(a):
     from .pipeline import enhance_to_audio, make_labels
     from .train import load_model
 
-    files = _expand_inputs(a.input)
-    batch_out = len(files) > 1
-    if batch_out and a.s_ref:
+    files, multi = _expand_inputs(a.input)
+    batch_out = (multi or os.path.isdir(a.output)
+                 or a.output.endswith(("/", os.sep)))
+    if len(files) > 1 and a.s_ref:
         raise SystemExit("--s_ref applies to a single input only")
-    if batch_out and a.noise_out:
+    if len(files) > 1 and a.noise_out:
         raise SystemExit("--noise_out applies to a single input only")
-    if batch_out or os.path.isdir(a.output):
+    if batch_out:
         os.makedirs(a.output, exist_ok=True)
 
     cfg = _build_cfg(a)
@@ -169,7 +173,7 @@ def cmd_enhance(a):
 
     total_s = sum(len(x) for x in waves) / 16000.0
     for i, path in enumerate(files):
-        if batch_out or os.path.isdir(a.output):
+        if batch_out:
             base = os.path.splitext(os.path.basename(path))[0]
             out = os.path.join(a.output, base + "_enhanced.wav")
         else:
@@ -177,7 +181,8 @@ def cmd_enhance(a):
         write_wav(out, np.asarray(s_list[i]), 16000)
         if a.noise_out:
             write_wav(a.noise_out, np.asarray(n_list[i]), 16000)
-    dest = a.output if not batch_out else f"{a.output}/ ({len(files)} files)"
+    dest = (a.output if not batch_out
+            else f"{a.output.rstrip('/' + os.sep)}/ ({len(files)} files)")
     print(f"enhanced {a.input} -> {dest} "
           f"({total_s:.1f}s, {a.algorithm}/{a.noise_model}, "
           f"niter={a.niter})")
@@ -301,7 +306,7 @@ def cmd_dataset(a):
 
     conv_dir = os.path.join(tempfile.gettempdir(), "gvnmf_dataset_conv")
     clean = [_to_16k_mono_file(p, conv_dir)
-             for p in _expand_inputs(a.clean)]
+             for p in _expand_inputs(a.clean)[0]]
     if len(clean) < 2:
         raise SystemExit("need at least 2 clean wavs (train + validation)")
     rng = np.random.RandomState(a.seed)
@@ -315,7 +320,7 @@ def cmd_dataset(a):
     }
 
     noises = {}
-    for path in _expand_inputs(a.noise):
+    for path in _expand_inputs(a.noise)[0]:
         x, fs = read_wav(path)
         stem = os.path.splitext(os.path.basename(path))[0]
         if stem in noises:
