@@ -304,7 +304,9 @@ def cmd_dataset(a):
 
     import tempfile
 
-    conv_dir = os.path.join(tempfile.gettempdir(), "gvnmf_dataset_conv")
+    # fresh per run: converted copies + augmented wavs cannot collide
+    # across concurrent dataset builds
+    conv_dir = tempfile.mkdtemp(prefix="gvnmf_dataset_")
     clean = [_to_16k_mono_file(p, conv_dir)
              for p in _expand_inputs(a.clean)[0]]
     if len(clean) < 2:
@@ -318,6 +320,21 @@ def cmd_dataset(a):
         "validation": [clean[i] for i in order[:n_val]],
         "train": [clean[i] for i in order[n_val:]],
     }
+    if a.augment:
+        # speed-perturbed + gain-varied copies of the TRAIN side only
+        # (the small-corpus recipe of scripts/pretrain_subset.py)
+        from .data.synthesis import augment_clean
+
+        arrays = [read_wav(p)[0] for p in splits["train"]]
+        extra = augment_clean(arrays)[len(arrays):]
+        from .data import write_wav
+
+        os.makedirs(conv_dir, exist_ok=True)
+        for i, x in enumerate(extra):
+            p = os.path.join(conv_dir, f"augment_{a.seed}_{i}.wav")
+            write_wav(p, np.asarray(x, np.float32), 16000)
+            splits["train"].append(p)
+        print(f"augmented train split: +{len(extra)} utterances")
 
     noises = {}
     for path in _expand_inputs(a.noise)[0]:
@@ -574,6 +591,9 @@ def build_parser():
     p.add_argument("--snrs", default="-5,-2.5,0,2.5,5")
     p.add_argument("--val_fraction", type=float, default=0.15)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--augment", action="store_true",
+                   help="speed/gain-augmented copies of the train split "
+                        "(small-corpus recipe)")
     p.set_defaults(fn=cmd_dataset)
 
     p = sub.add_parser("train", help="train a model family from an H5")

@@ -176,6 +176,16 @@ def test_cli_dataset_to_train_lifecycle(tmp_path):
     assert out.returncode == 0, out.stderr[-800:]
     assert "best valid" in out.stdout
 
+    # --augment: speed/gain copies extend the train side (2 clean train
+    # utterances -> +2 speed + 2 gain copies)
+    out = _run("dataset", "--clean", str(tmp_path / "clean*.wav"),
+               "--noise", str(tmp_path / "hum.wav"),
+               "--out", str(tmp_path / "frames_aug.h5"),
+               "--val_fraction", "0.34", "--augment")
+    assert out.returncode == 0, out.stderr[-800:]
+    assert "augmented train split: +6" in out.stdout
+    assert "8 train / 1 validation" in out.stdout
+
 
 def test_cli_doctor():
     out = _run("doctor", "--probe_s", "20")
