@@ -173,6 +173,8 @@ def main():
         "unit": "x_realtime_per_chip",
         "vs_baseline": round(rtf / 200.0, 3),
         "variant": variant,
+        "backend": jax.default_backend(),
+        "device": str(jax.devices()[0]),
     }))
 
 

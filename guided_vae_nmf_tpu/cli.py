@@ -137,6 +137,13 @@ def cmd_enhance(a):
         os.makedirs(a.output, exist_ok=True)
 
     cfg = _build_cfg(a)
+    if a.profile:
+        # validated preset (profiles.py): authoritative for noise_model,
+        # soft labels and the noise-gain knobs
+        from .profiles import apply_profile_cfg, offline_settings
+
+        a.noise_model, a.soft_labels = offline_settings(a.profile)
+        cfg = apply_profile_cfg(cfg, a.profile)
     if a.model_type == "m2":
         params = load_model(a.model, kind="dgm",
                             y_dim=1 if a.target == "vad" else 513)
@@ -200,6 +207,21 @@ def cmd_stream(a):
     from .streaming import HOP, StreamingM2Enhancer
     from .train import load_model
 
+    if a.profile:
+        # validated preset (profiles.py): authoritative for the managed
+        # streaming knobs; the label source keeps its flag
+        from .profiles import streaming_settings
+
+        st = streaming_settings(a.profile)
+        a.chunk_frames = st.get("chunk_frames", a.chunk_frames)
+        a.context_frames = st.get("context_frames", a.context_frames)
+        a.block_iters = st.get("block_iters", a.block_iters)
+        a.e_steps = st.get("e_steps", a.e_steps)
+        a.soft_labels = st.get("soft_guidance", a.soft_labels)
+        a.stream_residual = st.get("residual_tracking", a.stream_residual)
+        a.noise_gain = st.get("noise_gain", a.noise_gain)
+        a.noise_gain_bands = st.get("noise_gain_bands",
+                                    a.noise_gain_bands)
     x, fs = _read_wav_16k(a.input)
     dgm = load_model(a.model, kind="dgm",
                      y_dim=1 if a.target == "vad" else 513)
@@ -276,7 +298,7 @@ def cmd_serve(a):
         stream_residual=a.stream_residual,
         pooled_streams=bool(a.pooled_streams),
         max_streams=a.max_streams, tick_ms=a.tick_ms,
-        data_parallel=a.data_parallel)
+        data_parallel=a.data_parallel, profile=a.profile)
     srv.start()
     print(f"serving on http://{a.host}:{srv.port} "
           f"(niter={a.niter}, noise_model={a.noise_model}, "
@@ -484,6 +506,11 @@ def cmd_version(a):
 # ---------------------------------------------------------------------------
 
 def _add_engine_flags(p):
+    from .profiles import PROFILE_NAMES
+
+    p.add_argument("--profile", choices=PROFILE_NAMES, default=None,
+                   help="validated operating-point preset (authoritative "
+                        "for its managed knobs; profiles.py)")
     p.add_argument("--algorithm", choices=("mcem", "peem", "hybrid"),
                    default="mcem")
     p.add_argument("--niter", type=int, default=100)
@@ -531,6 +558,11 @@ def build_parser():
     p.add_argument("input")
     p.add_argument("output")
     p.add_argument("--model", required=True, help="M2 ckpt or dir")
+    from .profiles import PROFILE_NAMES
+
+    p.add_argument("--profile", choices=PROFILE_NAMES, default=None,
+                   help="validated operating-point preset "
+                        "(streaming-low-latency is the 128 ms flagship)")
     p.add_argument("--chunk_frames", type=int, default=8)
     p.add_argument("--context_frames", type=int, default=24)
     p.add_argument("--block_iters", type=int, default=6)
@@ -552,6 +584,9 @@ def build_parser():
     p = sub.add_parser("serve", help="HTTP enhancement front end")
     p.add_argument("--models", default="artifacts/pretrained",
                    help="dir holding M2_ibm/ and classifier_ibm/")
+    p.add_argument("--profile", choices=PROFILE_NAMES, default=None,
+                   help="validated operating-point preset applied to "
+                        "both serving paths (profiles.py)")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8571)
     p.add_argument("--wait_ms", type=float, default=20.0)

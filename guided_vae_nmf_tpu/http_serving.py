@@ -467,7 +467,7 @@ def build_server(models_dir, host="127.0.0.1", port=8571, niter=100,
                  soft_labels=False, fast=False, wait_ms=20.0, warmup=False,
                  stream=True, chunk_frames=8, stream_residual=False,
                  pooled_streams=False, max_streams=8, tick_ms=5.0,
-                 data_parallel=False):
+                 data_parallel=False, profile=None):
     """Assemble the full serving stack from a pretrained-models directory
     (M2_ibm/ + classifier_ibm/): EnhancementService + optional streaming
     endpoint (dedicated or pooled) + the HTTP front end. Shared by
@@ -483,6 +483,30 @@ def build_server(models_dir, host="127.0.0.1", port=8571, niter=100,
     from .mcem import MCEMConfig
     from .serving import EnhancementService, ServeConfig
     from .train import load_model, load_norm_stats
+
+    # stream lanes may diverge from the offline service under a
+    # streaming-only profile
+    stream_soft, stream_gain = soft_labels, noise_gain
+    stream_bands = noise_gain_bands
+    if profile is not None:
+        # validated preset (profiles.py): authoritative for the managed
+        # knobs on both serving paths; a streaming-only profile leaves
+        # the request/batch path at its flags
+        from .profiles import get_profile
+
+        prof = get_profile(profile)
+        if prof.offline:
+            noise_model = prof.noise_model
+            soft_labels = prof.soft_guidance
+            noise_gain = prof.cfg_overrides.get("noise_gain", False)
+            noise_gain_bands = prof.cfg_overrides.get(
+                "noise_gain_bands", 1)
+        st = prof.streaming or {}
+        chunk_frames = st.get("chunk_frames", chunk_frames)
+        stream_residual = st.get("residual_tracking", stream_residual)
+        stream_soft = st.get("soft_guidance", soft_labels)
+        stream_gain = st.get("noise_gain", noise_gain)
+        stream_bands = st.get("noise_gain_bands", noise_gain_bands)
 
     mesh = None
     if data_parallel:
@@ -513,10 +537,10 @@ def build_server(models_dir, host="127.0.0.1", port=8571, niter=100,
     stream_factory = None
     driver = None
     stream_kw = dict(classifier_params=cls, mean=mean, std=std,
-                     chunk_frames=chunk_frames, soft_guidance=soft_labels,
+                     chunk_frames=chunk_frames, soft_guidance=stream_soft,
                      residual_tracking=stream_residual,
-                     noise_gain=noise_gain,
-                     noise_gain_bands=noise_gain_bands, label_mode="dnn",
+                     noise_gain=stream_gain,
+                     noise_gain_bands=stream_bands, label_mode="dnn",
                      # HTTP streams never expose masks; with the
                      # prefix-trimming this makes indefinite live
                      # connections fully bounded-memory

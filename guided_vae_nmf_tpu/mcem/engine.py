@@ -561,10 +561,17 @@ def mcem_run_converged(vae_params, X_abs2, mask, y, key,
     :func:`mcem_run` with 'cost' trimmed to the executed iterations and an
     'iters' count.
     """
-    if cfg.noise_gain:
-        raise NotImplementedError(
-            "noise_gain is not supported by the legacy tol-stop engines; "
-            "use mcem_run / the batched entry points")
+    use_b = cfg.noise_gain and not update_nmf
+    if cfg.noise_gain and update_nmf:
+        raise ValueError(
+            "MCEMConfig.noise_gain requires a fixed noise model "
+            "(update_nmf=False, i.e. noise_model 'spp'/'spp2')")
+    if use_b:
+        b0, eff_vb, band_map = noise_gain_state(
+            X_abs2.shape[0], X_abs2.shape[1], cfg.noise_gain_bands,
+            Vb_fixed, X_abs2.dtype)
+    else:
+        b0, eff_vb, band_map = None, None, None
     chunk_cfg = MCEMConfig(
         niter=check_every, nsamples_E_step=cfg.nsamples_E_step,
         burnin_E_step=cfg.burnin_E_step, nsamples_WF=cfg.nsamples_WF,
@@ -574,7 +581,7 @@ def mcem_run_converged(vae_params, X_abs2, mask, y, key,
 
     @jax.jit
     def chunk(state):
-        W, H, g, Z, Vs, k = state
+        W, H, g, b, Z, Vs, k = state
         dec = vae_params["decoder"]
         L = dec["hidden"][0]["w"].shape[0] - (
             0 if y is None else y.shape[0]
@@ -582,25 +589,34 @@ def mcem_run_converged(vae_params, X_abs2, mask, y, key,
         y_pre = _precompute_label_proj(dec, y, L)
 
         def em_iter(carry, _):
-            W, H, g, Z, Vs, k = carry
-            Vb = _noise_var(W, H, update_nmf, Vb_fixed)
+            W, H, g, b, Z, Vs, k = carry
+            Vb = eff_vb(b) if use_b else _noise_var(
+                W, H, update_nmf, Vb_fixed)
             Z, Vs, k, samples = mh_sample_posterior(
                 dec, y_pre, X_abs2, Vb, g, Z, Vs, k,
                 chunk_cfg.nsamples_E_step, chunk_cfg.burnin_E_step,
                 chunk_cfg.var_RW,
             )
-            W2, H2, g2 = nmf_m_step(
-                X_abs2, mask, W, H, g, samples, update_nmf=update_nmf,
-                Vb_fixed=Vb_fixed,
-            )
-            Vb2 = (W2 @ H2) if update_nmf else Vb_fixed
+            if use_b:
+                W2, H2, g2, b2 = nmf_m_step(
+                    X_abs2, mask, W, H, g, samples, update_nmf=False,
+                    Vb_fixed=Vb_fixed, b=b, band_map=band_map,
+                )
+                Vb2 = eff_vb(b2)
+            else:
+                W2, H2, g2 = nmf_m_step(
+                    X_abs2, mask, W, H, g, samples, update_nmf=update_nmf,
+                    Vb_fixed=Vb_fixed,
+                )
+                b2 = None
+                Vb2 = (W2 @ H2) if update_nmf else Vb_fixed
             cost = _masked_cost(X_abs2, mask, Vb2, g2, samples)
-            return (W2, H2, g2, Z, Vs, k), cost
+            return (W2, H2, g2, b2, Z, Vs, k), cost
 
-        (W, H, g, Z, Vs, k), costs = lax.scan(
-            em_iter, (W, H, g, Z, Vs, k), None, length=check_every
+        (W, H, g, b, Z, Vs, k), costs = lax.scan(
+            em_iter, (W, H, g, b, Z, Vs, k), None, length=check_every
         )
-        return (W, H, g, Z, Vs, k), costs
+        return (W, H, g, b, Z, Vs, k), costs
 
     # init exactly as mcem_run
     F, N = X_abs2.shape
@@ -623,7 +639,7 @@ def mcem_run_converged(vae_params, X_abs2, mask, y, key,
     y_pre = _precompute_label_proj(dec_params, y, L)
     Vs = _decode_cond(dec_params, y_pre, Z)
 
-    state = (W, H, g, Z, Vs, key)
+    state = (W, H, g, b0, Z, Vs, key)
     costs_all = []
     prev = None
     iters = 0
@@ -637,17 +653,20 @@ def mcem_run_converged(vae_params, X_abs2, mask, y, key,
             break
         prev = cur
 
-    W, H, g, Z, Vs, key = state
-    Vb = _noise_var(W, H, update_nmf, Vb_fixed)
+    W, H, g, b, Z, Vs, key = state
+    Vb = eff_vb(b) if use_b else _noise_var(W, H, update_nmf, Vb_fixed)
     WFs, WFn, Z, Vs, key = mh_wiener_filter(
         dec_params, y_pre, X_abs2, Vb, g, Z, Vs, key,
         cfg.nsamples_WF, cfg.burnin_WF, cfg.var_RW,
     )
-    return {
+    out = {
         "WFs": WFs, "WFn": WFn,
         "cost": jnp.asarray(np.concatenate(costs_all)),
         "W": W, "H": H, "g": g, "Z": Z, "iters": iters,
     }
+    if use_b:
+        out["b"] = b
+    return out
 
 
 @partial(jax.jit,
@@ -676,11 +695,29 @@ def mcem_run_converged_batch(vae_params, X_abs2, mask, y, keys,
     per-utterance executed iteration counts; 'cost' is (B, budget) with
     entries past a row's executed iterations left at 0.
     """
-    if cfg.noise_gain:
-        raise NotImplementedError(
-            "noise_gain is not supported by the legacy tol-stop engines; "
-            "use the batched entry points")
+    use_b = cfg.noise_gain and not update_nmf
+    if cfg.noise_gain and update_nmf:
+        raise ValueError(
+            "MCEMConfig.noise_gain requires a fixed noise model "
+            "(update_nmf=False, i.e. noise_model 'spp'/'spp2')")
     B, F, N = X_abs2.shape
+    if use_b:
+        # band_map is static per (F, n_bands); b is per-row state. The
+        # per-row effective noise variance matches noise_gain_state's
+        # single-utterance semantics (Vb_fixed here is (B, F, N)).
+        band_map = (_noise_gain_band_map(F, cfg.noise_gain_bands,
+                                         X_abs2.dtype)
+                    if cfg.noise_gain_bands > 1 else None)
+        b0 = (jnp.ones((B, cfg.noise_gain_bands, N), X_abs2.dtype)
+              if cfg.noise_gain_bands > 1
+              else jnp.ones((B, N), X_abs2.dtype))
+
+        def eff_vb_row(b_, Vb_f):
+            if band_map is not None:
+                return (band_map.T @ b_) * Vb_f
+            return b_[None, :] * Vb_f
+    else:
+        band_map, b0, eff_vb_row = None, None, None
     enc_params = vae_params["encoder"]
     dec_params = vae_params["decoder"]
     L = dec_params["hidden"][0]["w"].shape[0] - (
@@ -711,38 +748,49 @@ def mcem_run_converged_batch(vae_params, X_abs2, mask, y, keys,
         state = jax.vmap(lambda X, k: init_one(X, k, None))(X_abs2, keys)
     else:
         state = jax.vmap(init_one)(X_abs2, keys, y)
+    # splice the (already batched) noise-gain state in after g
+    state = state[:3] + (b0,) + state[3:]
 
-    def chunk_one(W, H, g, Z, Vs, k, y_pre, X, m, Vb_f):
+    def chunk_one(W, H, g, b, Z, Vs, k, y_pre, X, m, Vb_f):
         def em_iter(carry, _):
-            W, H, g, Z, Vs, k = carry
-            Vb = _noise_var(W, H, update_nmf, Vb_f)
+            W, H, g, b, Z, Vs, k = carry
+            Vb = (eff_vb_row(b, Vb_f) if use_b
+                  else _noise_var(W, H, update_nmf, Vb_f))
             Z, Vs, k, samples = mh_sample_posterior(
                 dec_params, y_pre, X, Vb, g, Z, Vs, k,
                 cfg.nsamples_E_step, cfg.burnin_E_step, cfg.var_RW,
             )
-            W2, H2, g2 = nmf_m_step(
-                X, m, W, H, g, samples, update_nmf=update_nmf,
-                Vb_fixed=Vb_f,
-            )
-            Vb2 = _noise_var(W2, H2, update_nmf, Vb_f)
+            if use_b:
+                W2, H2, g2, b2 = nmf_m_step(
+                    X, m, W, H, g, samples, update_nmf=False,
+                    Vb_fixed=Vb_f, b=b, band_map=band_map,
+                )
+                Vb2 = eff_vb_row(b2, Vb_f)
+            else:
+                W2, H2, g2 = nmf_m_step(
+                    X, m, W, H, g, samples, update_nmf=update_nmf,
+                    Vb_fixed=Vb_f,
+                )
+                b2 = None
+                Vb2 = _noise_var(W2, H2, update_nmf, Vb_f)
             cost = _masked_cost(X, m, Vb2, g2, samples)
-            return (W2, H2, g2, Z, Vs, k), cost
+            return (W2, H2, g2, b2, Z, Vs, k), cost
 
-        (W, H, g, Z, Vs, k), costs = lax.scan(
-            em_iter, (W, H, g, Z, Vs, k), None, length=check_every
+        (W, H, g, b, Z, Vs, k), costs = lax.scan(
+            em_iter, (W, H, g, b, Z, Vs, k), None, length=check_every
         )
-        return (W, H, g, Z, Vs, k), costs
+        return (W, H, g, b, Z, Vs, k), costs
 
     def chunk_all(state):
-        W, H, g, Z, Vs, k, y_pre = state
+        W, H, g, b, Z, Vs, k, y_pre = state
         if Vb_fixed is None:
             new, costs = jax.vmap(
-                lambda W, H, g, Z, Vs, k, yp, X, m: chunk_one(
-                    W, H, g, Z, Vs, k, yp, X, m, None)
-            )(W, H, g, Z, Vs, k, y_pre, X_abs2, mask)
+                lambda W, H, g, b, Z, Vs, k, yp, X, m: chunk_one(
+                    W, H, g, b, Z, Vs, k, yp, X, m, None)
+            )(W, H, g, b, Z, Vs, k, y_pre, X_abs2, mask)
         else:
             new, costs = jax.vmap(chunk_one)(
-                W, H, g, Z, Vs, k, y_pre, X_abs2, mask, Vb_fixed
+                W, H, g, b, Z, Vs, k, y_pre, X_abs2, mask, Vb_fixed
             )
         return new + (y_pre,), costs
 
@@ -775,10 +823,11 @@ def mcem_run_converged_batch(vae_params, X_abs2, mask, y, keys,
               jnp.zeros((B,), jnp.int32),
               jnp.zeros((B, budget), X_abs2.dtype), jnp.int32(0))
     state, _, _, iters, hist, _ = lax.while_loop(cond, body, carry0)
-    W, H, g, Z, Vs, k, y_pre = state
+    W, H, g, b, Z, Vs, k, y_pre = state
 
-    def wf_one(W, H, g, Z, Vs, k, y_pre, X, Vb_f):
-        Vb = _noise_var(W, H, update_nmf, Vb_f)
+    def wf_one(W, H, g, b, Z, Vs, k, y_pre, X, Vb_f):
+        Vb = (eff_vb_row(b, Vb_f) if use_b
+              else _noise_var(W, H, update_nmf, Vb_f))
         WFs, WFn, Z, Vs, k = mh_wiener_filter(
             dec_params, y_pre, X, Vb, g, Z, Vs, k,
             cfg.nsamples_WF, cfg.burnin_WF, cfg.var_RW,
@@ -787,17 +836,20 @@ def mcem_run_converged_batch(vae_params, X_abs2, mask, y, keys,
 
     if Vb_fixed is None:
         WFs, WFn, Z = jax.vmap(
-            lambda W, H, g, Z, Vs, k, yp, X: wf_one(
-                W, H, g, Z, Vs, k, yp, X, None)
-        )(W, H, g, Z, Vs, k, y_pre, X_abs2)
+            lambda W, H, g, b, Z, Vs, k, yp, X: wf_one(
+                W, H, g, b, Z, Vs, k, yp, X, None)
+        )(W, H, g, b, Z, Vs, k, y_pre, X_abs2)
     else:
         WFs, WFn, Z = jax.vmap(wf_one)(
-            W, H, g, Z, Vs, k, y_pre, X_abs2, Vb_fixed
+            W, H, g, b, Z, Vs, k, y_pre, X_abs2, Vb_fixed
         )
-    return {
+    out = {
         "WFs": WFs, "WFn": WFn, "cost": hist,
         "W": W, "H": H, "g": g, "Z": Z, "iters": iters,
     }
+    if use_b:
+        out["b"] = b
+    return out
 
 
 def pad_power(X_abs2, N_pad, pad_value=1.0):

@@ -710,7 +710,7 @@ def enhance_files(file_paths, processed_dir, output_dir, vae_params,
                   bucket_multiple=128, quantile_fraction=0.98,
                   quantile_weight=0.999, seed=0, verbose=False,
                   engine="auto", noise_model="nmf", fast=False, mesh=None,
-                  soft_guidance=False, skip_existing=False):
+                  soft_guidance=False, skip_existing=False, profile=None):
     """Full sweep over a test file list (reference evaluate_*.py main +
     process_utt): reads `<utt>_x.wav` (+ `_s.wav` for oracle labels), writes
     `<utt>_s_est.wav`, `<utt>_n_est.wav` and the soft/hard label arrays
@@ -738,6 +738,10 @@ def enhance_files(file_paths, processed_dir, output_dir, vae_params,
     Fault-tolerant (SURVEY §7.10): a failed batch is retried one utterance
     at a time, and an utterance that still fails degrades to mixture
     passthrough instead of aborting the sweep. Returns wall-clock seconds.
+
+    profile: name of a validated operating-point preset (profiles.py) —
+    authoritative for noise_model, soft_guidance and the cfg's
+    noise_gain/noise_gain_bands; all other arguments keep their values.
     """
     from concurrent.futures import ThreadPoolExecutor
 
@@ -745,6 +749,11 @@ def enhance_files(file_paths, processed_dir, output_dir, vae_params,
     from .dsp import pad_signal_for_stft
     from .dsp.stft import frame_count
 
+    if profile is not None:
+        from .profiles import apply_profile_cfg, offline_settings
+
+        noise_model, soft_guidance = offline_settings(profile)
+        cfg = apply_profile_cfg(cfg, profile)
     validate_noise_model(noise_model, cfg)
     if model_type == "m2" and classif_type not in (
             "dnn", "oracle", "timo", "ones", "zeros"):

@@ -7,6 +7,23 @@ import sys
 from guided_vae_nmf_tpu.train import load_model, load_norm_stats  # noqa: F401
 
 
+def backend_info():
+    """Backend/device provenance tag for bench JSON lines.
+
+    Every bench_* script merges this into its output so CPU-vs-TPU
+    measurement provenance is recorded mechanically (a VALIDATION.md
+    table can never silently mix backends again).
+    """
+    import jax
+
+    devs = jax.devices()
+    return {
+        "backend": jax.default_backend(),
+        "device": str(devs[0]) if devs else "none",
+        "n_devices": len(devs),
+    }
+
+
 def flag(rest, name, default=None, cast=str):
     if "--help" in rest or "-h" in rest:
         # Uniform help surface for the flag()-parsed aux CLIs (the

@@ -33,7 +33,7 @@ from guided_vae_nmf_tpu.data import read_wav, write_wav, speech_list
 from guided_vae_nmf_tpu.train.checkpoints import best_checkpoint, load_params
 from guided_vae_nmf_tpu.mcem import MCEMConfig
 from guided_vae_nmf_tpu.pipeline import enhance_files
-from _common import flag
+from _common import backend_info, flag
 
 SUBSET = "/root/reference/data/subset"
 FS = 16000
@@ -90,6 +90,7 @@ def main(argv=None):
     warm = time.perf_counter() - t0
 
     print(json.dumps({
+        **backend_info(),
         "minutes": minutes,
         "frames": int(n_frames),
         "niter": niter,

@@ -29,7 +29,7 @@ os.environ.setdefault(
 
 import numpy as np
 
-from _common import flag
+from _common import backend_info, flag
 
 FS = 16000
 
@@ -136,7 +136,8 @@ def main(argv=None):
             "sustains_live": bool(audio_s / t_pool >= B),
         })
         print(json.dumps(rows[-1]))
-    print(json.dumps({"bench": "multistream", "chunk_frames": chunk_frames,
+    print(json.dumps({"bench": "multistream", **backend_info(),
+                      "chunk_frames": chunk_frames,
                       "seconds": seconds, "rows": rows}))
 
 

@@ -26,7 +26,7 @@ os.environ.setdefault(
 
 import numpy as np
 
-from _common import flag
+from _common import backend_info, flag
 
 
 def fast_trans_kw(jnp):
@@ -150,6 +150,7 @@ def main(argv=None):
         out["quality"] = _quality_check(
             niter, seeds, refine=refine,
             approx_trans=bool(flag(argv, "approx_trans", 0, int)))
+    out.update(backend_info())
     print(json.dumps(out))
 
 

@@ -26,7 +26,7 @@ os.environ.setdefault(
 
 import numpy as np
 
-from _common import flag
+from _common import backend_info, flag
 
 
 def main(argv=None):
@@ -97,6 +97,7 @@ def main(argv=None):
             print(row, flush=True)
     finally:
         svc.close()
+    out.update(backend_info())
     print(json.dumps(out))
 
 

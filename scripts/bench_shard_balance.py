@@ -25,7 +25,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from _common import flag  # noqa: E402
+from _common import backend_info, flag  # noqa: E402
 
 
 def main(argv=None):

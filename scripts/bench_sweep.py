@@ -29,7 +29,7 @@ from guided_vae_nmf_tpu.data import (
 from guided_vae_nmf_tpu.train.checkpoints import best_checkpoint, load_params
 from guided_vae_nmf_tpu.mcem import MCEMConfig
 from guided_vae_nmf_tpu.pipeline import enhance_files
-from _common import flag
+from _common import backend_info, flag
 
 SUBSET = "/root/reference/data/subset"
 FS = 16000
@@ -100,6 +100,7 @@ def main(argv=None):
     warm = time.perf_counter() - t0
 
     print(json.dumps({
+        **backend_info(),
         "utterances": n_utts,
         "audio_sec": round(audio_sec, 1),
         "cold_s": round(cold, 1),

@@ -28,7 +28,7 @@ os.environ.setdefault(
 import numpy as np
 
 from guided_vae_nmf_tpu.train import TrainConfig, train_m2
-from _common import flag
+from _common import backend_info, flag
 from pretrain_subset import build_dataset
 
 
@@ -77,6 +77,7 @@ def main(argv=None):
                                     replicate=stream, dims=dims,
                                     base_rate=result["steady_frames_per_s"]))
 
+    result.update(backend_info())
     print(json.dumps(result))
 
 

@@ -39,7 +39,7 @@ os.environ.setdefault(
 
 import numpy as np
 
-from _common import flag
+from _common import backend_info, flag
 
 
 def main(argv=None):
@@ -104,6 +104,7 @@ def main(argv=None):
 
     hbm = out["streamed_gelem_s"]["add"] * 8 / 1e3   # f32 in+out per elem
     out["implied_hbm_gb_s"] = round(hbm * 1e3, 0)
+    out.update(backend_info())
     print(json.dumps(out))
 
 

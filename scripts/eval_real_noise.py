@@ -73,6 +73,23 @@ def main(argv=None):
     seeds = flag(argv, "seeds", 1, int)
     algo = flag(argv, "algorithm", "mcem")
 
+    profile = flag(argv, "profile", None)
+    if profile is not None:
+        # validated preset (profiles.py): authoritative for the managed
+        # knobs; also selects the flagship system at the preset's noise
+        # model unless --systems was given explicitly
+        from guided_vae_nmf_tpu.profiles import get_profile
+
+        prof = get_profile(profile)
+        noise_model, soft_labels = prof.noise_model, prof.soft_guidance
+        if not prof.offline:
+            raise SystemExit(f"profile {profile!r} is streaming-only "
+                             "(use eval_streaming_m2.py)")
+        noise_gain = prof.cfg_overrides.get("noise_gain", False)
+        ng_bands = prof.cfg_overrides.get("noise_gain_bands", 1)
+        if flag(argv, "systems") is None:
+            systems = [f"m2dnn_{prof.noise_model}"]
+
     files = speech_list(f"{SUB}/raw/", "test")
     processed = f"{SUB}/processed/"
     if algo == "peem":

@@ -60,6 +60,23 @@ def main(argv=None):
     context = flag(argv, "context_frames", 24, int)
     skip_offline = flag(argv, "skip_offline", "0") in ("1", "true")
 
+    profile = flag(argv, "profile", None)
+    if profile is not None:
+        # validated preset (profiles.py): authoritative for the managed
+        # streaming knobs; label source / niter_offline keep their flags
+        from guided_vae_nmf_tpu.profiles import streaming_settings
+
+        st = streaming_settings(profile)
+        soft = st.get("soft_guidance", soft)
+        residual = st.get("residual_tracking", residual)
+        noise_gain = st.get("noise_gain", noise_gain)
+        ng_bands = st.get("noise_gain_bands", ng_bands)
+        block_iters = st.get("block_iters", block_iters)
+        e_steps = st.get("e_steps", e_steps)
+        context = st.get("context_frames", context)
+        if "chunk_frames" in st and flag(argv, "chunks") is None:
+            chunks = [st["chunk_frames"]]
+
     files = speech_list(f"{SUB}/raw/", "test")
     processed = f"{SUB}/processed/"
     m2 = load_model(os.path.join(artifacts, "M2_ibm"), kind="dgm")

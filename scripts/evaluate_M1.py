@@ -42,6 +42,7 @@ def main(argv=None):
     output = flag(rest, "output", paths.models_dir + "M1_enhanced/")
     batch_size = flag(rest, "batch_size", 16, int)
     noise_model = flag(rest, "noise_model", "nmf")  # nmf | spp (noNMF) | hybrid | spp2
+    profile = flag(rest, "profile", None)  # validated preset (profiles.py)
     mesh = None
     if flag(rest, "data_parallel", "0") in ("1", "true"):
         from guided_vae_nmf_tpu.parallel import make_mesh
@@ -56,7 +57,8 @@ def main(argv=None):
     res = enhance_files(files, paths.processed_wav_dir, output, vae,
                         model_type="m1", cfg=cfg, batch_size=batch_size,
                         verbose=True, noise_model=noise_model, mesh=mesh,
-                        skip_existing=skip_existing)
+                        skip_existing=skip_existing,
+                        profile=profile)
     skipped = f", {res.n_skipped} skipped" if res.n_skipped else ""
     print(f"Finished in {time.perf_counter() - t0:.1f} seconds "
           f"({res.n_processed} utterances{skipped})")

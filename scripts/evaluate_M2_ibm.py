@@ -6,6 +6,7 @@ Usage: python scripts/evaluate_M2_ibm.py --model <ckpt-or-dir>
        [--classifier <ckpt-or-dir>] [--classif_type dnn|oracle|timo]
        [--dataset_size subset] [--niter 100] [--batch_size 16]
        [--output <dir>]
+       [--profile reference|real-noise|impulse-noise]
 """
 
 import sys
@@ -44,6 +45,7 @@ def main(argv=None):
     classifier_path = flag(rest, "classifier")
     classif_type = flag(rest, "classif_type", "dnn")
     noise_model = flag(rest, "noise_model", "nmf")  # nmf | spp (noNMF) | hybrid | spp2
+    profile = flag(rest, "profile", None)  # validated preset (profiles.py)
     soft_labels = flag(rest, "soft_labels", "0") in ("1", "true")
     output = flag(rest, "output",
                   paths.models_dir + f"M2_ibm_{classif_type}_enhanced/")
@@ -75,7 +77,8 @@ def main(argv=None):
                         batch_size=batch_size, verbose=True,
                         noise_model=noise_model, mesh=mesh,
                         soft_guidance=soft_labels,
-                        skip_existing=skip_existing)
+                        skip_existing=skip_existing,
+                        profile=profile)
     skipped = f", {res.n_skipped} skipped" if res.n_skipped else ""
     print(f"Finished in {time.perf_counter() - t0:.1f} seconds "
           f"({res.n_processed} utterances{skipped})")

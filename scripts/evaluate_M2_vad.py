@@ -49,6 +49,7 @@ def main(argv=None):
     batch_size = flag(rest, "batch_size", 16, int)
     skip_existing = flag(rest, "skip_existing", "0") in ("1", "true")
     noise_model = flag(rest, "noise_model", "nmf")  # nmf | spp (noNMF) | hybrid | spp2
+    profile = flag(rest, "profile", None)  # validated preset (profiles.py)
     soft_labels = flag(rest, "soft_labels", "0") in ("1", "true")
     mesh = None
     if flag(rest, "data_parallel", "0") in ("1", "true"):
@@ -76,7 +77,8 @@ def main(argv=None):
                         batch_size=batch_size, verbose=True,
                         noise_model=noise_model, mesh=mesh,
                         soft_guidance=soft_labels,
-                        skip_existing=skip_existing)
+                        skip_existing=skip_existing,
+                        profile=profile)
     skipped = f", {res.n_skipped} skipped" if res.n_skipped else ""
     print(f"Finished in {time.perf_counter() - t0:.1f} seconds "
           f"({res.n_processed} utterances{skipped})")

@@ -59,6 +59,7 @@ def main(argv=None):
     max_streams = flag(argv, "max_streams", 8, int)
     tick_ms = flag(argv, "tick_ms", 5.0, float)
     data_parallel = flag(argv, "data_parallel", "0") in ("1", "true")
+    profile = flag(argv, "profile", None)  # validated preset (profiles.py)
 
     from guided_vae_nmf_tpu.http_serving import build_server
 
@@ -69,7 +70,7 @@ def main(argv=None):
         wait_ms=wait_ms, warmup=warmup, stream=stream,
         chunk_frames=chunk_frames, stream_residual=residual,
         pooled_streams=pooled, max_streams=max_streams, tick_ms=tick_ms,
-        data_parallel=data_parallel)
+        data_parallel=data_parallel, profile=profile)
     srv.start()
     print(f"serving on http://{host}:{srv.port} "
           f"(niter={niter}, noise_model={noise_model}, "

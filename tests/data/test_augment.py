@@ -120,3 +120,52 @@ def test_h5_stream_source_covers_ragged_tail(tmp_path):
     missing = sum(tuple(np.round(r, 5)) not in seen for r in X.T)
     assert missing == 0
     src.close()
+
+
+def _peak_freq(y, fs=16000):
+    Y = np.abs(np.fft.rfft(y * np.hanning(len(y))))
+    return np.argmax(Y) * fs / len(y)
+
+
+def test_pv_stretch_preserves_pitch():
+    from guided_vae_nmf_tpu.data.synthesis import pv_stretch
+
+    fs = 16000
+    t = np.arange(int(1.5 * fs)) / fs
+    x = np.sin(2 * np.pi * 220 * t)
+    y = pv_stretch(x, 1.25)
+    # duration shrinks by the rate (to frame resolution), pitch holds
+    assert abs(len(y) / len(x) - 0.8) < 0.03
+    assert abs(_peak_freq(y) - 220) < 4
+    assert np.array_equal(pv_stretch(x, 1.0), x)
+
+
+def test_pitch_shift_moves_pitch_keeps_duration():
+    from guided_vae_nmf_tpu.data.synthesis import pitch_shift
+
+    fs = 16000
+    t = np.arange(int(1.5 * fs)) / fs
+    x = np.sin(2 * np.pi * 220 * t)
+    for f in (0.8, 1.3):
+        y = pitch_shift(x, f)
+        assert len(y) == len(x)
+        assert abs(_peak_freq(y) - 220 * f) < 4
+
+
+def test_voice_variants_distinct_speakers():
+    """The campaign's synthetic-speaker lever: every variant is
+    length-positive, peak-normalized, and the pitch-shifted ones land on
+    distinct fundamentals (audibly distinct pseudo-speakers)."""
+    from guided_vae_nmf_tpu.data.synthesis import (
+        VOICE_VARIANTS, voice_variants,
+    )
+
+    fs = 16000
+    t = np.arange(int(1.2 * fs)) / fs
+    x = np.sin(2 * np.pi * 220 * t) * (0.8 + 0.2 * np.sin(2 * np.pi * 3 * t))
+    vs = voice_variants(x)
+    assert len(vs) == len(VOICE_VARIANTS)
+    freqs = sorted(round(_peak_freq(v)) for v in vs)
+    assert len(set(freqs)) >= 7          # distinct fundamentals
+    for v in vs:
+        assert np.isclose(np.max(np.abs(v)), 1.0, atol=1e-6)

@@ -157,3 +157,85 @@ def test_converged_batch_m1():
         assert int(s["iters"]) == int(out["iters"][b])
         assert_allclose(np.asarray(out["WFs"][b]), np.asarray(s["WFs"]),
                         rtol=2e-4, atol=2e-5)
+
+
+def _spp_problem(B=None):
+    """Fixed-noise M2 problem for the noise_gain tol-stop tests."""
+    y_dim = 5
+    dgm = dgm_init(jax.random.PRNGKey(0), [F, y_dim, L, [16]])
+    shape = (F, N) if B is None else (B, F, N)
+    X = jax.random.uniform(jax.random.PRNGKey(1), shape) + 0.05
+    y = (jax.random.uniform(jax.random.PRNGKey(2),
+                            shape[:-2] + (y_dim, N)) > 0.5)
+    Vb = jax.random.uniform(jax.random.PRNGKey(3), shape) * 0.2 + 0.02
+    return dgm, X, y.astype(jnp.float32), Vb
+
+
+def test_converged_noise_gain_matches_fixed_budget():
+    """noise_gain through the tol-stop engine (the round-3 capability x
+    engine hole): with a tol that never fires, the chunked engine must
+    reproduce mcem_run's noise_gain trajectory for the same key, and the
+    per-frame gain b must come back adapted."""
+    dgm, X, y, Vb = _spp_problem()
+    mask = jnp.ones((N,))
+    cfg = MCEMConfig(niter=10, nsamples_E_step=2, burnin_E_step=2,
+                     nsamples_WF=2, burnin_WF=2, noise_gain=True)
+    key = jax.random.PRNGKey(11)
+    ref = mcem_run(dgm, X, mask, y, key, cfg, update_nmf=False,
+                   Vb_fixed=Vb)
+    out = mcem_run_converged(dgm, X, mask, y, key, cfg, tol=-1.0,
+                             check_every=5, update_nmf=False, Vb_fixed=Vb)
+    assert out["iters"] == cfg.niter
+    assert out["b"].shape == (N,)
+    assert not np.allclose(np.asarray(out["b"]), 1.0)
+    assert_allclose(np.asarray(out["WFs"]), np.asarray(ref["WFs"]),
+                    rtol=2e-4, atol=2e-5)
+    assert_allclose(np.asarray(out["b"]), np.asarray(ref["b"]),
+                    rtol=2e-4, atol=2e-5)
+    assert_allclose(np.asarray(out["cost"]), np.asarray(ref["cost"]),
+                    rtol=2e-5, atol=1e-4)
+
+
+def test_converged_noise_gain_early_stop_and_bands():
+    """tol-stop + noise_gain_bands > 1: a loose tol stops early and the
+    banded gain has the (n_bands, N) layout."""
+    dgm, X, y, Vb = _spp_problem()
+    mask = jnp.ones((N,))
+    cfg = MCEMConfig(niter=40, nsamples_E_step=2, burnin_E_step=2,
+                     nsamples_WF=2, burnin_WF=2, noise_gain=True,
+                     noise_gain_bands=4)
+    out = mcem_run_converged(dgm, X, mask, y, jax.random.PRNGKey(12), cfg,
+                             tol=1e-2, check_every=5, update_nmf=False,
+                             Vb_fixed=Vb)
+    assert out["b"].shape == (4, N)
+    assert out["iters"] <= cfg.niter
+    assert np.all(np.isfinite(np.asarray(out["WFs"])))
+    assert_allclose(np.asarray(out["WFs"] + out["WFn"]), 1.0, atol=1e-5)
+
+
+def test_converged_batch_noise_gain_matches_single():
+    """Batched tol-stop + noise_gain: per-row freeze semantics hold with
+    the extra gain state — each row matches its single-utterance run."""
+    from guided_vae_nmf_tpu.mcem import mcem_run_converged_batch
+
+    B = 3
+    dgm, X, y, Vb = _spp_problem(B)
+    X = X * jnp.asarray([1.0, 6.0, 0.3])[:, None, None]
+    mask = jnp.ones((B, N))
+    keys = jax.random.split(jax.random.PRNGKey(13), B)
+    cfg = MCEMConfig(niter=30, nsamples_E_step=2, burnin_E_step=2,
+                     nsamples_WF=2, burnin_WF=2, noise_gain=True,
+                     noise_gain_bands=2)
+    out = mcem_run_converged_batch(dgm, X, mask, y, keys, cfg, tol=5e-3,
+                                   check_every=5, update_nmf=False,
+                                   Vb_fixed=Vb)
+    assert out["b"].shape == (B, 2, N)
+    for b in range(B):
+        s = mcem_run_converged(dgm, X[b], mask[b], y[b], keys[b], cfg,
+                               tol=5e-3, check_every=5, update_nmf=False,
+                               Vb_fixed=Vb[b])
+        assert int(s["iters"]) == int(out["iters"][b])
+        assert_allclose(np.asarray(out["WFs"][b]), np.asarray(s["WFs"]),
+                        rtol=2e-4, atol=2e-5)
+        assert_allclose(np.asarray(out["b"][b]), np.asarray(s["b"]),
+                        rtol=2e-4, atol=2e-5)
