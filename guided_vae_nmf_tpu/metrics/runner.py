@@ -113,6 +113,36 @@ def compute_metrics_mixture_utt(args):
     return (si_sdr, si_sir, si_sar, estoi_v, _safe_pesq(s, x))
 
 
+def _pool_init():
+    """Worker initializer: metrics are host-side (SURVEY P4 — PESQ/STOI
+    are CPU code); pin the worker's JAX to CPU BEFORE its first backend
+    use so a spawned child never grabs the parent's accelerator (on a
+    single-grant TPU tunnel a second grab deadlocks both processes).
+    The spawn bootstrap may import jax (via __main__'s imports) before
+    this runs, so set the live config too — jax.config.update wins over
+    env/site-hook pins any time before the first backend use."""
+    os.environ["GVNMF_PLATFORM"] = "cpu"
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+
+def metrics_pool(max_workers=8):
+    """Process pool for metric sweeps. MUST be spawn-context: the parent
+    typically holds a live TPU client, and a fork()ed child inherits
+    JAX's internal locks mid-state — the reference's fork pool
+    (run_metrics_M1.py:161) deadlocks under an initialized accelerator
+    backend (observed on the v5e tunnel, round 4)."""
+    import multiprocessing
+
+    return ProcessPoolExecutor(
+        max_workers=max_workers,
+        mp_context=multiprocessing.get_context("spawn"),
+        initializer=_pool_init,
+    )
+
+
 def run_metrics(input_speech_dir, processed_dir, est_dir=None,
                 dataset_type="test", with_f1=False, target="ibm",
                 quantile_fraction=0.98, quantile_weight=0.999,
@@ -141,7 +171,7 @@ def run_metrics(input_speech_dir, processed_dir, est_dir=None,
     if serial:
         rows = [fn(a) for a in args]
     else:
-        with ProcessPoolExecutor(max_workers=max_workers) as ex:
+        with metrics_pool(max_workers) as ex:
             rows = list(ex.map(fn, args))
 
     stats = compute_stats(keys, rows, np.asarray(snr_list),
