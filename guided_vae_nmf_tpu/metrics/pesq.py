@@ -36,17 +36,27 @@ standard's integer `nr_of_hz_bands_per_bark_band_16k` table
 invariants the published layout satisfies by construction: the counts
 consume exactly the Nf/2 = 256 rfft bins of the 32 ms frame, and they
 agree bin-for-bin with the normative `z = f/100` scale throughout the
-region that scale covers. Remaining known deviations from the ITU C
-code: per-band power-density correction factors are computed from band
-coverage (nominal band Hz width over the Hz width of the integer bins,
-the factor's definition) instead of the C code's precomputed rounding
-of the same quantity, and the crude+fine time-alignment search is a
-simplified implementation of the same histogram design — both
-second-order against the disturbance aggregation. The identical-signal
-endpoint (MOS-LQO 4.6439) and the mappings are exact. `scripts/validate_pesq.py`
-computes per-utterance deltas against the ITU `pesq` wheel whenever it
-is importable (it is not in this environment); tests/metrics/
-test_pesq.py pins the degradation-family behaviour instead.
+region that scale covers. Time alignment (round 4) implements the
+standard's full utterance_locate chain: per-utterance crude subalign
+(utterance envelope against the whole degraded envelope, search bounded
+to the global estimate ± SEARCHBUFFER), fine weighted-delay-histogram
+alignment, and RECURSIVE utterance splitting (split_align) so delay
+that changes within an utterance is tracked per segment
+(tests/metrics/test_pesq.py::test_family_time_varying_delay).
+Remaining known deviations from the ITU C code, both second-order
+against the disturbance aggregation and provable only against the wheel
+(absent here): (a) per-band power-density correction factors are
+computed from band coverage (nominal band Hz width over the Hz width of
+the integer bins — the factor's definition) instead of the C code's
+precomputed float table of the same quantity; (b) split_align's
+accept-a-split criterion is "both halves align with higher confidence
+than the whole" over 5 candidate split fractions, where the C code
+scans every window boundary with its own confidence comparison. The
+identical-signal endpoint (MOS-LQO 4.6439) and the mappings are exact.
+`scripts/validate_pesq.py` computes per-utterance deltas against the
+ITU `pesq` wheel whenever it is importable (it is not in this
+environment); tests/metrics/test_pesq.py pins the degradation-family
+behaviour instead.
 """
 
 import numpy as np
@@ -363,9 +373,9 @@ def _vad(power):
     return active, thr
 
 
-def _crude_align(ref, deg, downsample):
-    """Global delay (samples, deg relative to ref) from log-envelope
-    cross-correlation."""
+def _log_envelopes(ref, deg, downsample):
+    """Thresholded log envelopes of both signals + the reference's active
+    flags (the standard's crude-alignment feature domain)."""
     pr = _envelope_blocks(ref, downsample)
     pd = _envelope_blocks(deg, downsample)
     ar, tr = _vad(pr)
@@ -374,13 +384,44 @@ def _crude_align(ref, deg, downsample):
                   np.log10(max(tr, 1e-10)), 0.0)
     ld = np.where(ad, np.log10(np.maximum(pd, 1e-10)) -
                   np.log10(max(td, 1e-10)), 0.0)
+    return lr, ld, ar
+
+
+def _envelope_xcorr_delay(lr, ld, center=None, radius=None):
+    """Block-domain delay of ld relative to lr via FFT cross-correlation.
+    With (center, radius) the search is restricted to lags within
+    `radius` blocks of `center` — the standard bounds per-utterance
+    delay search to the SEARCHBUFFER around the file-global estimate,
+    which also disambiguates periodic envelopes."""
     n = 1 << int(np.ceil(np.log2(len(lr) + len(ld))))
     X = np.fft.rfft(lr, n)
     Y = np.fft.rfft(ld, n)
     corr = np.fft.irfft(np.conj(X) * Y, n)
     lags = np.concatenate([np.arange(0, n // 2), np.arange(-n // 2, 0)])
-    best = int(np.argmax(corr))
-    return int(lags[best]) * downsample, ar
+    if center is not None:
+        corr = np.where(np.abs(lags - center) <= radius, corr, -np.inf)
+    return int(lags[int(np.argmax(corr))])
+
+
+def _crude_align(ref, deg, downsample):
+    """Global delay (samples, deg relative to ref) from log-envelope
+    cross-correlation."""
+    lr, ld, ar = _log_envelopes(ref, deg, downsample)
+    return _envelope_xcorr_delay(lr, ld) * downsample, ar
+
+
+def _crude_subalign(lr, ld, b0, b1, downsample, global_crude_blocks):
+    """Per-utterance crude delay (the standard's crude_subalign): the
+    utterance's log-envelope blocks, zero-embedded at their true
+    position, correlated against the WHOLE degraded envelope — so each
+    utterance gets its own initial delay estimate rather than the
+    file-global one. The search is bounded to the global estimate ±
+    SEARCHBUFFER blocks (the standard's search-buffer design)."""
+    seg = np.zeros_like(lr)
+    seg[b0:b1] = lr[b0:b1]
+    return _envelope_xcorr_delay(
+        seg, ld, center=global_crude_blocks, radius=SEARCHBUFFER
+    ) * downsample
 
 
 def _utterances(active, min_len=13):
@@ -440,17 +481,52 @@ def _fine_align(ref, deg, start, stop, crude_delay, align_nfft):
     return crude_delay + lag, conf
 
 
+def _split_align(ref, deg, s0, s1, crude, align_nfft, depth=3):
+    """P.862 utterance splitting (the standard's split_align design): an
+    utterance whose delay CHANGES mid-way spreads its fine-alignment
+    histogram over two peaks; splitting it concentrates each half's
+    mass. Search candidate split points; accept a split when BOTH halves
+    align with higher confidence than the whole, recursing on the halves
+    (depth-bounded). Returns [(start, stop, delay)] covering [s0, s1)."""
+    d, conf = _fine_align(ref, deg, s0, s1, crude, align_nfft)
+    min_half = 2 * align_nfft          # halves must fit >= ~2 windows
+    if depth <= 0 or (s1 - s0) < 2 * min_half:
+        return [(s0, s1, d)]
+    best = None
+    for frac in (0.25, 0.375, 0.5, 0.625, 0.75):
+        m = s0 + int((s1 - s0) * frac)
+        if m - s0 < min_half or s1 - m < min_half:
+            continue
+        d1, c1 = _fine_align(ref, deg, s0, m, crude, align_nfft)
+        d2, c2 = _fine_align(ref, deg, m, s1, crude, align_nfft)
+        if min(c1, c2) > conf and (best is None or
+                                   min(c1, c2) > best[0]):
+            best = (min(c1, c2), m, d1, d2)
+    if best is None:
+        return [(s0, s1, d)]
+    _, m, _, _ = best
+    return (_split_align(ref, deg, s0, m, crude, align_nfft, depth - 1)
+            + _split_align(ref, deg, m, s1, crude, align_nfft, depth - 1))
+
+
 def _align(ref, deg, fs):
-    """Per-sample delay map: utterance-wise delays of deg w.r.t. ref."""
+    """Per-sample delay map: per-utterance crude + fine alignment with
+    recursive utterance splitting (the standard's utterance_locate /
+    crude_subalign / time_subalign / split_align chain), so delay that
+    varies across and WITHIN utterances is tracked."""
     t = _tables(fs)
-    crude, active = _crude_align(ref, deg, t.downsample)
+    lr, ld, active = _log_envelopes(ref, deg, t.downsample)
+    gc_blocks = _envelope_xcorr_delay(lr, ld)
+    global_crude = gc_blocks * t.downsample
     utts = _utterances(active)
-    delays = np.full(len(ref), crude, dtype=np.int64)
+    delays = np.full(len(ref), global_crude, dtype=np.int64)
     for (b0, b1) in utts:
         s0, s1 = b0 * t.downsample, b1 * t.downsample
-        d, conf = _fine_align(ref, deg, s0, min(s1, len(ref)),
-                              crude, t.align_nfft)
-        delays[s0:s1] = d
+        crude = _crude_subalign(lr, ld, b0, b1, t.downsample, gc_blocks)
+        segs = _split_align(ref, deg, s0, min(s1, len(ref)), crude,
+                            t.align_nfft)
+        for (a, b, d) in segs:
+            delays[a:b] = d
     return delays
 
 

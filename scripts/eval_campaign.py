@@ -160,7 +160,7 @@ def retrain(work, epochs, train_voices):
     speaker-disjoint bank: voice-variant + gain augmented clean speech,
     rich 10-family synthetic noise (training seed), wide SNR grid.
     Reuses pretrain_subset's build/train plumbing."""
-    from pretrain_subset import build, clean_frames, clean_labeled_frames
+    from pretrain_subset import build, clean_labeled_frames
     from guided_vae_nmf_tpu.data.noise import synthetic_noise_bank
     from guided_vae_nmf_tpu.data.synthesis import (
         VOICE_VARIANTS, augment_clean, voice_variants,
@@ -171,30 +171,51 @@ def retrain(work, epochs, train_voices):
     from guided_vae_nmf_tpu.train.checkpoints import best_checkpoint
 
     models = os.path.join(work, "models")
-    if os.path.exists(os.path.join(models, "wiener")):
+    all_jobs = ("M1", "M2_ibm", "classifier_ibm", "wiener")
+    if all(os.path.exists(os.path.join(models, j)) for j in all_jobs):
         print(f"models: reusing {models}", flush=True)
         return models
 
-    tr_paths, va_paths, _ = campaign_splits()
-    base_tr = [_load_clean(p) for p in tr_paths]
-    clean_va = [_load_clean(p) for p in va_paths]
-    # synthetic speakers + level diversity on the training side
-    clean_tr = []
-    for x in base_tr:
-        clean_tr.extend(voice_variants(x, VOICE_VARIANTS[:train_voices]))
-    clean_tr = augment_clean(clean_tr, factors=(), gains=(0.7, 1.4))
+    # frame bank is expensive to build (voice variants + mixing + STFT of
+    # ~400 streams); cache it so interrupted retrains resume per job
+    bank_npz = os.path.join(work, "train_bank.npz")
+    if os.path.exists(bank_npz):
+        z = np.load(bank_npz)
+        (Xtr, Yibm_tr, Ywf_tr, Xva, Yibm_va, Ywf_va,
+         Xc_tr, Yc_ibm_tr, Xc_va, Yc_ibm_va) = (
+            z[k] for k in ("Xtr", "Yibm_tr", "Ywf_tr", "Xva", "Yibm_va",
+                           "Ywf_va", "Xc_tr", "Yc_ibm_tr", "Xc_va",
+                           "Yc_ibm_va"))
+        clean_tr = clean_va = None
+        print(f"bank: cached {Xtr.shape[0]} noisy / "
+              f"{Xc_tr.shape[0]} clean train frames", flush=True)
+    else:
+        tr_paths, va_paths, _ = campaign_splits()
+        base_tr = [_load_clean(p) for p in tr_paths]
+        clean_va = [_load_clean(p) for p in va_paths]
+        # synthetic speakers + level diversity on the training side
+        clean_tr = []
+        for x in base_tr:
+            clean_tr.extend(
+                voice_variants(x, VOICE_VARIANTS[:train_voices]))
+        clean_tr = augment_clean(clean_tr, factors=(), gains=(0.7, 1.4))
 
-    noise = synthetic_noise_bank(base_tr, seed=11, rich=True)
-    t0 = time.perf_counter()
-    Xtr, Yibm_tr, _, Ywf_tr = build(
-        clean_tr, noise, 0, n_mix=3,
-        snrs=(-7.5, -5, -2.5, 0, 2.5, 5.0, 7.5, 10.0), include_clean=True)
-    Xva, Yibm_va, _, Ywf_va = build(clean_va, noise, 1, n_mix=4,
-                                    snrs=(-5, -2.5, 0, 2.5, 5.0))
-    Xc_tr, Yc_ibm_tr, _ = clean_labeled_frames(clean_tr)
-    Xc_va, Yc_ibm_va, _ = clean_labeled_frames(clean_va)
-    print(f"bank: {Xtr.shape[0]} noisy / {Xc_tr.shape[0]} clean train "
-          f"frames ({time.perf_counter() - t0:.0f}s to build)", flush=True)
+        noise = synthetic_noise_bank(base_tr, seed=11, rich=True)
+        t0 = time.perf_counter()
+        Xtr, Yibm_tr, _, Ywf_tr = build(
+            clean_tr, noise, 0, n_mix=3,
+            snrs=(-7.5, -5, -2.5, 0, 2.5, 5.0, 7.5, 10.0),
+            include_clean=True)
+        Xva, Yibm_va, _, Ywf_va = build(clean_va, noise, 1, n_mix=4,
+                                        snrs=(-5, -2.5, 0, 2.5, 5.0))
+        Xc_tr, Yc_ibm_tr, _ = clean_labeled_frames(clean_tr)
+        Xc_va, Yc_ibm_va, _ = clean_labeled_frames(clean_va)
+        np.savez(bank_npz, Xtr=Xtr, Yibm_tr=Yibm_tr, Ywf_tr=Ywf_tr,
+                 Xva=Xva, Yibm_va=Yibm_va, Ywf_va=Ywf_va, Xc_tr=Xc_tr,
+                 Yc_ibm_tr=Yc_ibm_tr, Xc_va=Xc_va, Yc_ibm_va=Yc_ibm_va)
+        print(f"bank: {Xtr.shape[0]} noisy / {Xc_tr.shape[0]} clean train "
+              f"frames ({time.perf_counter() - t0:.0f}s to build)",
+              flush=True)
 
     eps = 1e-8
     mean, std = Xtr.mean(0), Xtr.std(0)
@@ -205,7 +226,7 @@ def retrain(work, epochs, train_voices):
 
     jobs = [
         ("M1", lambda d: train_m1(
-            clean_frames(clean_tr), clean_frames(clean_va),
+            Xc_tr, Xc_va,
             dims=(513, 32, (128, 128)), cfg=cfg, model_dir=d, name="M1")),
         ("M2_ibm", lambda d: train_m2(
             (Xc_tr, Yc_ibm_tr), (Xc_va, Yc_ibm_va),
@@ -220,6 +241,8 @@ def retrain(work, epochs, train_voices):
             cfg=cfg_cls, model_dir=d, name="Wiener", mean=mean, std=std)),
     ]
     for name, job in jobs:
+        if os.path.exists(os.path.join(models, name)):
+            continue                     # resumed run: job already done
         t0 = time.perf_counter()
         mdir = os.path.join(work, "train", name)
         _, hist = job(mdir)
@@ -354,6 +377,10 @@ def main(argv=None):
         models = retrain(work, epochs, train_voices)
     else:
         models = models_arg
+    if flag(argv, "prep_only", 0, int):
+        print(json.dumps({"campaign": "prep_done", "models": models,
+                          "utterances": len(names), **backend_info()}))
+        return
 
     results = {"config": {
         "n_utterances": len(names), "voices": n_voices,

@@ -242,16 +242,35 @@ def test_family_level_shifts_exactly_invariant():
 
 
 def test_family_constant_delays():
-    """Recorded scores for constant delays; a delay inside the utterance's
-    silence margin is fully recovered (perfect score)."""
+    """Recorded scores for constant delays (drift-pins for the round-4
+    utterance-locate alignment); a delay inside the utterance's silence
+    margin is fully recovered (perfect score), and ± the same shift
+    scores identically (alignment symmetry)."""
     x = _speech_like()
-    expected = {-1000: 4.3591, -160: 4.2974, 160: 4.2974, 800: 4.2974}
+    expected = {-1000: 4.2960, -160: 4.2596, 160: 4.2596, 800: 4.2596}
     for shift, exp in expected.items():
         assert pesq(FS, x, np.roll(x, shift)) == pytest.approx(
             exp, abs=2e-3), f"shift={shift}"
     # 0.1 s shift still entirely within the 0.3 s end silences: alignment
     # recovers it exactly
     assert pesq(FS, x, np.roll(x, 1600)) == pytest.approx(4.6439, abs=1e-3)
+
+
+def test_family_time_varying_delay():
+    """Round-4 capability (P.862 utterance splitting / per-utterance
+    crude subalign): a delay that CHANGES mid-file is tracked per
+    segment instead of averaged. Recorded pins; a uniform shift of the
+    same magnitude stays near-perfect for contrast."""
+    x = _speech_like()
+    y = x.copy()
+    h = len(x) // 2
+    y[:h] = np.roll(x[:h], 120)
+    y[h:] = np.roll(x[h:], -120)
+    v = pesq(FS, x, y)
+    assert v == pytest.approx(4.3346, abs=5e-3)
+    assert v > 4.0          # both segments individually re-aligned
+    assert pesq(FS, x, np.roll(x, 120)) == pytest.approx(4.6422,
+                                                         abs=5e-3)
 
 
 def test_family_bandwidth_reduction():
