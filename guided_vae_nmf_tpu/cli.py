@@ -232,7 +232,8 @@ def cmd_stream(a):
         block_iters=a.block_iters, e_steps=a.e_steps,
         label_mode=a.label, soft_guidance=a.soft_labels,
         residual_tracking=a.stream_residual, noise_gain=a.noise_gain,
-        noise_gain_bands=a.noise_gain_bands)
+        noise_gain_bands=a.noise_gain_bands,
+        adaptive_iters=a.adaptive_iters)
     chunk = a.chunk_frames * HOP
     outs = [enh.push(x[lo:lo + chunk]) for lo in range(0, len(x), chunk)]
     outs.append(enh.flush())
@@ -570,6 +571,10 @@ def build_parser():
     p.add_argument("--stream_residual", action="store_true")
     p.add_argument("--noise_gain", action="store_true")
     p.add_argument("--noise_gain_bands", type=int, default=1)
+    p.add_argument("--adaptive_iters", type=int, default=0,
+                   help="extra in-block EM iterations while the noise "
+                        "gain still moves (impulse blocks escalate "
+                        "their own budget; latency unchanged)")
     p.add_argument("--soft_labels", action="store_true")
     # causal label sources only: the stream has no oracle/constant modes
     _add_guidance_flags(p, label_default="timo", choices=("dnn", "timo"))

@@ -436,7 +436,7 @@ class StreamingSPPEnhancer(_StreamingOLA):
 
 def _m2_block_em(dec_params, Xw, y_pre, Vb, Z0, g0, b0, mask,
                  iters=6, e_steps=4, lr=5e-3, noise_gain=False,
-                 n_bands=1):
+                 n_bands=1, adaptive_iters=0, adaptive_thresh=0.05):
     """Blockwise point-estimate EM over one (F, W) analysis window with a
     fixed (SPP-tracked) noise variance: `e_steps` gradient-ascent steps on
     the latent MAP objective per EM iteration (mcem/peem.py), then the
@@ -449,7 +449,15 @@ def _m2_block_em(dec_params, Xw, y_pre, Vb, Z0, g0, b0, mask,
     own noise variance within the block, no cross-block delay. b0 is
     the warm-started gain: (W,) per-frame, or (n_bands, W) per-band
     when n_bands > 1 (the offline 2-3 band sweet spot applies causally
-    too)."""
+    too).
+
+    adaptive_iters (requires noise_gain): after the fixed `iters`
+    budget, run up to this many EXTRA EM iterations while the noise
+    gain is still moving (max |Δlog b| per iteration > adaptive_thresh)
+    — an impulse landing in the block escalates its own iteration
+    budget, quiet blocks pay nothing. Latency is unchanged (same tick);
+    only per-block compute is data-dependent (lax.while_loop; under
+    vmap in the pooled engine lanes mask independently)."""
     from .mcem.engine import (
         VX_FLOOR, _decode_cond, nmf_m_step, noise_gain_state,
     )
@@ -469,6 +477,9 @@ def _m2_block_em(dec_params, Xw, y_pre, Vb, Z0, g0, b0, mask,
     W1 = jnp.ones((Xw.shape[0], 1), Xw.dtype)
     H0 = jnp.zeros((1, Xw.shape[1]), Xw.dtype)
 
+    def logb(v):
+        return jnp.log(jnp.maximum(v, 1e-12))
+
     def em(carry, _):
         Z, g, b = carry
 
@@ -478,15 +489,34 @@ def _m2_block_em(dec_params, Xw, y_pre, Vb, Z0, g0, b0, mask,
         Z, _ = jax.lax.scan(e_step, Z, None, length=e_steps)
         Vs = _decode_cond(dec_params, y_pre, Z)[None]
         if noise_gain:
-            _, _, g, b = nmf_m_step(Xw, mask, W1, H0, g, Vs,
-                                    update_nmf=False, Vb_fixed=Vb, b=b,
-                                    band_map=band_map)
+            _, _, g, b2 = nmf_m_step(Xw, mask, W1, H0, g, Vs,
+                                     update_nmf=False, Vb_fixed=Vb, b=b,
+                                     band_map=band_map)
+            d = jnp.max(jnp.abs(logb(b2) - logb(b)))
+            b = b2
         else:
             _, _, g = nmf_m_step(Xw, mask, W1, H0, g, Vs,
                                  update_nmf=False, Vb_fixed=Vb)
-        return (Z, g, b), None
+            d = jnp.zeros((), Xw.dtype)
+        return (Z, g, b), d
 
-    (Z, g, b), _ = jax.lax.scan(em, (Z0, g0, b0), None, length=iters)
+    (Z, g, b), ds = jax.lax.scan(em, (Z0, g0, b0), None, length=iters)
+
+    if adaptive_iters and noise_gain:
+        def cond(carry):
+            _, _, _, i, d = carry
+            return (i < adaptive_iters) & (d > adaptive_thresh)
+
+        def body(carry):
+            Z, g, b, i, _ = carry
+            (Z, g, b), d = em((Z, g, b), None)
+            return Z, g, b, i + 1, d
+
+        # the base budget's final Δlog b decides whether the escalation
+        # loop engages: quiet blocks pay zero extra iterations
+        Z, g, b, _, _ = jax.lax.while_loop(
+            cond, body, (Z, g, b, jnp.int32(0), ds[-1]))
+
     Vs = _decode_cond(dec_params, y_pre, Z)
     Vx = jnp.maximum(g * Vs + eff_vb(b), VX_FLOOR)
     return Z, g, b, (g * Vs) / Vx
@@ -494,14 +524,16 @@ def _m2_block_em(dec_params, Xw, y_pre, Vb, Z0, g0, b0, mask,
 
 _TICK_STATICS = ("label_mode", "soft_guidance", "residual_tracking",
                  "residual_alpha", "noise_gain", "noise_gain_init",
-                 "n_bands", "block_iters", "e_steps", "lr", "eps")
+                 "n_bands", "block_iters", "e_steps", "lr", "eps",
+                 "adaptive_iters")
 
 
 def _m2_tick_core(enc, dec, cls, mean, std, band_map, frames, k, state,
                   label_mode="dnn", soft_guidance=False,
                   residual_tracking=False, residual_alpha=0.5,
                   noise_gain=False, noise_gain_init="ones", n_bands=1,
-                  block_iters=6, e_steps=4, lr=5e-3, eps=1e-8):
+                  block_iters=6, e_steps=4, lr=5e-3, eps=1e-8,
+                  adaptive_iters=0):
     """The WHOLE M2 streaming chunk path as one traced program: analysis,
     causal SPP noise track, guidance labels, encoder warm init, window
     assembly, blockwise EM, residual tracking, context rebuild and masked
@@ -592,7 +624,8 @@ def _m2_tick_core(enc, dec, cls, mean, std, band_map, frames, k, state,
     y_pre = _precompute_label_proj(dec, yw, L)
     Z, g, bfr, WFs = _m2_block_em(
         dec, Xw, y_pre, Vbw, Zw, gw, bw, maskw, iters=block_iters,
-        e_steps=e_steps, lr=lr, noise_gain=noise_gain, n_bands=n_bands)
+        e_steps=e_steps, lr=lr, noise_gain=noise_gain, n_bands=n_bands,
+        adaptive_iters=adaptive_iters)
     m = WFs[:, C:].T                            # (K, F) gains, new frames
 
     if residual_tracking:
@@ -726,7 +759,7 @@ class StreamingM2Enhancer(_StreamingOLA):
                  soft_guidance=False, residual_tracking=False,
                  residual_alpha=0.5, noise_gain=False,
                  noise_gain_init="ones", noise_gain_bands=1, eps=1e-8,
-                 keep_masks=True):
+                 keep_masks=True, adaptive_iters=0):
         if label_mode == "dnn" and classifier_params is None:
             raise ValueError("label_mode='dnn' needs classifier_params")
         # guidance dimension from the model (513 for IBM-guided M2, 1 for
@@ -779,6 +812,15 @@ class StreamingM2Enhancer(_StreamingOLA):
             if noise_gain_bands != 1:
                 raise ValueError(
                     "noise_gain_bands > 1 requires noise_gain=True")
+            if adaptive_iters:
+                raise ValueError(
+                    "adaptive_iters requires noise_gain=True (the "
+                    "escalation trigger is the gain's movement)")
+        # adaptive in-block budget: up to this many EXTRA EM iterations
+        # while the noise gain still moves > 5%/iter (impulse blocks
+        # escalate themselves; quiet blocks pay nothing; latency
+        # unchanged)
+        self.adaptive_iters = adaptive_iters
         self.noise_gain_init = noise_gain_init
         # spectral resolution of the gain (offline sweet spot: 2-3 bands
         # for impulsive noise, MCEMConfig.noise_gain_bands)
@@ -870,7 +912,8 @@ class StreamingM2Enhancer(_StreamingOLA):
                     noise_gain_init=self.noise_gain_init,
                     n_bands=self.noise_gain_bands,
                     block_iters=self.block_iters, e_steps=self.e_steps,
-                    lr=self.lr, eps=self.eps)
+                    lr=self.lr, eps=self.eps,
+                    adaptive_iters=self.adaptive_iters)
 
     def _enhance_frame_batch(self, frames, k):
         y, m, self._dstate = _m2_tick_jit(

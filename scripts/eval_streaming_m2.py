@@ -55,6 +55,7 @@ def main(argv=None):
     noise_gain = flag(argv, "noise_gain", "0") in ("1", "true")
     ng_init = flag(argv, "noise_gain_init", "ones")
     ng_bands = flag(argv, "noise_gain_bands", 1, int)
+    adaptive_iters = flag(argv, "adaptive_iters", 0, int)
     block_iters = flag(argv, "block_iters", 6, int)
     e_steps = flag(argv, "e_steps", 4, int)
     context = flag(argv, "context_frames", 24, int)
@@ -133,6 +134,7 @@ def main(argv=None):
                 soft_guidance=soft, residual_tracking=residual,
                 noise_gain=noise_gain, noise_gain_init=ng_init,
                 noise_gain_bands=ng_bands,
+                adaptive_iters=adaptive_iters,
                 block_iters=block_iters,
                 e_steps=e_steps, context_frames=context)
             outs = []

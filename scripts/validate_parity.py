@@ -125,6 +125,14 @@ def main(argv=None):
     m2 = load_params(best_checkpoint(f"{work}/M2"), static={"y_dim": 513})
 
     files = speech_list(f"{SUB}/raw/", "test")
+    # --utts <substring[,substring]>: restrict the gate study to matching
+    # utterances (VERDICT round-3 item 5 — resolve utterance a's
+    # niter=100 PESQ residual with a larger per-utterance seed count)
+    only = flag(argv, "utts")
+    if only:
+        subs = only.split(",")
+        files = [f for f in files if any(s in f for s in subs)]
+        assert files, f"--utts {only!r} matched nothing"
     mc = MCEMConfig(niter=niter)
     seeds = flag(argv, "seeds", 0, int)
     engine = flag(argv, "engine", "both")

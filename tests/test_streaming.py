@@ -884,3 +884,36 @@ def test_stream_pool_driver_churn():
     assert len(got["long"]) == len(x_long)
     assert_allclose(got["long"], want, atol=2e-5, rtol=1e-4)
     driver.shutdown()
+
+
+def test_streaming_adaptive_iters():
+    """adaptive_iters escalates the in-block EM budget when the noise
+    gain still moves (impulse blocks): deterministic, finite, differs
+    from the fixed-budget stream, requires noise_gain, and composes with
+    bands."""
+    from guided_vae_nmf_tpu.models import dgm_init
+    from guided_vae_nmf_tpu.streaming import StreamingM2Enhancer
+
+    m2 = dgm_init(jax.random.PRNGKey(0), [513, 513, 16, [32]])
+    rng = np.random.RandomState(7)
+    x = rng.randn(16000).astype(np.float32) * 0.1
+    x[6000:6400] += rng.randn(400).astype(np.float32) * 2.0  # impulse
+
+    def run(**kw):
+        enh = StreamingM2Enhancer(m2, label_mode="timo", chunk_frames=8,
+                                  **kw)
+        out = [enh.push(x[lo:lo + 4096]) for lo in range(0, len(x), 4096)]
+        out.append(enh.flush())
+        return np.concatenate(out)
+
+    y_fixed = run(noise_gain=True)
+    y_ad = run(noise_gain=True, adaptive_iters=12)
+    y_ad2 = run(noise_gain=True, adaptive_iters=12)
+    assert np.all(np.isfinite(y_ad))
+    np.testing.assert_array_equal(y_ad, y_ad2)     # deterministic
+    assert not np.array_equal(y_ad, y_fixed)       # extra iters engaged
+    # composes with per-band gains
+    yb = run(noise_gain=True, noise_gain_bands=2, adaptive_iters=8)
+    assert np.all(np.isfinite(yb))
+    with pytest.raises(ValueError, match="adaptive_iters"):
+        StreamingM2Enhancer(m2, label_mode="timo", adaptive_iters=4)
