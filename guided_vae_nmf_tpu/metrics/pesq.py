@@ -444,40 +444,64 @@ def _utterances(active, min_len=13):
     return runs
 
 
-def _fine_align(ref, deg, start, stop, crude_delay, align_nfft):
-    """Delay refinement for ref[start:stop] against deg shifted by
-    crude_delay: weighted histogram of windowed cross-correlation peaks."""
+def _window_votes(ref, deg, start, stop, crude_delay, align_nfft):
+    """One vectorized pass over the 75%-overlap alignment windows of
+    ref[start:stop] vs deg shifted by crude_delay: per-window correlation
+    peak position and compressed weight (the standard's per-window delay
+    votes). Computed ONCE per utterance and shared by the whole-utterance
+    fine alignment AND every split_align candidate — the split search
+    just re-histograms subsets of these votes."""
     window = 0.5 * (1.0 - np.cos(
         2.0 * np.pi * np.arange(align_nfft) / align_nfft))
     hop = align_nfft // 4
-    hist = np.zeros(2 * align_nfft)
     n_deg = len(deg)
-    for s in range(start, max(stop - align_nfft, start) + 1, hop):
-        fr = ref[s: s + align_nfft]
-        if len(fr) < align_nfft:
-            break
-        sd = s + crude_delay
-        if sd < 0 or sd + align_nfft > n_deg:
-            continue
-        fd = deg[sd: sd + align_nfft]
-        X = np.fft.rfft(fr * window, 2 * align_nfft)
-        Y = np.fft.rfft(fd * window, 2 * align_nfft)
-        corr = np.abs(np.fft.irfft(np.conj(X) * Y, 2 * align_nfft))
-        peak = float(np.max(corr))
-        if peak <= 0.0:
-            continue
-        # each window votes at its correlation peak with a compressed
-        # weight; the vote is spread by a small triangular smoother
-        k = int(np.argmax(corr))
-        w = peak ** 0.125
-        width = 3
-        for d in range(-width, width + 1):
-            hist[(k + d) % (2 * align_nfft)] += w * (1 - abs(d) / (width + 1))
-    if not np.any(hist):
-        return crude_delay, 0.0
+    last = max(stop - align_nfft, start)
+    starts = np.arange(start, last + 1, hop)
+    starts = starts[starts + align_nfft <= len(ref)]
+    sd = starts + crude_delay
+    starts = starts[(sd >= 0) & (sd + align_nfft <= n_deg)]
+    if starts.size == 0:
+        return starts, starts.astype(np.int64), np.zeros(0)
+    fr = np.lib.stride_tricks.sliding_window_view(
+        ref, align_nfft)[starts] * window
+    fd = np.lib.stride_tricks.sliding_window_view(
+        deg, align_nfft)[starts + crude_delay] * window
+    X = np.fft.rfft(fr, 2 * align_nfft, axis=1)
+    Y = np.fft.rfft(fd, 2 * align_nfft, axis=1)
+    corr = np.abs(np.fft.irfft(np.conj(X) * Y, 2 * align_nfft, axis=1))
+    peaks = corr.max(axis=1)
+    ks = corr.argmax(axis=1).astype(np.int64)
+    keep = peaks > 0.0
+    return starts[keep], ks[keep], peaks[keep] ** 0.125
+
+
+def _hist_peak(ks, ws, align_nfft):
+    """(lag, confidence) of the triangular-smoothed weighted delay
+    histogram over the given votes; None when there are no votes."""
+    if ks.size == 0:
+        return None
+    hist = np.zeros(2 * align_nfft)
+    width = 3
+    for d in range(-width, width + 1):
+        np.add.at(hist, (ks + d) % (2 * align_nfft),
+                  ws * (1 - abs(d) / (width + 1)))
+    total = hist.sum()
+    if total <= 0.0:
+        return None
     k = int(np.argmax(hist))
     lag = k if k < align_nfft else k - 2 * align_nfft
-    conf = float(hist[k] / np.sum(hist))
+    return lag, float(hist[k] / total)
+
+
+def _fine_align(ref, deg, start, stop, crude_delay, align_nfft):
+    """Delay refinement for ref[start:stop] against deg shifted by
+    crude_delay: weighted histogram of windowed cross-correlation peaks."""
+    _, ks, ws = _window_votes(ref, deg, start, stop, crude_delay,
+                              align_nfft)
+    hp = _hist_peak(ks, ws, align_nfft)
+    if hp is None:
+        return crude_delay, 0.0
+    lag, conf = hp
     return crude_delay + lag, conf
 
 
@@ -485,28 +509,42 @@ def _split_align(ref, deg, s0, s1, crude, align_nfft, depth=3):
     """P.862 utterance splitting (the standard's split_align design): an
     utterance whose delay CHANGES mid-way spreads its fine-alignment
     histogram over two peaks; splitting it concentrates each half's
-    mass. Search candidate split points; accept a split when BOTH halves
-    align with higher confidence than the whole, recursing on the halves
-    (depth-bounded). Returns [(start, stop, delay)] covering [s0, s1)."""
-    d, conf = _fine_align(ref, deg, s0, s1, crude, align_nfft)
-    min_half = 2 * align_nfft          # halves must fit >= ~2 windows
-    if depth <= 0 or (s1 - s0) < 2 * min_half:
-        return [(s0, s1, d)]
-    best = None
-    for frac in (0.25, 0.375, 0.5, 0.625, 0.75):
-        m = s0 + int((s1 - s0) * frac)
-        if m - s0 < min_half or s1 - m < min_half:
-            continue
-        d1, c1 = _fine_align(ref, deg, s0, m, crude, align_nfft)
-        d2, c2 = _fine_align(ref, deg, m, s1, crude, align_nfft)
-        if min(c1, c2) > conf and (best is None or
-                                   min(c1, c2) > best[0]):
-            best = (min(c1, c2), m, d1, d2)
-    if best is None:
-        return [(s0, s1, d)]
-    _, m, _, _ = best
-    return (_split_align(ref, deg, s0, m, crude, align_nfft, depth - 1)
-            + _split_align(ref, deg, m, s1, crude, align_nfft, depth - 1))
+    mass. The per-window votes are computed once; every candidate split
+    (and every recursion level) re-histograms subsets. A split is
+    accepted when BOTH halves align with higher confidence than the
+    whole. Returns [(start, stop, delay)] covering [s0, s1)."""
+    starts, ks, ws = _window_votes(ref, deg, s0, s1, crude, align_nfft)
+
+    def seg_delay(sel):
+        hp = _hist_peak(ks[sel], ws[sel], align_nfft)
+        if hp is None:
+            return crude, 0.0
+        lag, conf = hp
+        return crude + lag, conf
+
+    def rec(a, b, depth):
+        inside = (starts >= a) & (starts + align_nfft <= b)
+        d, conf = seg_delay(inside)
+        if depth <= 0 or inside.sum() < 8:
+            return [(a, b, d)]
+        best = None
+        for frac in (0.25, 0.375, 0.5, 0.625, 0.75):
+            m = a + int((b - a) * frac)
+            left = inside & (starts + align_nfft <= m)
+            right = inside & (starts >= m)
+            if left.sum() < 4 or right.sum() < 4:
+                continue
+            _, c1 = seg_delay(left)
+            _, c2 = seg_delay(right)
+            if min(c1, c2) > conf and (best is None
+                                       or min(c1, c2) > best[0]):
+                best = (min(c1, c2), m)
+        if best is None:
+            return [(a, b, d)]
+        m = best[1]
+        return rec(a, m, depth - 1) + rec(m, b, depth - 1)
+
+    return rec(s0, s1, depth)
 
 
 def _align(ref, deg, fs):
