@@ -488,7 +488,15 @@ def cmd_doctor(a):
     row("native C++ loader", "loaded" if is_available()
         else "absent (pure-Python fallback, bit-identical)")
     cache = os.environ.get("GVNMF_CACHE_DIR", "")
+    warm = os.path.isdir(cache) and len(os.listdir(cache)) > 0
     row("XLA compile cache", cache if os.path.isdir(cache) else "unset")
+    # `gvnmf serve --warmup` compiles the full (batch, bucket) shape
+    # lattice: ~5 min one-time per machine cold, milliseconds when the
+    # persistent cache is populated
+    row("serving warmup", "warm (replays from cache)" if warm else
+        "cold: first `serve --warmup` is ~5 min one-time"
+        + ("" if cache else "; set GVNMF_CACHE_DIR to persist it"),
+        ok=warm)
     return 0
 
 

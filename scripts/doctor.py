@@ -106,6 +106,14 @@ def main(argv=None):
     check("xla compile cache", n >= 0,
           f"{cache} ({n} entries)" if n >= 0 else f"{cache} missing",
           required=False)
+    # serving's full-lattice warmup (~30 shapes) takes ~5 min COLD per
+    # machine and milliseconds from a populated persistent cache, so an
+    # empty/missing cache is the thing to flag before `gvnmf serve --warmup`
+    check("serving warmup cost", n > 0,
+          "warm (lattice compiles replay from cache)" if n > 0 else
+          "cold cache: first `serve --warmup` compiles the full "
+          "(batch, bucket) lattice, ~5 min one-time on this machine; "
+          "persisted here afterwards", required=False)
 
     # --- artifacts + data ----------------------------------------------------
     art = "artifacts/pretrained"
