@@ -102,7 +102,8 @@ def build_test_corpus(work, n_voices, snrs, train_clean):
     corpus = os.path.join(work, "corpus")
     manifest_path = os.path.join(corpus, "manifest.json")
     want = {"n_voices": n_voices, "snrs": list(snrs),
-            "families": list(TEST_FAMILIES), "seed": TEST_BANK_SEED}
+            "families": list(TEST_FAMILIES), "seed": TEST_BANK_SEED,
+            "naming": "speaker-prefixed"}
     if os.path.exists(manifest_path):
         m = json.load(open(manifest_path))
         if m.get("config") == want:
@@ -136,7 +137,10 @@ def build_test_corpus(work, n_voices, snrs, train_clean):
                 # reference create_test_set.py:99-103: joint max-norm
                 norm = max(np.abs(v).max(), np.abs(nz).max(),
                            np.abs(mix).max())
-                name = f"{base}_v{vi}_snr{int(snr):+d}"
+                # speaker prefix: NTCD wav basenames repeat across
+                # speakers (08F/sa2.wav vs 34M/sa2.wav), so the bare
+                # basename is NOT corpus-unique
+                name = f"{spk}_{base}_v{vi}_snr{int(snr):+d}"
                 out = os.path.join(corpus, name)
                 write_wav(out + "_s.wav", (v / norm).astype(np.float32),
                           FS)
@@ -147,6 +151,8 @@ def build_test_corpus(work, n_voices, snrs, train_clean):
                 entries.append({"name": name + ".wav", "snr": snr,
                                 "family": fam, "speaker": spk,
                                 "voice": vi})
+    names = [e["name"] for e in entries]
+    assert len(set(names)) == len(names), "corpus names must be unique"
     manifest = {"config": want, "entries": entries}
     json.dump(manifest, open(manifest_path, "w"))
     print(f"corpus: {len(entries)} mixtures "
@@ -279,6 +285,14 @@ def run_system(sysname, work, models, names, niter, batch_size, seed):
         enhance_files(names, corpus, est, m2, model_type="m2",
                       classif_type="dnn", classifier_params=cls,
                       mean=mean, std=std, profile=profile, **kw)
+    elif sysname.startswith("m2oracle_"):
+        # oracle guidance (reference evaluate_M2_ibm.py classif_type=
+        # 'oracle'): isolates engine quality from classifier quality —
+        # the gap m2oracle - m2dnn is the classifier's cost at scale
+        profile = sysname.split("_", 1)[1]
+        m2 = load_model(os.path.join(models, "M2_ibm"), kind="dgm")
+        enhance_files(names, corpus, est, m2, model_type="m2",
+                      classif_type="oracle", profile=profile, **kw)
     elif sysname == "m1_spp":
         m1 = load_model(os.path.join(models, "M1"), kind="vae")
         enhance_files(names, corpus, est, m1, model_type="m1",
@@ -382,12 +396,18 @@ def main(argv=None):
                           "utterances": len(names), **backend_info()}))
         return
 
-    results = {"config": {
+    out = os.path.join(work, "campaign_results.json")
+    # merge into a prior run's record so systems can be added
+    # incrementally (--systems a,b into the same --work)
+    results = json.load(open(out)) if os.path.exists(out) else {}
+    prior = [s for s in results.get("config", {}).get("systems", ())
+             if s not in systems]
+    results["config"] = {
         "n_utterances": len(names), "voices": n_voices,
         "snrs": list(snrs), "niter": niter, "epochs": epochs,
         "train_voices": train_voices, "models": models,
-        "systems": systems, **backend_info(),
-    }}
+        "systems": prior + list(systems), **backend_info(),
+    }
     for sysname in systems:
         if sysname != "mixture":
             run_system(sysname, work, models, names, niter, batch_size,
@@ -395,7 +415,6 @@ def main(argv=None):
         results[sysname] = metrics_for(sysname, work, manifest,
                                        max_workers)
 
-    out = os.path.join(work, "campaign_results.json")
     json.dump(results, open(out, "w"), indent=1)
     print(f"\nresults -> {out}", flush=True)
     print(json.dumps({"campaign": "done", "utterances": len(names),
