@@ -24,6 +24,24 @@ def backend_info():
     }
 
 
+def pin_platform(argv):
+    """`--platform cpu|tpu`: in-process JAX platform pin.
+
+    The axon site hook re-pins JAX_PLATFORMS at interpreter startup, so
+    the environment variable alone CANNOT force a script onto the CPU
+    here; `jax.config.update` before first backend use wins over the
+    hook. Needed when two script halves must not share the single-client
+    TPU tunnel (e.g. validate_parity `--engine ref --platform cpu`
+    concurrent with `--engine ours` on the chip — two tunnel clients
+    deadlock each other)."""
+    plat = flag(argv, "platform", "")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
+    return plat
+
+
 def flag(rest, name, default=None, cast=str):
     if "--help" in rest or "-h" in rest:
         # Uniform help surface for the flag()-parsed aux CLIs (the

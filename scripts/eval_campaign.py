@@ -53,7 +53,8 @@ TEST_FAMILIES = ("cafe", "car", "clatter", "babble")
 TEST_BANK_SEED = 202         # != the training bank's seed (11)
 
 ALL_SYSTEMS = ("mixture", "m2dnn_reference", "m2dnn_real-noise",
-               "m2dnn_impulse-noise", "wiener", "m1_spp")
+               "m2dnn_impulse-noise", "wiener", "m1_spp",
+               "m2oracle_reference", "m2oracle_real-noise")
 
 
 def _wsj(split, spk):

@@ -31,7 +31,7 @@ from guided_vae_nmf_tpu.mcem import MCEMConfig
 from guided_vae_nmf_tpu.pipeline import enhance_files
 from guided_vae_nmf_tpu.metrics import energy_ratios, stoi
 from guided_vae_nmf_tpu.models import export_vae
-from _common import flag
+from _common import flag, pin_platform
 
 SUB = "/root/reference/data/subset"
 FS = 16000
@@ -96,6 +96,7 @@ def reference_model(m2):
 
 def main(argv=None):
     argv = argv or sys.argv[1:]
+    pin_platform(argv)
     work = flag(argv, "work", "/tmp/quality")
     epochs = flag(argv, "epochs", 150, int)
     niter = flag(argv, "niter", 50, int)
