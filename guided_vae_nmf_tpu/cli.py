@@ -222,6 +222,7 @@ def cmd_stream(a):
         a.noise_gain = st.get("noise_gain", a.noise_gain)
         a.noise_gain_bands = st.get("noise_gain_bands",
                                     a.noise_gain_bands)
+        a.adaptive_iters = st.get("adaptive_iters", a.adaptive_iters)
     x, fs = _read_wav_16k(a.input)
     dgm = load_model(a.model, kind="dgm",
                      y_dim=1 if a.target == "vad" else 513)

@@ -488,6 +488,7 @@ def build_server(models_dir, host="127.0.0.1", port=8571, niter=100,
     # streaming-only profile
     stream_soft, stream_gain = soft_labels, noise_gain
     stream_bands = noise_gain_bands
+    stream_adaptive = 0
     if profile is not None:
         # validated preset (profiles.py): authoritative for the managed
         # knobs on both serving paths; a streaming-only profile leaves
@@ -507,6 +508,7 @@ def build_server(models_dir, host="127.0.0.1", port=8571, niter=100,
         stream_soft = st.get("soft_guidance", soft_labels)
         stream_gain = st.get("noise_gain", noise_gain)
         stream_bands = st.get("noise_gain_bands", noise_gain_bands)
+        stream_adaptive = st.get("adaptive_iters", 0)
 
     mesh = None
     if data_parallel:
@@ -540,7 +542,8 @@ def build_server(models_dir, host="127.0.0.1", port=8571, niter=100,
                      chunk_frames=chunk_frames, soft_guidance=stream_soft,
                      residual_tracking=stream_residual,
                      noise_gain=stream_gain,
-                     noise_gain_bands=stream_bands, label_mode="dnn",
+                     noise_gain_bands=stream_bands,
+                     adaptive_iters=stream_adaptive, label_mode="dnn",
                      # HTTP streams never expose masks; with the
                      # prefix-trimming this makes indefinite live
                      # connections fully bounded-memory

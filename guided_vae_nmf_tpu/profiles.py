@@ -81,16 +81,17 @@ PROFILES = {
     "streaming-low-latency": Profile(
         "streaming-low-latency",
         "128 ms online flagship: chunk=4 blockwise PEEM with causal "
-        "2-band noise gain + soft guidance + residual tracking "
-        "(VALIDATION streaming tables: café −3.93 / car +10.23 / "
-        "kitchen +3.44 — the bands=2 causal gain recovers ~+3 dB of the "
-        "offline impulse win at unchanged latency)",
+        "2-band noise gain + soft guidance + residual tracking + "
+        "adaptive in-block budget (VALIDATION streaming tables: café "
+        "−3.81 / car +10.06 / kitchen +3.97 — the bands=2 causal gain "
+        "plus the self-escalating impulse-block budget recovers ~70% of "
+        "the offline impulse win at unchanged latency)",
         # streaming-only: offline paths reject it
         offline=False,
         streaming=dict(chunk_frames=4, block_iters=6, e_steps=4,
                        context_frames=24, soft_guidance=True,
                        residual_tracking=True, noise_gain=True,
-                       noise_gain_bands=2),
+                       noise_gain_bands=2, adaptive_iters=6),
     ),
 }
 

@@ -72,6 +72,8 @@ def main(argv=None):
         residual = st.get("residual_tracking", residual)
         noise_gain = st.get("noise_gain", noise_gain)
         ng_bands = st.get("noise_gain_bands", ng_bands)
+        if flag(argv, "adaptive_iters") is None:
+            adaptive_iters = st.get("adaptive_iters", adaptive_iters)
         block_iters = st.get("block_iters", block_iters)
         e_steps = st.get("e_steps", e_steps)
         context = st.get("context_frames", context)

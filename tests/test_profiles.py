@@ -83,6 +83,27 @@ def test_streaming_settings():
     assert st["chunk_frames"] == 4           # 128 ms
     assert st["noise_gain_bands"] == 2       # VERDICT item 7 promotion
     assert st["soft_guidance"] and st["residual_tracking"]
+    # round-4 validated setting (VALIDATION adaptive-budget table)
+    assert st["adaptive_iters"] == 6
+    # every streaming-profile key must be a constructor parameter of
+    # BOTH stream classes: the consumers pass these through as kwargs,
+    # so an unaccepted key would crash — and a key missing from this
+    # check could be silently dropped by a consumer's .get() mapping
+    import inspect
+
+    from guided_vae_nmf_tpu.streaming import (
+        MultiStreamM2Enhancer, StreamingM2Enhancer,
+    )
+
+    single = set(inspect.signature(StreamingM2Enhancer).parameters)
+    # the pool forwards **enhancer_kwargs into per-slot
+    # StreamingM2Enhancer constructors and its fused tick reads the same
+    # _TICK_STATICS, so the single class's signature is the contract
+    for prof_name in PROFILE_NAMES:
+        keys = set(streaming_settings(prof_name) or {})
+        assert keys <= single, (
+            f"{prof_name}: {sorted(keys - single)} not accepted by "
+            "StreamingM2Enhancer")
     # offline profiles carry their causal analogues
     assert streaming_settings("real-noise")["noise_gain"] is True
     assert streaming_settings("impulse-noise")["noise_gain_bands"] == 2
