@@ -43,16 +43,22 @@ to the global estimate ± SEARCHBUFFER), fine weighted-delay-histogram
 alignment, and RECURSIVE utterance splitting (split_align) so delay
 that changes within an utterance is tracked per segment
 (tests/metrics/test_pesq.py::test_family_time_varying_delay).
-Remaining known deviations from the ITU C code, both second-order
-against the disturbance aggregation and provable only against the wheel
-(absent here): (a) per-band power-density correction factors are
-computed from band coverage (nominal band Hz width over the Hz width of
-the integer bins — the factor's definition) instead of the C code's
-precomputed float table of the same quantity; (b) split_align's
-accept-a-split criterion is "both halves align with higher confidence
-than the whole" over 5 candidate split fractions, where the C code
-scans every window boundary with its own confidence comparison. The
-identical-signal endpoint (MOS-LQO 4.6439) and the mappings are exact.
+split_align scans EVERY vote-window boundary with its own
+both-halves-higher-confidence comparison (round 4 — the C code's
+exhaustive scan, no candidate shortlist). The one remaining known
+deviation from the ITU C code, second-order against the disturbance
+aggregation and provable only against the wheel (absent here): the
+per-band power-density correction factors are computed from band
+coverage (nominal band Hz width over the Hz width of the integer bins —
+the factor's definition) instead of the C code's precomputed float
+table of the same quantity; the difference is that table's rounding.
+That deviation's ceiling is MEASURED, not asserted: perturbing every
+band's factor by ±0.5% relative — thousands of times any float-table
+rounding — moves MOS by < 0.004 on degradations with real disturbance
+mass (tests/metrics/test_pesq.py::
+test_pow_dens_correction_rounding_is_second_order). The
+identical-signal endpoint (MOS-LQO 4.6439) and the mappings are
+exact.
 `scripts/validate_pesq.py` computes per-utterance deltas against the
 ITU `pesq` wheel whenever it is importable (it is not in this
 environment); tests/metrics/test_pesq.py pins the degradation-family
@@ -505,14 +511,36 @@ def _fine_align(ref, deg, start, stop, crude_delay, align_nfft):
     return crude_delay + lag, conf
 
 
+def _grouped_vote_hists(ks, ws, align_nfft, stride):
+    """(n_groups, 2*align_nfft) triangular-smoothed histograms of
+    consecutive `stride`-sized vote groups — prefix sums of the group
+    rows give every "first j groups" histogram at once, which is what
+    the exhaustive split-point scan consumes. Built by scatter-add so
+    no per-vote matrix is ever materialized (long utterances stay
+    O(n_groups * hist) memory)."""
+    n = ks.size
+    gi = np.arange(n) // stride
+    rows = np.zeros((int(gi[-1]) + 1, 2 * align_nfft))
+    width = 3
+    for d in range(-width, width + 1):
+        np.add.at(rows, (gi, (ks + d) % (2 * align_nfft)),
+                  ws * (1 - abs(d) / (width + 1)))
+    return rows
+
+
 def _split_align(ref, deg, s0, s1, crude, align_nfft, depth=3):
     """P.862 utterance splitting (the standard's split_align design): an
     utterance whose delay CHANGES mid-way spreads its fine-alignment
     histogram over two peaks; splitting it concentrates each half's
-    mass. The per-window votes are computed once; every candidate split
-    (and every recursion level) re-histograms subsets. A split is
+    mass. The per-window votes are computed once; the split search then
+    scans EVERY vote-window boundary (the C code's exhaustive scan, not
+    a candidate-fraction shortlist): prefix sums of the per-vote
+    smoothed-histogram rows give all left-half histograms in one pass
+    and the right halves by subtraction from the total. A split is
     accepted when BOTH halves align with higher confidence than the
-    whole. Returns [(start, stop, delay)] covering [s0, s1)."""
+    whole (each boundary judged by its own confidence comparison), the
+    winner being the boundary with the largest min-half confidence.
+    Returns [(start, stop, delay)] covering [s0, s1)."""
     starts, ks, ws = _window_votes(ref, deg, s0, s1, crude, align_nfft)
 
     def seg_delay(sel):
@@ -525,23 +553,40 @@ def _split_align(ref, deg, s0, s1, crude, align_nfft, depth=3):
     def rec(a, b, depth):
         inside = (starts >= a) & (starts + align_nfft <= b)
         d, conf = seg_delay(inside)
-        if depth <= 0 or inside.sum() < 8:
+        n_in = int(inside.sum())
+        if depth <= 0 or n_in < 8:
             return [(a, b, d)]
-        best = None
-        for frac in (0.25, 0.375, 0.5, 0.625, 0.75):
-            m = a + int((b - a) * frac)
-            left = inside & (starts + align_nfft <= m)
-            right = inside & (starts >= m)
-            if left.sum() < 4 or right.sum() < 4:
-                continue
-            _, c1 = seg_delay(left)
-            _, c2 = seg_delay(right)
-            if min(c1, c2) > conf and (best is None
-                                       or min(c1, c2) > best[0]):
-                best = (min(c1, c2), m)
-        if best is None:
+        st_in = starts[inside]
+        # bound memory on very long utterances by grouping votes into a
+        # strided candidate grid (<=2048 boundaries; stride 1 — every
+        # single window boundary — for any utterance under ~2 min)
+        stride = max(1, -(-n_in // 2048))
+        rows = _grouped_vote_hists(ks[inside], ws[inside], align_nfft,
+                                   stride)
+        n_g = rows.shape[0]
+        if n_g < 2:
             return [(a, b, d)]
-        m = best[1]
+        prefix = np.cumsum(rows, axis=0)        # prefix[i] = groups [0..i]
+        total = prefix[-1]
+        gcand = np.arange(1, n_g)               # split BEFORE group i
+        vcand = gcand * stride                  # first vote of right half
+        # >=4 votes per half (the minimum the fine histogram needs)
+        keepc = (vcand >= 4) & (vcand <= n_in - 4)
+        gcand, vcand = gcand[keepc], vcand[keepc]
+        if gcand.size == 0:
+            return [(a, b, d)]
+        left = prefix[gcand - 1]
+        right = total - left
+        suml, sumr = left.sum(axis=1), right.sum(axis=1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            c1 = np.where(suml > 0, left.max(axis=1) / suml, 0.0)
+            c2 = np.where(sumr > 0, right.max(axis=1) / sumr, 0.0)
+        cmin = np.minimum(c1, c2)
+        ok = cmin > conf
+        if not ok.any():
+            return [(a, b, d)]
+        j = vcand[np.argmax(np.where(ok, cmin, -np.inf))]
+        m = int(st_in[j])                       # first window of the right half
         return rec(a, m, depth - 1) + rec(m, b, depth - 1)
 
     return rec(s0, s1, depth)

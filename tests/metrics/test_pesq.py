@@ -273,6 +273,60 @@ def test_family_time_varying_delay():
                                                          abs=5e-3)
 
 
+def test_family_split_points_off_grid():
+    """Round-4 exhaustive split scan: the split search tests EVERY vote
+    window boundary, so delay changes at arbitrary (non-round-fraction)
+    positions and >2-segment delay schedules are still tracked per
+    segment. Recorded pins; every case stays well above the unaligned
+    floor (a 120-sample constant mismatch unrepaired would land ~2.4,
+    cf. the clipping family)."""
+    x = _speech_like()
+    for frac, exp in ((0.293, 4.0679), (0.41, 3.5718)):
+        y = x.copy()
+        h = int(len(x) * frac)
+        y[:h] = np.roll(x[:h], 120)
+        y[h:] = np.roll(x[h:], -120)
+        assert pesq(FS, x, y) == pytest.approx(exp, abs=5e-3), frac
+    y = x.copy()
+    a, b = len(x) // 3, 2 * len(x) // 3
+    y[:a] = np.roll(x[:a], 100)
+    y[a:b] = np.roll(x[a:b], -140)
+    y[b:] = np.roll(x[b:], 60)
+    assert pesq(FS, x, y) == pytest.approx(3.9536, abs=5e-3)
+
+
+def test_pow_dens_correction_rounding_is_second_order():
+    """The one remaining wheel-provable deviation (metrics/pesq.py
+    provenance note) is the ITU C code's precomputed power-density
+    correction table vs our band-coverage-derived factors — a rounding
+    difference of that float table (~1e-6 relative). Bound its largest
+    possible effect empirically: perturb EVERY band's factor by ±0.5%
+    relative (thousands of times any table rounding), uniformly and with
+    alternating signs, and re-score degradations with real disturbance
+    mass; MOS moves by < 0.004 in every case, so the deviation is
+    measured — not merely asserted — to be far below the 5e-3 family-pin
+    resolution."""
+    from guided_vae_nmf_tpu.metrics.pesq import _tables
+
+    x = _speech_like()
+    rng = np.random.RandomState(11)
+    noise = rng.randn(len(x))
+    nn = noise * np.sqrt(np.mean(x ** 2) * 10 ** (-2.0))
+    cases = [x + nn, np.clip(x, -0.02, 0.02)]
+    t = _tables(FS)
+    base = t.pow_dens_correction.copy()
+    try:
+        for fac in (1.005 * np.ones(base.size),
+                    1 + 0.005 * (-1.0) ** np.arange(base.size)):
+            for y in cases:
+                t.pow_dens_correction = base
+                s0 = pesq(FS, x, y)
+                t.pow_dens_correction = base * fac
+                assert abs(pesq(FS, x, y) - s0) < 4e-3
+    finally:
+        t.pow_dens_correction = base
+
+
 def test_family_bandwidth_reduction():
     """Low-pass family: score decreases monotonically as the cutoff drops
     (with recorded pins); telephone band and high-pass also penalised."""
