@@ -421,7 +421,7 @@ def _masked_cost(X_abs2, mask, Vb, g, Vs_samples, axis_name=None):
 
 def mcem_run(vae_params, X_abs2, mask, y, key, cfg: MCEMConfig,
              update_nmf=True, Vb_fixed=None, axis_name=None,
-             init_nmf=None, init_Z=None):
+             init_nmf=None, init_Z=None, noise=None):
     """Run the full MCEM loop on one utterance.
 
     Args:
@@ -442,6 +442,18 @@ def mcem_run(vae_params, X_abs2, mask, y, key, cfg: MCEMConfig,
         slice of one global init (and by fixed-randomness tests).
       init_Z: optional (L, N) latent warm start replacing the encoder
         posterior-mean init (PEEM->MCEM hybrid on the XLA engine).
+      noise: optional recorded random streams replacing EVERY PRNG draw of
+        the run — the full-run fixed-randomness mode (the chain-level
+        `_mh_scan(noise=...)` hook extended across the EM loop). Tuple
+        `(Zn_E (niter, sE, L, N), U_E (niter, sE, N),
+          Zn_WF (sWF, L, N), U_WF (sWF, N))` with sE/sWF the E/WF chain
+        lengths (nsamples+burnin). Combined with `init_nmf`, a run
+        consumes NO PRNG at all, which makes the engines bit-comparable:
+        replaying the torch reference's global-RNG stream (same
+        manual_seed, same consumption order — mcem.py:42-44,257,271)
+        turns the engine-vs-engine delta into a PAIRED, randomness-free
+        numerical comparison (validate_parity.py --engine paired).
+        Not supported together with noise_gain.
 
     Returns dict with WFs, WFn (F, N), cost (niter,), W, H, g, Z.
     """
@@ -478,6 +490,9 @@ def mcem_run(vae_params, X_abs2, mask, y, key, cfg: MCEMConfig,
     Vs = _decode_cond(dec_params, y_pre, Z)
 
     use_b = cfg.noise_gain and not update_nmf
+    if noise is not None and cfg.noise_gain:
+        raise ValueError("fixed-randomness injection (noise=) is not "
+                         "supported with noise_gain")
     if cfg.noise_gain and update_nmf:
         raise ValueError(
             "MCEMConfig.noise_gain requires a fixed noise model "
@@ -517,12 +532,13 @@ def mcem_run(vae_params, X_abs2, mask, y, key, cfg: MCEMConfig,
             "W": W, "H": H, "g": g, "b": b, "Z": Z,
         }
 
-    def em_iter(carry, _):
+    def em_iter(carry, xs):
         W, H, g, Z, Vs, key = carry
         Vb = _noise_var(W, H, update_nmf, Vb_fixed)
         Z, Vs, key, Vs_samples = mh_sample_posterior(
             dec_params, y_pre, X_abs2, Vb, g, Z, Vs, key,
             cfg.nsamples_E_step, cfg.burnin_E_step, cfg.var_RW,
+            noise=xs,
         )
         W2, H2, g2 = nmf_m_step(
             X_abs2, mask, W, H, g, Vs_samples, update_nmf=update_nmf,
@@ -533,14 +549,19 @@ def mcem_run(vae_params, X_abs2, mask, y, key, cfg: MCEMConfig,
                             axis_name=axis_name)
         return (W2, H2, g2, Z, Vs, key), cost
 
+    # injected streams ride the scan xs (one (sE, ...) slice per EM iter)
+    xs_E = None if noise is None else (jnp.asarray(noise[0]),
+                                       jnp.asarray(noise[1]))
     (W, H, g, Z, Vs, key), cost = lax.scan(
-        em_iter, (W, H, g, Z, Vs, key), None, length=cfg.niter
+        em_iter, (W, H, g, Z, Vs, key), xs_E, length=cfg.niter
     )
 
     Vb = _noise_var(W, H, update_nmf, Vb_fixed)
     WFs, WFn, Z, Vs, key = mh_wiener_filter(
         dec_params, y_pre, X_abs2, Vb, g, Z, Vs, key,
         cfg.nsamples_WF, cfg.burnin_WF, cfg.var_RW,
+        noise=None if noise is None else (jnp.asarray(noise[2]),
+                                          jnp.asarray(noise[3])),
     )
     return {
         "WFs": WFs, "WFn": WFn, "cost": cost,

@@ -115,3 +115,49 @@ def export_vae(params):
         params["decoder"]["out"]["b"]
     )
     return sd
+
+
+def record_reference_stream(seed, F, N, L, cfg):
+    """Replay torch's global-RNG stream for one reference MCEM_M2/M1 run.
+
+    Seeding torch with `seed` and drawing in the reference engine's exact
+    consumption order (mcem.py: init_parameters rand(F,K), rand(K,N);
+    then niter E-chains of nsamples+burnin x [randn(L,N), rand(N)]
+    (mcem.py:257,271); then one WF chain of nsamples_WF+burnin_WF steps)
+    yields bit-identical values to what a reference run launched from the
+    same `torch.manual_seed(seed)` consumes. Returned as numpy for the
+    full-run fixed-randomness mode (`mcem_run(noise=..., init_nmf=...)`),
+    which turns the engine-vs-engine comparison into a PAIRED,
+    randomness-free numerical one (validate_parity.py --engine paired).
+
+    Returns (W0, H0, g0, (Zn_E, U_E, Zn_WF, U_WF)).
+    """
+    import torch
+
+    torch.manual_seed(seed)
+    K = cfg.nmf_rank
+    W0 = np.maximum(torch.rand(F, K).numpy(), cfg.eps)
+    H0 = np.maximum(torch.rand(K, N).numpy(), cfg.eps)
+    g0 = np.ones((N,), np.float32)
+    # init_parameters' Z0 = encoder(...) consumes one randn(N, L) in
+    # GaussianSample.reparametrize (models.py:8-14) even though only mu
+    # is kept — advance the stream past it
+    torch.randn(N, L)
+
+    def chain(steps):
+        zn = np.empty((steps, L, N), np.float32)
+        u = np.empty((steps, N), np.float32)
+        for m in range(steps):  # call-by-call: torch's normal cache and
+            # the randn/rand interleaving make one big batched draw a
+            # DIFFERENT stream than the reference's per-step calls
+            zn[m] = torch.randn(L, N).numpy()
+            u[m] = torch.rand(N).numpy()
+        return zn, u
+
+    s_e = cfg.nsamples_E_step + cfg.burnin_E_step
+    zn_e = np.empty((cfg.niter, s_e, L, N), np.float32)
+    u_e = np.empty((cfg.niter, s_e, N), np.float32)
+    for n in range(cfg.niter):
+        zn_e[n], u_e[n] = chain(s_e)
+    zn_wf, u_wf = chain(cfg.nsamples_WF + cfg.burnin_WF)
+    return W0, H0, g0, (zn_e, u_e, zn_wf, u_wf)

@@ -282,3 +282,70 @@ def test_noise_gain_bands_out_of_range_rejected():
         _noise_gain_band_map(33, 34)
     with pytest.raises(ValueError, match="noise_gain_bands"):
         _noise_gain_band_map(33, 0)
+
+
+@pytest.mark.skipif(
+    not _reference_available(), reason="reference/torch unavailable"
+)
+def test_full_run_injected_parity_with_reference():
+    """Full-run fixed-randomness cross-engine parity: replaying the torch
+    reference's global-RNG stream (record_reference_stream) through
+    mcem_run(noise=..., init_nmf=...) must reproduce the reference
+    MCEM_M2 run's S_hat to float32 tolerance — every draw paired, so the
+    ONLY remaining differences are numerical (XLA vs torch accumulation,
+    the Vx floor). Reference lineage: mcem.py:29-46 (init),
+    218-294 (MH chain), 155-178 (run/WF)."""
+    sys.path.insert(0, "/root/reference")
+    try:
+        import torch
+        from python.models.models import DeepGenerativeModel
+        from python.models.mcem import MCEM_M2
+    finally:
+        sys.path.pop(0)
+
+    from guided_vae_nmf_tpu.models import export_vae
+    from guided_vae_nmf_tpu.models.torch_import import (
+        record_reference_stream,
+    )
+
+    L2 = 8
+    dgm = dgm_init(KEY, [F, F, L2, [16]])
+    rng = np.random.RandomState(11)
+    Xc = (rng.randn(N, F) + 1j * rng.randn(N, F)).astype(np.complex64)
+    y_np = (rng.rand(N, F) > 0.5).astype(np.float32)
+
+    tm = DeepGenerativeModel([F, F, L2, [16]], None)
+    tm.load_state_dict({k: torch.from_numpy(np.asarray(v).copy())
+                        for k, v in export_vae(dgm).items()})
+    tm.eval()
+    for p in tm.parameters():
+        p.requires_grad = False
+
+    mc = MCEM_M2(niter=SMALL_CFG.niter,
+                 nsamples_E_step=SMALL_CFG.nsamples_E_step,
+                 burnin_E_step=SMALL_CFG.burnin_E_step,
+                 nsamples_WF=SMALL_CFG.nsamples_WF,
+                 burnin_WF=SMALL_CFG.burnin_WF, var_RW=SMALL_CFG.var_RW)
+    torch.manual_seed(5)
+    mc.init_parameters(X=Xc, y=torch.from_numpy(y_np.copy()),
+                       vae=tm, nmf_rank=SMALL_CFG.nmf_rank,
+                       eps=SMALL_CFG.eps, device="cpu")
+    mc.run()
+
+    W0, H0, g0, noise = record_reference_stream(
+        5, F, N, L2, SMALL_CFG)
+    X_abs2 = jnp.asarray(np.abs(Xc.T) ** 2)
+    out = mcem_run(dgm, X_abs2, jnp.ones((N,)),
+                   jnp.asarray(y_np.T.copy()), jax.random.PRNGKey(0),
+                   SMALL_CFG, init_nmf=(jnp.asarray(W0), jnp.asarray(H0),
+                                        jnp.asarray(g0)), noise=noise)
+    S_ours = np.asarray(out["WFs"]) * Xc.T
+    assert_allclose(S_ours, mc.S_hat, rtol=2e-4, atol=2e-6)
+    # and injection really controlled the trajectory: a different stream
+    # (different seed) must NOT reproduce it
+    _, _, _, noise2 = record_reference_stream(6, F, N, L2, SMALL_CFG)
+    out2 = mcem_run(dgm, X_abs2, jnp.ones((N,)),
+                    jnp.asarray(y_np.T.copy()), jax.random.PRNGKey(0),
+                    SMALL_CFG, init_nmf=(jnp.asarray(W0), jnp.asarray(H0),
+                                         jnp.asarray(g0)), noise=noise2)
+    assert not np.allclose(np.asarray(out2["WFs"]), np.asarray(out["WFs"]))
