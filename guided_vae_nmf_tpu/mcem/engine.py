@@ -447,8 +447,9 @@ def mcem_run(vae_params, X_abs2, mask, y, key, cfg: MCEMConfig,
         `_mh_scan(noise=...)` hook extended across the EM loop). Tuple
         `(Zn_E (niter, sE, L, N), U_E (niter, sE, N),
           Zn_WF (sWF, L, N), U_WF (sWF, N))` with sE/sWF the E/WF chain
-        lengths (nsamples+burnin). Combined with `init_nmf`, a run
-        consumes NO PRNG at all, which makes the engines bit-comparable:
+        lengths (nsamples+burnin). Combined with `init_nmf`, no PRNG draw
+        influences the result (the chain-level split still runs but its
+        draws go unused), which makes the engines bit-comparable:
         replaying the torch reference's global-RNG stream (same
         manual_seed, same consumption order — mcem.py:42-44,257,271)
         turns the engine-vs-engine delta into a PAIRED, randomness-free

@@ -164,13 +164,17 @@ def main(argv=None):
     for name in files:
         bp = os.path.join(f"{work}/proc/", os.path.splitext(name)[0])
         t0 = time.time()
-        sh = run_reference_engine(tm, bp, niter)
+        sh = run_reference_engine(tm, bp, mc)
         metrics_line(f"REF ({time.time() - t0:.0f}s)",
                      os.path.basename(name), bp, sh)
 
 
-def run_reference_engine(tm, bp, niter):
-    """One utterance through the reference's torch MCEM_M2 (oracle IBM)."""
+def run_reference_engine(tm, bp, mc):
+    """One utterance through the reference's torch MCEM_M2 (oracle IBM).
+
+    Takes the full MCEMConfig (not just niter) so nmf_rank/eps always
+    match what record_reference_stream reads — the common-random-numbers
+    pairing silently desynchronizes if the two halves ever disagree."""
     import torch
 
     from python.models.mcem import MCEM_M2
@@ -179,9 +183,11 @@ def run_reference_engine(tm, bp, niter):
     s_t, _ = read_wav(bp + "_s.wav")
     X = stft(x_t).T
     y = clean_speech_IBM(stft(s_t), 0.98, 0.999)
-    mcem = MCEM_M2(niter=niter)
+    mcem = MCEM_M2(niter=mc.niter, nsamples_E_step=mc.nsamples_E_step,
+                   burnin_E_step=mc.burnin_E_step, nsamples_WF=mc.nsamples_WF,
+                   burnin_WF=mc.burnin_WF, var_RW=mc.var_RW)
     mcem.init_parameters(X=X, y=torch.from_numpy(y.T.copy()), vae=tm,
-                         nmf_rank=10, eps=1e-8, device="cpu")
+                         nmf_rank=mc.nmf_rank, eps=mc.eps, device="cpu")
     mcem.run()
     return istft(mcem.S_hat, max_len=len(x_t))
 
@@ -264,7 +270,7 @@ def seed_averaged(work, files, m2, mc, seeds, engine="both"):
             for name in files:
                 bp = os.path.join(f"{work}/proc/",
                                   os.path.splitext(name)[0])
-                sh = run_reference_engine(tm, bp, mc.niter)
+                sh = run_reference_engine(tm, bp, mc)
                 row[name] = collect_metrics(bp, sh)
             done[str(k)] = row
             _save_gate(path, done)
@@ -382,7 +388,7 @@ def paired_seeds(work, files, m2, mc, seeds):
             bp = os.path.join(f"{work}/proc/", os.path.splitext(name)[0])
             torch.manual_seed(k)
             t0 = time.time()
-            sh_ref = run_reference_engine(tm, bp, mc.niter)
+            sh_ref = run_reference_engine(tm, bp, mc)
             t_ref = time.time() - t0
 
             x_t, _ = read_wav(bp + "_x.wav")
@@ -390,9 +396,13 @@ def paired_seeds(work, files, m2, mc, seeds):
             X = stft(x_t).T  # (N, F) complex
             y = clean_speech_IBM(stft(s_t), 0.98, 0.999)  # (F, N)
             Nfrm, Fdim = X.shape
+            # the stream replay is a CPU torch RNG walk, not engine work —
+            # time it apart so t_ours covers only the XLA engine
             t0 = time.time()
             W0, H0, g0, noise = record_reference_stream(
                 k, Fdim, Nfrm, L, mc)
+            t_rec = time.time() - t0
+            t0 = time.time()
             out = mcem_run(params, jnp.asarray(np.abs(X.T) ** 2),
                            jnp.ones((Nfrm,)), jnp.asarray(y.copy()),
                            jax.random.PRNGKey(0), mc,
@@ -410,7 +420,8 @@ def paired_seeds(work, files, m2, mc, seeds):
             print(f"[paired] seed {k} {os.path.basename(name)}: "
                   f"dPESQ {row[name]['ours'][2] - row[name]['ref'][2]:+.4f}"
                   f" wav_rel_l2 {row[name]['wav_rel_l2']:.2e}"
-                  f" (ref {t_ref:.0f}s ours {t_ours:.0f}s)", flush=True)
+                  f" (ref {t_ref:.0f}s ours {t_ours:.0f}s"
+                  f" +replay {t_rec:.0f}s)", flush=True)
         done[str(k)] = row
         _save_gate(path, done)
     paired_report(work, files, mc.niter)
