@@ -46,14 +46,18 @@ def _build_cfg(a):
 
 
 def _load_guidance(a):
-    """(classifier_params, mean, std) for --label dnn, else Nones."""
-    from .train import load_model, load_norm_stats
+    """(classifier_params, mean, std, meta) for --label dnn, else Nones +
+    the reference-protocol meta defaults. `meta` is the model dir's
+    classifier_meta.json (input features + calibrated threshold) so the
+    CLI always runs the classifier under its training protocol."""
+    from .train import load_classifier_meta, load_model, load_norm_stats
+    from .train.checkpoints import CLASSIFIER_META_DEFAULTS
 
     if a.label == "oracle" and not getattr(a, "s_ref", None):
         raise SystemExit("--s_ref <clean wav> is required with "
                          "--label oracle")
     if a.label != "dnn":
-        return None, None, None
+        return None, None, None, dict(CLASSIFIER_META_DEFAULTS)
     if not a.classifier:
         raise SystemExit("--classifier <ckpt-or-dir> is required with "
                          "--label dnn")
@@ -61,7 +65,7 @@ def _load_guidance(a):
     cdir = (a.classifier if os.path.isdir(a.classifier)
             else os.path.dirname(a.classifier))
     mean, std = load_norm_stats(cdir)
-    return cls, mean, std
+    return cls, mean, std, load_classifier_meta(cdir)
 
 
 def _read_wav_16k(path):
@@ -147,7 +151,7 @@ def cmd_enhance(a):
     if a.model_type == "m2":
         params = load_model(a.model, kind="dgm",
                             y_dim=1 if a.target == "vad" else 513)
-        cls, mean, std = _load_guidance(a)
+        cls, mean, std, cmeta = _load_guidance(a)
         if a.s_ref:
             # the oracle reference must match the (possibly converted)
             # mixture's rate so label frames align
@@ -169,7 +173,8 @@ def cmd_enhance(a):
             y_soft, y_hard = make_labels(
                 a.label, np.abs(X_tf) ** 2, s_path=a.s_ref,
                 classifier_params=cls, mean=mean, std=std,
-                target=a.target)
+                target=a.target, features=cmeta["features"],
+                dnn_threshold=cmeta["threshold"])
             ys.append(y_soft if a.soft_labels else y_hard)
 
     # all inputs run as ONE padded device batch (pipeline bucketing)
@@ -226,7 +231,7 @@ def cmd_stream(a):
     x, fs = _read_wav_16k(a.input)
     dgm = load_model(a.model, kind="dgm",
                      y_dim=1 if a.target == "vad" else 513)
-    cls, mean, std = _load_guidance(a)
+    cls, mean, std, cmeta = _load_guidance(a)
     enh = StreamingM2Enhancer(
         dgm, classifier_params=cls, mean=mean, std=std,
         chunk_frames=a.chunk_frames, context_frames=a.context_frames,
@@ -234,7 +239,8 @@ def cmd_stream(a):
         label_mode=a.label, soft_guidance=a.soft_labels,
         residual_tracking=a.stream_residual, noise_gain=a.noise_gain,
         noise_gain_bands=a.noise_gain_bands,
-        adaptive_iters=a.adaptive_iters)
+        adaptive_iters=a.adaptive_iters, features=cmeta["features"],
+        dnn_threshold=cmeta["threshold"])
     chunk = a.chunk_frames * HOP
     outs = [enh.push(x[lo:lo + chunk]) for lo in range(0, len(x), chunk)]
     outs.append(enh.flush())

@@ -518,10 +518,14 @@ def build_server(models_dir, host="127.0.0.1", port=8571, niter=100,
         n_dev = mesh.shape["data"]
         max_streams = ((max_streams + n_dev - 1) // n_dev) * n_dev
 
+    from .train.checkpoints import load_classifier_meta
+
     m2 = load_model(os.path.join(models_dir, "M2_ibm"), kind="dgm")
     cls = load_model(os.path.join(models_dir, "classifier_ibm"),
                      kind="classifier")
     mean, std = load_norm_stats(os.path.join(models_dir, "classifier_ibm"))
+    # the classifier's shipped protocol (features / calibrated threshold)
+    cmeta = load_classifier_meta(os.path.join(models_dir, "classifier_ibm"))
 
     svc = EnhancementService(
         m2, classifier_params=cls, mean=mean, std=std,
@@ -530,7 +534,9 @@ def build_server(models_dir, host="127.0.0.1", port=8571, niter=100,
         mesh=mesh,
         serve=ServeConfig(max_wait_ms=wait_ms, label_mode="dnn",
                           noise_model=noise_model,
-                          soft_guidance=soft_labels, fast=fast),
+                          soft_guidance=soft_labels, fast=fast,
+                          features=cmeta["features"],
+                          dnn_threshold=cmeta["threshold"]),
     )
     if warmup:
         print(f"warmup: {svc.warmup():.1f}s", flush=True)
@@ -544,6 +550,8 @@ def build_server(models_dir, host="127.0.0.1", port=8571, niter=100,
                      noise_gain=stream_gain,
                      noise_gain_bands=stream_bands,
                      adaptive_iters=stream_adaptive, label_mode="dnn",
+                     features=cmeta["features"],
+                     dnn_threshold=cmeta["threshold"],
                      # HTTP streams never expose masks; with the
                      # prefix-trimming this makes indefinite live
                      # connections fully bounded-memory

@@ -64,12 +64,23 @@ def binary_cross_entropy(r, x, eps):
     )
 
 
-def binary_cross_entropy_logits(z, x):
+def binary_cross_entropy_logits(z, x, pos_weight=None):
     """Numerically stable BCE from logits: identical objective to
     :func:`binary_cross_entropy` applied to sigmoid(z) (up to the eps
     regularizer), with bounded gradients when sigmoids saturate. Sum over
-    bins, mean over batch (the reference convention, utils.py:55-56)."""
-    per = jnp.maximum(z, 0.0) - z * x + jnp.log1p(jnp.exp(-jnp.abs(z)))
+    bins, mean over batch (the reference convention, utils.py:55-56).
+
+    pos_weight: optional scalar multiplier on the positive-class term
+    (torch BCEWithLogitsLoss pos_weight semantics) — class-balance lever
+    for sparse-positive IBM targets. None = the reference's unweighted
+    objective."""
+    if pos_weight is None:
+        per = jnp.maximum(z, 0.0) - z * x + jnp.log1p(jnp.exp(-jnp.abs(z)))
+        return jnp.mean(jnp.sum(per, axis=-1))
+    # -[w_p * x * log sig(z) + (1 - x) * log(1 - sig(z))] via softplus
+    log_sig = -jnp.logaddexp(0.0, -z)
+    log_1m = -jnp.logaddexp(0.0, z)
+    per = -(pos_weight * x * log_sig + (1.0 - x) * log_1m)
     return jnp.mean(jnp.sum(per, axis=-1))
 
 

@@ -227,6 +227,34 @@ def classifier_apply(params, x, train=False):
     return y
 
 
+FEATURE_MODES = ("power", "log-power")
+
+
+def classifier_features(x, features="power", eps=1e-10):
+    """Input transform for the classifier/Wiener discriminators, applied
+    BEFORE mean/std standardization.
+
+    'power'     — raw |X|^2 frames, the reference protocol
+                  (training_classifier.py:97-108 standardizes raw power).
+    'log-power' — ln(|X|^2 + 1e-10): compresses the ~60 dB dynamic range
+                  of a 513-bin power frame so standardization yields
+                  O(1)-scale inputs in EVERY bin instead of being
+                  dominated by the loudest bins (at-scale classifier
+                  lever, VALIDATION.md round-5 ablation).
+
+    Works on numpy arrays (host label path, training prep) and on jax
+    arrays/tracers (device label path) alike; the mode is recorded in the
+    model dir's classifier_meta.json so inference always matches training.
+    """
+    if features == "power":
+        return x
+    if features == "log-power":
+        xp = jnp if isinstance(x, jnp.ndarray) else np
+        return xp.log(x + eps)
+    raise ValueError(
+        f"unknown feature mode {features!r}; valid: {FEATURE_MODES}")
+
+
 def classifier_apply_logits(params, x):
     """Pre-sigmoid logits — for the numerically stable training loss (the
     eps-form BCE's gradient blows up to 1/eps once sigmoids saturate)."""

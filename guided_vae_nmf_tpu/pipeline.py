@@ -81,19 +81,26 @@ def load_mixture(path_base):
 
 def make_labels(classif_type, X_power, s_path=None, classifier_params=None,
                 mean=None, std=None, target="ibm", quantile_fraction=0.98,
-                quantile_weight=0.999, eps=1e-8):
+                quantile_weight=0.999, eps=1e-8, features="power",
+                dnn_threshold=0.5):
     """Per-utterance guidance labels.
 
     X_power: (F, N) mixture power spectrogram. Returns (y_soft, y_hard) with
     shape (y_dim, N); y_dim = 513 for IBM/Wiener targets, 1 for VAD.
+
+    features / dnn_threshold: the classifier's input transform and hard-
+    decision threshold (classifier_meta.json side-car; reference protocol
+    = raw power, > 0.5).
     """
     if classif_type == "dnn":
-        x = X_power.T  # (N, F)
+        from .models import classifier_features
+
+        x = classifier_features(X_power.T, features)  # (N, F)
         if mean is not None:
             x = (x - mean.reshape(1, -1)) / (std.reshape(1, -1) + eps)
         y_soft = np.asarray(classifier_apply(classifier_params,
                                              jnp.asarray(x))).T
-        y_hard = (y_soft > 0.5).astype(np.float32)
+        y_hard = (y_soft > dnn_threshold).astype(np.float32)
     elif classif_type == "oracle":
         s_t, _ = read_wav(s_path)
         s_tf = stft(s_t, fs=FS, wlen_sec=NFFT / FS, hop_percent=HOP / NFFT)
@@ -318,13 +325,14 @@ def _enhance_to_audio_jit(vae_params, X_re, X_im, X_p, mask, y, keys,
          static_argnames=("cfg", "use_fused", "noise_model", "fast",
                           "label_mode", "target", "quantile_fraction",
                           "quantile_weight", "return_noise",
-                          "soft_guidance"))
+                          "soft_guidance", "features", "dnn_threshold"))
 def _enhance_waveform_jit(vae_params, x_pad, s_pad, y_in, classifier_params,
                           mean, std, mask, keys, cfg, use_fused=True,
                           noise_model="nmf", fast=False, label_mode="none",
                           target="ibm", quantile_fraction=0.98,
                           quantile_weight=0.999, return_noise=True,
-                          soft_guidance=False):
+                          soft_guidance=False, features="power",
+                          dnn_threshold=0.5):
     """Whole-pipeline device program fed RAW WAVEFORMS: batched STFT ->
     guidance labels -> MCEM -> Wiener filtering -> masked ISTFT.
 
@@ -372,7 +380,11 @@ def _enhance_waveform_jit(vae_params, x_pad, s_pad, y_in, classifier_params,
         y_hard = y_soft
         y = y_hard
     elif label_mode == "dnn":
-        xn = X_p.transpose(0, 2, 1)  # (B, N, F)
+        from .models import classifier_features
+
+        # pad frames carry benign X_p = 1; their labels are ignored by the
+        # masked engine, so the transform needs no mask special-case
+        xn = classifier_features(X_p.transpose(0, 2, 1), features)
         if mean is not None:
             xn = (xn - mean.reshape(1, 1, -1)) / (
                 std.reshape(1, 1, -1) + 1e-8)
@@ -380,7 +392,7 @@ def _enhance_waveform_jit(vae_params, x_pad, s_pad, y_in, classifier_params,
                                 xn.reshape(-1, xn.shape[-1]))
         y_soft = flat.reshape(
             xn.shape[0], xn.shape[1], -1).transpose(0, 2, 1)
-        y_hard = (y_soft > 0.5).astype(jnp.float32)
+        y_hard = (y_soft > dnn_threshold).astype(jnp.float32)
         # soft_guidance: condition MCEM on the classifier's probabilities
         # instead of the thresholded IBM — +1 dB SI-SDR on the QUT car
         # mixture with the subset classifier (VALIDATION.md); the
@@ -448,7 +460,8 @@ def _enhance_waveform_sharded(mesh, vae_params, x_pad, s_pad, y_in,
                               cfg, use_fused, noise_model, fast,
                               label_mode, target, quantile_fraction,
                               quantile_weight, return_noise=True,
-                              soft_guidance=False, axis="data"):
+                              soft_guidance=False, features="power",
+                              dnn_threshold=0.5, axis="data"):
     """shard_map wrapper of the whole waveform device program over the
     mesh's data axis (multi-chip sweep): every stage — STFT, labels, MCEM,
     Wiener filter, ISTFT — is per-utterance independent, so each device
@@ -483,7 +496,8 @@ def _enhance_waveform_sharded(mesh, vae_params, x_pad, s_pad, y_in,
             label_mode=label_mode, target=target,
             quantile_fraction=quantile_fraction,
             quantile_weight=quantile_weight, return_noise=return_noise,
-            soft_guidance=soft_guidance,
+            soft_guidance=soft_guidance, features=features,
+            dnn_threshold=dnn_threshold,
         )
         outs = [s_e]
         if return_noise:
@@ -710,7 +724,8 @@ def enhance_files(file_paths, processed_dir, output_dir, vae_params,
                   bucket_multiple=128, quantile_fraction=0.98,
                   quantile_weight=0.999, seed=0, verbose=False,
                   engine="auto", noise_model="nmf", fast=False, mesh=None,
-                  soft_guidance=False, skip_existing=False, profile=None):
+                  soft_guidance=False, skip_existing=False, profile=None,
+                  features="power", dnn_threshold=0.5):
     """Full sweep over a test file list (reference evaluate_*.py main +
     process_utt): reads `<utt>_x.wav` (+ `_s.wav` for oracle labels), writes
     `<utt>_s_est.wav`, `<utt>_n_est.wav` and the soft/hard label arrays
@@ -847,7 +862,8 @@ def enhance_files(file_paths, processed_dir, output_dir, vae_params,
                       quantile_fraction=quantile_fraction,
                       quantile_weight=quantile_weight,
                       return_noise=not use_fused,
-                      soft_guidance=soft_guidance)
+                      soft_guidance=soft_guidance, features=features,
+                      dnn_threshold=dnn_threshold)
         if mesh is None:
             return _enhance_waveform_jit(
                 vae_params, jnp.asarray(a["x"]),
@@ -954,6 +970,7 @@ def enhance_files(file_paths, processed_dir, output_dir, vae_params,
                             mean=mean, std=std, target=target,
                             quantile_fraction=quantile_fraction,
                             quantile_weight=quantile_weight,
+                            features=features, dnn_threshold=dnn_threshold,
                         )
                         ys_j = [y_hard_j]
                         y_soft_l.append(y_soft_j.astype(np.float16))

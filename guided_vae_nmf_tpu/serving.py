@@ -84,6 +84,10 @@ class ServeConfig:
     engine: str = "auto"             # 'auto' | 'fused' | 'xla'
     fast: bool = False
     soft_guidance: bool = False      # condition on classifier probabilities
+    # classifier inference protocol (classifier_meta.json side-car;
+    # serve_models reads it from the model dir automatically)
+    features: str = "power"          # 'power' | 'log-power'
+    dnn_threshold: float = 0.5
     seed: int = 0
 
 
@@ -394,7 +398,8 @@ class EnhancementService:
                   fast=sv.fast, label_mode=sv.label_mode,
                   target=sv.target, quantile_fraction=0.98,
                   quantile_weight=0.999, return_noise=not use_fused,
-                  soft_guidance=sv.soft_guidance)
+                  soft_guidance=sv.soft_guidance, features=sv.features,
+                  dnn_threshold=sv.dnn_threshold)
         if self._mesh is None:
             s_i16, n_i16, _, _, finite_ok = _enhance_waveform_jit(
                 *args, **kw)

@@ -525,7 +525,7 @@ def _m2_block_em(dec_params, Xw, y_pre, Vb, Z0, g0, b0, mask,
 _TICK_STATICS = ("label_mode", "soft_guidance", "residual_tracking",
                  "residual_alpha", "noise_gain", "noise_gain_init",
                  "n_bands", "block_iters", "e_steps", "lr", "eps",
-                 "adaptive_iters")
+                 "adaptive_iters", "features", "dnn_threshold")
 
 
 def _m2_tick_core(enc, dec, cls, mean, std, band_map, frames, k, state,
@@ -533,7 +533,7 @@ def _m2_tick_core(enc, dec, cls, mean, std, band_map, frames, k, state,
                   residual_tracking=False, residual_alpha=0.5,
                   noise_gain=False, noise_gain_init="ones", n_bands=1,
                   block_iters=6, e_steps=4, lr=5e-3, eps=1e-8,
-                  adaptive_iters=0):
+                  adaptive_iters=0, features="power", dnn_threshold=0.5):
     """The WHOLE M2 streaming chunk path as one traced program: analysis,
     causal SPP noise track, guidance labels, encoder warm init, window
     assembly, blockwise EM, residual tracking, context rebuild and masked
@@ -583,12 +583,15 @@ def _m2_tick_core(enc, dec, cls, mean, std, band_map, frames, k, state,
         else:
             y_soft = spp
     else:
-        p = power
+        from .models import classifier_features
+
+        p = classifier_features(power, features)
         if mean is not None:
             p = (p - mean[None, :]) / (std[None, :] + eps)
         y_soft = classifier_apply(cls, p)
+    thr = dnn_threshold if label_mode == "dnn" else 0.5
     y_new = (y_soft if soft_guidance
-             else (y_soft > 0.5)).astype(jnp.float32)
+             else (y_soft > thr)).astype(jnp.float32)
 
     # encoder posterior mean for the new frames (reference mcem.py:214)
     _, mu, _ = encoder_apply(enc, jnp.concatenate([power, y_new], axis=1))
@@ -759,9 +762,14 @@ class StreamingM2Enhancer(_StreamingOLA):
                  soft_guidance=False, residual_tracking=False,
                  residual_alpha=0.5, noise_gain=False,
                  noise_gain_init="ones", noise_gain_bands=1, eps=1e-8,
-                 keep_masks=True, adaptive_iters=0):
+                 keep_masks=True, adaptive_iters=0, features="power",
+                 dnn_threshold=0.5):
         if label_mode == "dnn" and classifier_params is None:
             raise ValueError("label_mode='dnn' needs classifier_params")
+        # classifier inference protocol (classifier_meta.json side-car):
+        # input transform before standardization + hard-decision threshold
+        self.features = features
+        self.dnn_threshold = dnn_threshold
         # guidance dimension from the model (513 for IBM-guided M2, 1 for
         # the VAD-guided family), NOT from label_mode
         self.y_dim = int(dgm_params.get("y_dim", NFFT // 2 + 1))
@@ -913,7 +921,9 @@ class StreamingM2Enhancer(_StreamingOLA):
                     n_bands=self.noise_gain_bands,
                     block_iters=self.block_iters, e_steps=self.e_steps,
                     lr=self.lr, eps=self.eps,
-                    adaptive_iters=self.adaptive_iters)
+                    adaptive_iters=self.adaptive_iters,
+                    features=self.features,
+                    dnn_threshold=self.dnn_threshold)
 
     def _enhance_frame_batch(self, frames, k):
         y, m, self._dstate = _m2_tick_jit(

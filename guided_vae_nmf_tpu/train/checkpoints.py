@@ -178,3 +178,37 @@ def load_norm_stats(model_dir):
     if os.path.exists(mean_p):
         return np.load(mean_p), np.load(std_p)
     return None, None
+
+
+CLASSIFIER_META_DEFAULTS = {"features": "power", "threshold": 0.5}
+
+
+def save_classifier_meta(model_dir, meta):
+    """Persist the classifier's inference protocol next to its checkpoint:
+    `classifier_meta.json` with at least {'features', 'threshold'} (plus
+    training-provenance keys like pos_weight / label quantiles). The
+    reference has no such side-car because its protocol is fixed (raw
+    power, > 0.5, evaluate_M2_ibm.py:121-131); once features/threshold
+    become levers they MUST travel with the model dir or inference
+    silently mismatches training."""
+    import json
+
+    os.makedirs(model_dir, exist_ok=True)
+    path = os.path.join(model_dir, "classifier_meta.json")
+    with open(path, "w") as f:
+        json.dump(meta, f, indent=1, sort_keys=True)
+    return path
+
+
+def load_classifier_meta(model_dir):
+    """classifier_meta.json merged over the reference-protocol defaults
+    ({'features': 'power', 'threshold': 0.5}) — absent file = a model
+    trained under the reference protocol."""
+    import json
+
+    meta = dict(CLASSIFIER_META_DEFAULTS)
+    path = os.path.join(model_dir, "classifier_meta.json")
+    if os.path.exists(path):
+        with open(path) as f:
+            meta.update(json.load(f))
+    return meta

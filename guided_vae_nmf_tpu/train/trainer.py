@@ -77,13 +77,15 @@ def m2_loss(params, batch, key, eps):
     return loss, {"recon": recon, "KL": KL}
 
 
-def classifier_loss(params, batch, key, eps):
+def classifier_loss(params, batch, key, eps, pos_weight=None):
     x, y = batch
     from ..models.nets import classifier_apply_logits
 
     z = classifier_apply_logits(params, x)
-    # stable logits-form BCE == the reference's sigmoid+log objective
-    loss = binary_cross_entropy_logits(z, y)
+    # stable logits-form BCE == the reference's sigmoid+log objective;
+    # pos_weight (None = reference parity) up-weights the sparse positive
+    # bins of a 0.98-quantile IBM target (class-balance lever)
+    loss = binary_cross_entropy_logits(z, y, pos_weight)
     y_hard = (z > 0.0).astype(jnp.float32)
     aux = {
         "tp": jnp.sum(y * y_hard),
@@ -213,17 +215,19 @@ def _log(path, msg):
 
 
 def fit(params, family, train_data, valid_data, cfg: TrainConfig, model_dir,
-        name, mesh=None, resume=False, verbose=False):
+        name, mesh=None, resume=False, verbose=False, loss_fn=None):
     """Train `params` of a model `family` on in-memory (frames, bins) arrays.
 
     train_data/valid_data: (X, Y) with X (n_frames, x_dim) float32 and Y
-    (n_frames, y_dim) or None (M1). Returns (params, history).
+    (n_frames, y_dim) or None (M1). `loss_fn` overrides the family's
+    default objective (same signature) — e.g. a pos_weighted classifier
+    BCE. Returns (params, history).
     """
     from ..utils import device_warmup
 
     device_warmup()
     os.makedirs(model_dir, exist_ok=True)
-    loss_fn = LOSSES[family]
+    loss_fn = loss_fn or LOSSES[family]
     optimizer = make_optimizer(cfg)
     opt_state = optimizer.init(_trainable(params))
     train_step = make_train_step(
@@ -485,13 +489,64 @@ def train_m2(train_data, valid_data, dims=(513, 513, 32, (128, 128)),
                mesh, resume, verbose)
 
 
+def calibrate_threshold(params, X_valid, Y_valid, grid=None,
+                        batch_frames=65536):
+    """F1-maximizing hard-decision threshold on (already transformed and
+    standardized) validation frames. Returns (threshold, f1_at_threshold).
+
+    The reference hard-codes > 0.5 (evaluate_M2_ibm.py:121-131); on sparse
+    0.98-quantile IBM targets the classifier's operating point sits well
+    above it (measured peak F1 at ~0.7, VALIDATION.md round-4 sweep), so
+    the calibrated value ships in classifier_meta.json as the model's
+    default."""
+    from ..models import classifier_apply
+
+    if grid is None:
+        grid = np.round(np.arange(0.05, 0.96, 0.05), 2)
+    tp = np.zeros(len(grid))
+    fp = np.zeros(len(grid))
+    fn = np.zeros(len(grid))
+    for i in range(0, len(X_valid), batch_frames):
+        ys = np.asarray(classifier_apply(
+            params, jnp.asarray(X_valid[i:i + batch_frames])))
+        yt = np.asarray(Y_valid[i:i + batch_frames]) > 0.5
+        for gi, t in enumerate(grid):
+            yh = ys > t
+            tp[gi] += np.sum(yh & yt)
+            fp[gi] += np.sum(yh & ~yt)
+            fn[gi] += np.sum(~yh & yt)
+    f1 = 2 * tp / np.maximum(2 * tp + fp + fn, 1)
+    best = int(np.argmax(f1))
+    return float(grid[best]), float(f1[best])
+
+
 def train_classifier(train_data, valid_data, dims=(513, (128, 128), 513),
                      cfg=TrainConfig(), model_dir="models/classifier",
                      name="Classifier", mean=None, std=None, mesh=None,
-                     resume=False, verbose=False):
+                     resume=False, verbose=False, features="power",
+                     pos_weight=None, calibrate=False, meta_extra=None):
     """Supervised IBM/VAD classifier on standardized noisy frames (reference
     training_classifier.py; the H5 train mean/std are saved as
-    trainset_mean.npy / trainset_std.npy side-cars, :97-108)."""
+    trainset_mean.npy / trainset_std.npy side-cars, :97-108).
+
+    Round-5 classifier levers (defaults = exact reference protocol):
+      features   — declarative record of the input transform the CALLER
+                   applied before standardization ('power' | 'log-power');
+                   persisted to classifier_meta.json so inference matches.
+      pos_weight — optional positive-class BCE weight (class balance).
+      calibrate  — after training, sweep the hard-decision threshold on
+                   the validation set with the BEST checkpoint and persist
+                   the F1-maximizing value as the model's default.
+    """
+    from functools import partial
+
+    from ..models.nets import FEATURE_MODES
+    from .checkpoints import best_checkpoint, load_params, \
+        save_classifier_meta
+
+    if features not in FEATURE_MODES:
+        raise ValueError(f"features must be one of {FEATURE_MODES}, "
+                         f"got {features!r}")
     x_dim, h_dim, y_dim = dims
     params = classifier_init(jax.random.PRNGKey(cfg.seed),
                              [x_dim, list(h_dim), y_dim])
@@ -499,8 +554,24 @@ def train_classifier(train_data, valid_data, dims=(513, (128, 128), 513),
         os.makedirs(model_dir, exist_ok=True)
         np.save(os.path.join(model_dir, "trainset_mean.npy"), mean)
         np.save(os.path.join(model_dir, "trainset_std.npy"), std)
-    return fit(params, "classifier", train_data, valid_data, cfg, model_dir,
-               name, mesh, resume, verbose)
+    loss_fn = None
+    if pos_weight is not None:
+        loss_fn = partial(classifier_loss, pos_weight=float(pos_weight))
+    out = fit(params, "classifier", train_data, valid_data, cfg, model_dir,
+              name, mesh, resume, verbose, loss_fn=loss_fn)
+
+    meta = {"features": features, "threshold": 0.5,
+            "pos_weight": pos_weight}
+    if calibrate:
+        best = best_checkpoint(model_dir)
+        p_best = load_params(best) if best else out[0]
+        Xva, Yva = valid_data
+        thr, f1 = calibrate_threshold(p_best, np.asarray(Xva),
+                                      np.asarray(Yva))
+        meta.update(threshold=thr, valid_f1=round(f1, 4))
+    meta.update(meta_extra or {})
+    save_classifier_meta(model_dir, meta)
+    return out
 
 
 def train_wiener(train_data, valid_data, dims=(513, (128,) * 5, 513),

@@ -59,6 +59,7 @@ def main(argv=None):
 
     dgm = load_model(model_path, kind="dgm", y_dim=1)
     classifier, mean, std = None, None, None
+    features, dnn_threshold = "power", 0.5
     if classif_type == "dnn":
         if classifier_path is None:
             raise SystemExit("--classifier <ckpt-or-dir> is required with "
@@ -67,6 +68,12 @@ def main(argv=None):
         cdir = (classifier_path if os.path.isdir(classifier_path)
                 else os.path.dirname(classifier_path))
         mean, std = load_norm_stats(cdir)
+        from guided_vae_nmf_tpu.train import load_classifier_meta
+
+        cmeta = load_classifier_meta(cdir)
+        features = flag(rest, "features", cmeta["features"])
+        dnn_threshold = flag(rest, "dnn_threshold", cmeta["threshold"],
+                             float)
 
     files = speech_list(paths.input_speech_dir, "test")
     t0 = time.perf_counter()
@@ -78,7 +85,8 @@ def main(argv=None):
                         noise_model=noise_model, mesh=mesh,
                         soft_guidance=soft_labels,
                         skip_existing=skip_existing,
-                        profile=profile)
+                        profile=profile, features=features,
+                        dnn_threshold=dnn_threshold)
     skipped = f", {res.n_skipped} skipped" if res.n_skipped else ""
     print(f"Finished in {time.perf_counter() - t0:.1f} seconds "
           f"({res.n_processed} utterances{skipped})")

@@ -381,10 +381,14 @@ def paired_seeds(work, files, m2, mc, seeds):
     path = _gate_store(work, "paired", mc.niter)
     done = _load_gate(path)
     for k in range(seeds):
-        if str(k) in done:
+        # resume at (seed, utterance) granularity so a store built with
+        # --utts can later be filled in for the remaining utterances
+        row = dict(done.get(str(k), {}))
+        if all(name in row for name in files):
             continue
-        row = {}
         for name in files:
+            if name in row:
+                continue
             bp = os.path.join(f"{work}/proc/", os.path.splitext(name)[0])
             torch.manual_seed(k)
             t0 = time.time()
@@ -422,8 +426,8 @@ def paired_seeds(work, files, m2, mc, seeds):
                   f" wav_rel_l2 {row[name]['wav_rel_l2']:.2e}"
                   f" (ref {t_ref:.0f}s ours {t_ours:.0f}s"
                   f" +replay {t_rec:.0f}s)", flush=True)
-        done[str(k)] = row
-        _save_gate(path, done)
+            done[str(k)] = row
+            _save_gate(path, done)
     paired_report(work, files, mc.niter)
 
 

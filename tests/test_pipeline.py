@@ -216,6 +216,53 @@ def test_enhance_files_timo_on_device(tmp_path):
     assert not np.array_equal(y_soft.astype(np.float32), y_hard)
 
 
+def test_make_labels_dnn_features_and_threshold():
+    """Round-5 classifier protocol knobs: 'log-power' transforms the input
+    before standardization and dnn_threshold replaces the hard 0.5."""
+    from guided_vae_nmf_tpu.models import classifier_apply
+
+    files = _test_files()
+    base = os.path.join(PROCESSED, os.path.splitext(files[0])[0])
+    _, _, X_tf = load_mixture(base)
+    power = np.abs(X_tf) ** 2
+    cls = classifier_init(KEY, [513, [32], 513])
+    rng = np.random.RandomState(0)
+    mean = rng.rand(513).astype(np.float32)
+    std = (rng.rand(513) + 0.5).astype(np.float32)
+
+    soft, hard = make_labels("dnn", power, classifier_params=cls,
+                             mean=mean, std=std, features="log-power",
+                             dnn_threshold=0.7)
+    xn = (np.log(power.T + 1e-10) - mean) / (std + 1e-8)
+    ref = np.asarray(classifier_apply(cls, jax.numpy.asarray(xn))).T
+    np.testing.assert_allclose(soft, ref, rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(hard, (soft > 0.7).astype(np.float32))
+
+
+def test_enhance_files_dnn_device_labels_honor_meta_knobs(tmp_path):
+    """The device label program must apply the same features/threshold as
+    the host make_labels path (saved hard labels compared)."""
+    files = _test_files()[:1]
+    dgm = dgm_init(KEY, [513, 513, 8, [32]])
+    cls = classifier_init(KEY, [513, [32], 513])
+    enhance_files(files, PROCESSED, str(tmp_path), dgm, model_type="m2",
+                  classif_type="dnn", classifier_params=cls, cfg=FAST_CFG,
+                  features="log-power", dnn_threshold=0.7)
+    rel = os.path.splitext(files[0])[0]
+    y_hard = np.load(str(tmp_path / (rel + "_ibm_hard_est.npy")))
+    X = load_mixture(os.path.join(PROCESSED, rel))[2]
+    _, y_host = make_labels("dnn", np.abs(X) ** 2, classifier_params=cls,
+                            features="log-power", dnn_threshold=0.7)
+    assert y_hard.shape == y_host.shape
+    mismatch = np.mean(y_hard != y_host)
+    assert mismatch < 5e-3, mismatch
+    # the threshold must actually bite: 0.7-hard labels are sparser than
+    # the 0.5 default would be
+    _, y_05 = make_labels("dnn", np.abs(X) ** 2, classifier_params=cls,
+                          features="log-power", dnn_threshold=0.5)
+    assert y_host.sum() < y_05.sum()
+
+
 def test_enhance_files_bucket_boundary_length(tmp_path):
     """Regression: an utterance whose frame count is an exact bucket
     multiple while its end-padded length is not a hop multiple used to
