@@ -62,7 +62,14 @@ exact.
 `scripts/validate_pesq.py` computes per-utterance deltas against the
 ITU `pesq` wheel whenever it is importable (it is not in this
 environment); tests/metrics/test_pesq.py pins the degradation-family
-behaviour instead.
+behaviour instead. For external conformance, the repo ships a PORTABLE
+battery (scripts/pesq_battery.py + artifacts/pesq_battery_expected.json,
+round 5): 18 deterministic pure-numpy degradations spanning noise /
+bandwidth / clipping / level / constant and time-varying delay /
+MNRU / dropout / echo, with the first-party scores committed — copy the
+single script + JSON to any wheel-bearing machine and it emits a
+one-file wheel-vs-committed report with no repo setup
+(tests/metrics/test_pesq_battery.py pins the regeneration).
 """
 
 import numpy as np
