@@ -26,6 +26,18 @@ FS = 16000
 
 METRIC_KEYS_BASE = ["SI-SDR", "SI-SIR", "SI-SAR", "ESTOI"]
 METRIC_KEYS_F1 = ["ACC", "PRECISION", "RECALL", "F1"]
+# Classic objective speech-quality measures (metrics/objective.py) — used
+# as independent scales to triangulate the first-party PESQ ordering at
+# campaign scale (VERDICT round-4 item 9); LLR/WSS are distortion
+# measures (lower = better), the two SNR variants are higher-better.
+METRIC_KEYS_OBJECTIVE = ["SSNR", "FWSSNR", "LLR", "WSS"]
+
+
+def _objective_row(s, s_hat):
+    from .objective import fw_seg_snr, llr, seg_snr, wss
+
+    return [float(seg_snr(s, s_hat)), float(fw_seg_snr(s, s_hat)),
+            float(llr(s, s_hat)), float(wss(s, s_hat))]
 
 
 def _safe_pesq(s, s_hat):
@@ -44,7 +56,8 @@ def compute_metrics_utt(args):
     title (reference run_metrics_M1.py:117-139,
     run_metrics_M2.py:102-200)."""
     (processed_dir, est_dir, path, with_f1, target, quantile_fraction,
-     quantile_weight, make_figures) = args
+     quantile_weight, make_figures) = args[:8]
+    with_objective = args[8] if len(args) > 8 else False
     base_p = os.path.join(processed_dir, os.path.splitext(path)[0])
     base_e = os.path.join(est_dir, os.path.splitext(path)[0])
 
@@ -58,6 +71,8 @@ def compute_metrics_utt(args):
     estoi_v = stoi(s, s_hat, FS, extended=True)
     pesq_v = _safe_pesq(s, s_hat)
     row = [si_sdr, si_sir, si_sar, estoi_v, pesq_v]
+    if with_objective:
+        row.extend(_objective_row(s, s_hat))
 
     if make_figures:
         import matplotlib
@@ -103,14 +118,18 @@ def compute_metrics_utt(args):
 def compute_metrics_mixture_utt(args):
     """No-processing floor: metrics of the raw mixture vs clean (reference
     run_metrics_mixture.py:50-120)."""
-    processed_dir, path = args
+    processed_dir, path = args[:2]
+    with_objective = args[2] if len(args) > 2 else False
     base = os.path.join(processed_dir, os.path.splitext(path)[0])
     s, _ = read_wav(base + "_s.wav")
     n, _ = read_wav(base + "_n.wav")
     x, _ = read_wav(base + "_x.wav")
     si_sdr, si_sir, si_sar = energy_ratios(x, s, n)
     estoi_v = stoi(s, x, FS, extended=True)
-    return (si_sdr, si_sir, si_sar, estoi_v, _safe_pesq(s, x))
+    row = [si_sdr, si_sir, si_sar, estoi_v, _safe_pesq(s, x)]
+    if with_objective:
+        row.extend(_objective_row(s, x))
+    return tuple(row)
 
 
 def _pool_init():

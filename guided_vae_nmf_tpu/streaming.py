@@ -178,9 +178,11 @@ class _StreamingOLA:
     # vectorizes as (at most) 4 phase-grouped contiguous adds
     _OLA_PHASES = NFFT // HOP if NFFT % HOP == 0 else None
 
-    def _ola_accumulate(self, t0, y, m, k):
+    def _ola_accumulate(self, t0, y, m, k, advance=True):
         """Overlap-add k enhanced windowed frames starting at frame t0
-        into the accumulators and advance the processed-frame cursor."""
+        into the accumulators and advance the processed-frame cursor
+        (advance=False: delayed-emission subclasses accumulate behind
+        the cursor and manage it themselves)."""
         y = np.asarray(y)[:k]
         if self.keep_masks:
             self._masks.append(np.asarray(m)[:k])
@@ -201,7 +203,8 @@ class _StreamingOLA:
                 lo = base + i * HOP
                 self._y[lo:lo + NFFT] += y[i]
                 self._w[lo:lo + NFFT] += self._win_sq
-        self._t_done = t0 + k
+        if advance:
+            self._t_done = t0 + k
 
     def _process_frames(self, padded, t_end):
         """Run frames [self._t_done, t_end) through the device program and
@@ -325,13 +328,19 @@ class _StreamingOLA:
             self._append_pad(np.zeros(need - total, np.float32))
         return n_frames
 
+    def _t_emit_bound(self):
+        """First frame NOT yet overlap-added (delayed-emission subclasses
+        lag this behind the processed cursor)."""
+        return self._t_done
+
     def push(self, samples):
         """Feed a chunk; returns the newly-finalized enhanced samples."""
         t_avail = self._ingest(samples)
         if t_avail:
             self._process_frames(self._pad, t_avail)
-        # a sample is final once the next unprocessed frame starts after it
-        out = self._emit_upto(self._t_done * HOP - NFFT // 2)
+        # a sample is final once the next un-ACCUMULATED frame starts
+        # after it
+        out = self._emit_upto(self._t_emit_bound() * HOP - NFFT // 2)
         self._maybe_trim()
         return out
 
@@ -436,7 +445,8 @@ class StreamingSPPEnhancer(_StreamingOLA):
 
 def _m2_block_em(dec_params, Xw, y_pre, Vb, Z0, g0, b0, mask,
                  iters=6, e_steps=4, lr=5e-3, noise_gain=False,
-                 n_bands=1, adaptive_iters=0, adaptive_thresh=0.05):
+                 n_bands=1, adaptive_iters=0, adaptive_thresh=0.05,
+                 escalate_reinit=False):
     """Blockwise point-estimate EM over one (F, W) analysis window with a
     fixed (SPP-tracked) noise variance: `e_steps` gradient-ascent steps on
     the latent MAP objective per EM iteration (mcem/peem.py), then the
@@ -457,7 +467,15 @@ def _m2_block_em(dec_params, Xw, y_pre, Vb, Z0, g0, b0, mask,
     — an impulse landing in the block escalates its own iteration
     budget, quiet blocks pay nothing. Latency is unchanged (same tick);
     only per-block compute is data-dependent (lax.while_loop; under
-    vmap in the pooled engine lanes mask independently)."""
+    vmap in the pooled engine lanes mask independently).
+
+    escalate_reinit (round 5, requires adaptive_iters): when a block
+    escalates, RE-INIT the gain at the window's measured power ratio
+    max(1, sum_band X / sum_band Vb) before the extra iterations — the
+    blanket 'ratio' init's impulse jump-start WITHOUT its cost on
+    speech-dominated quiet blocks (those never escalate, so they never
+    get the aggressive init; the round-4 gap analysis's untried lever).
+    """
     from .mcem.engine import (
         VX_FLOOR, _decode_cond, nmf_m_step, noise_gain_state,
     )
@@ -503,6 +521,18 @@ def _m2_block_em(dec_params, Xw, y_pre, Vb, Z0, g0, b0, mask,
     (Z, g, b), ds = jax.lax.scan(em, (Z0, g0, b0), None, length=iters)
 
     if adaptive_iters and noise_gain:
+        if escalate_reinit:
+            # escalated blocks restart their gain at the measured window
+            # ratio so the extra iterations refine a right-magnitude
+            # init instead of multiplicatively crawling up from ~1
+            if band_map is None:
+                ratio = Xw.sum(0) / jnp.maximum(Vb.sum(0), 1e-12)
+            else:
+                ratio = ((band_map @ Xw)
+                         / jnp.maximum(band_map @ Vb, 1e-12))
+            engaged = ds[-1] > adaptive_thresh
+            b = jnp.where(engaged, jnp.maximum(ratio, 1.0), b)
+
         def cond(carry):
             _, _, _, i, d = carry
             return (i < adaptive_iters) & (d > adaptive_thresh)
@@ -525,7 +555,8 @@ def _m2_block_em(dec_params, Xw, y_pre, Vb, Z0, g0, b0, mask,
 _TICK_STATICS = ("label_mode", "soft_guidance", "residual_tracking",
                  "residual_alpha", "noise_gain", "noise_gain_init",
                  "n_bands", "block_iters", "e_steps", "lr", "eps",
-                 "adaptive_iters", "features", "dnn_threshold")
+                 "adaptive_iters", "escalate_reinit", "lookahead",
+                 "features", "dnn_threshold")
 
 
 def _m2_tick_core(enc, dec, cls, mean, std, band_map, frames, k, state,
@@ -533,7 +564,8 @@ def _m2_tick_core(enc, dec, cls, mean, std, band_map, frames, k, state,
                   residual_tracking=False, residual_alpha=0.5,
                   noise_gain=False, noise_gain_init="ones", n_bands=1,
                   block_iters=6, e_steps=4, lr=5e-3, eps=1e-8,
-                  adaptive_iters=0, features="power", dnn_threshold=0.5):
+                  adaptive_iters=0, escalate_reinit=False, lookahead=False,
+                  features="power", dnn_threshold=0.5):
     """The WHOLE M2 streaming chunk path as one traced program: analysis,
     causal SPP noise track, guidance labels, encoder warm init, window
     assembly, blockwise EM, residual tracking, context rebuild and masked
@@ -628,7 +660,7 @@ def _m2_tick_core(enc, dec, cls, mean, std, band_map, frames, k, state,
     Z, g, bfr, WFs = _m2_block_em(
         dec, Xw, y_pre, Vbw, Zw, gw, bw, maskw, iters=block_iters,
         e_steps=e_steps, lr=lr, noise_gain=noise_gain, n_bands=n_bands,
-        adaptive_iters=adaptive_iters)
+        adaptive_iters=adaptive_iters, escalate_reinit=escalate_reinit)
     m = WFs[:, C:].T                            # (K, F) gains, new frames
 
     if residual_tracking:
@@ -671,6 +703,13 @@ def _m2_tick_core(enc, dec, cls, mean, std, band_map, frames, k, state,
     )
     S = m.astype(jnp.complex64) * (re + 1j * im)
     y = jnp.fft.irfft(S, n=NFFT, axis=-1).astype(jnp.float32) * window
+    if lookahead:
+        # one-block-lookahead mode: the HOST emits each chunk one tick
+        # late, synthesized from the WHOLE window's refined mask (the
+        # previous chunk sits right-aligned in the context and has just
+        # been re-optimized with this chunk visible); hand it the full
+        # (C+K, F) mask instead of the current chunk's slice
+        return y, WFs.T, new_state
     return y, m, new_state
 
 
@@ -762,8 +801,8 @@ class StreamingM2Enhancer(_StreamingOLA):
                  soft_guidance=False, residual_tracking=False,
                  residual_alpha=0.5, noise_gain=False,
                  noise_gain_init="ones", noise_gain_bands=1, eps=1e-8,
-                 keep_masks=True, adaptive_iters=0, features="power",
-                 dnn_threshold=0.5):
+                 keep_masks=True, adaptive_iters=0, escalate_reinit=False,
+                 lookahead=False, features="power", dnn_threshold=0.5):
         if label_mode == "dnn" and classifier_params is None:
             raise ValueError("label_mode='dnn' needs classifier_params")
         # classifier inference protocol (classifier_meta.json side-car):
@@ -824,11 +863,29 @@ class StreamingM2Enhancer(_StreamingOLA):
                 raise ValueError(
                     "adaptive_iters requires noise_gain=True (the "
                     "escalation trigger is the gain's movement)")
+        if escalate_reinit and not adaptive_iters:
+            raise ValueError(
+                "escalate_reinit requires adaptive_iters > 0 (it re-inits "
+                "the gain of blocks the adaptive budget escalates)")
         # adaptive in-block budget: up to this many EXTRA EM iterations
         # while the noise gain still moves > 5%/iter (impulse blocks
         # escalate themselves; quiet blocks pay nothing; latency
         # unchanged)
         self.adaptive_iters = adaptive_iters
+        # round-5 impulse lever: escalated blocks re-init their gain at
+        # the window power ratio before the extra iterations (the
+        # 'ratio' jump-start scoped to blocks that need it)
+        self.escalate_reinit = escalate_reinit
+        # one-block lookahead (round 5): emit each chunk one tick LATE,
+        # after the block EM has refined it with the next chunk visible
+        # in the window — latency rises by exactly chunk_frames x 16 ms
+        # (128 -> 192 ms at chunk=4) for an offline-style future view of
+        # impulses crossing block boundaries
+        if lookahead and chunk_frames > context_frames:
+            raise ValueError(
+                "lookahead needs chunk_frames <= context_frames (the "
+                "emitted chunk must still sit inside the EM window)")
+        self.lookahead = lookahead
         self.noise_gain_init = noise_gain_init
         # spectral resolution of the gain (offline sweet spot: 2-3 bands
         # for impulsive noise, MCEMConfig.noise_gain_bands)
@@ -853,6 +910,9 @@ class StreamingM2Enhancer(_StreamingOLA):
 
     def reset(self):
         super().reset()
+        # lookahead emission lag: (t0, k) of the processed-but-unemitted
+        # chunk (None until the first tick)
+        self._la_pending = None
         if hasattr(self, "C"):     # base reset() fires before full init
             from .mcem.spp import spp_state_init
 
@@ -922,6 +982,8 @@ class StreamingM2Enhancer(_StreamingOLA):
                     block_iters=self.block_iters, e_steps=self.e_steps,
                     lr=self.lr, eps=self.eps,
                     adaptive_iters=self.adaptive_iters,
+                    escalate_reinit=self.escalate_reinit,
+                    lookahead=self.lookahead,
                     features=self.features,
                     dnn_threshold=self.dnn_threshold)
 
@@ -931,6 +993,74 @@ class StreamingM2Enhancer(_StreamingOLA):
             self._band_map, jnp.asarray(frames), k, self._dstate,
             **self._tick_cfg())
         return y, np.asarray(m).astype(np.float16)
+
+    # -- one-block lookahead (round 5): delayed emission ------------------
+
+    def _t_emit_bound(self):
+        if self.lookahead and self._la_pending is not None:
+            return self._la_pending[0]
+        return super()._t_emit_bound()
+
+    def _tick_full(self, frames, k):
+        """Run the tick and return the full-window refined mask at float32
+        (the lookahead synthesis consumes it; the float16 cast is only for
+        the mask HISTORY)."""
+        _, m, self._dstate = _m2_tick_jit(
+            self.enc, self.dec, self.cls, self.mean, self.std,
+            self._band_map, jnp.asarray(frames), k, self._dstate,
+            **self._tick_cfg())
+        return np.asarray(m, np.float32)
+
+    def _synth_rows(self, padded, t0, k, m):
+        """Host synthesis of k frames [t0, t0+k) under mask m (k, F) —
+        the lookahead path's emission runs one tick behind the device, so
+        the (tiny: chunk x nfft) synthesis happens here from the padded
+        buffer the host already holds."""
+        window = periodic_hann(NFFT).astype(np.float32)
+        fr = self._take_frames(padded, t0, k)[:k]
+        X = np.fft.rfft(fr * window[None, :], axis=-1)
+        y = np.fft.irfft(np.asarray(m, np.float64) * X, n=NFFT, axis=-1)
+        return (y * window[None, :]).astype(np.float32)
+
+    def _accumulate_pending(self, padded, m_full):
+        tp, kp = self._la_pending
+        # the pending chunk sits right-aligned at the context end:
+        # window columns [C - kp, C)
+        m_prev = np.asarray(m_full, np.float32)[self.C - kp:self.C]
+        y_prev = self._synth_rows(padded, tp, kp, m_prev)
+        self._ola_accumulate(tp, y_prev, m_prev.astype(np.float16), kp,
+                             advance=False)
+
+    def _process_frames(self, padded, t_end):
+        if not self.lookahead:
+            return super()._process_frames(padded, t_end)
+        while self._t_done < t_end:
+            k = min(self.chunk_frames, t_end - self._t_done)
+            t0 = self._t_done
+            frames = self._take_frames(padded, t0, k)
+            m_full = self._tick_full(frames, k)
+            if self._la_pending is not None:
+                self._accumulate_pending(padded, m_full)
+            self._la_pending = (t0, k)
+            self._t_done = t0 + k
+
+    def flush(self):
+        if not self.lookahead:
+            return super().flush()
+        self._flushed = True
+        if self._raw.size == 0:
+            return np.zeros(0, np.float32)
+        n_frames = self._flush_pad()
+        self._process_frames(self._pad, n_frames)
+        if self._la_pending is not None:
+            # drain tick: zero new frames (k=0) — recurrence state is
+            # gated, but the block EM runs once more over the window and
+            # refines the final pending chunk before it is emitted
+            m_full = self._tick_full(
+                np.zeros((self.chunk_frames, NFFT), np.float32), 0)
+            self._accumulate_pending(self._pad, m_full)
+            self._la_pending = None
+        return self._emit_upto(self._raw_drop + self._n_raw)
 
 
 # ---------------------------------------------------------------------------

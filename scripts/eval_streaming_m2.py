@@ -56,6 +56,8 @@ def main(argv=None):
     ng_init = flag(argv, "noise_gain_init", "ones")
     ng_bands = flag(argv, "noise_gain_bands", 1, int)
     adaptive_iters = flag(argv, "adaptive_iters", 0, int)
+    escalate_reinit = flag(argv, "escalate_reinit", "0") in ("1", "true")
+    lookahead = flag(argv, "lookahead", "0") in ("1", "true")
     block_iters = flag(argv, "block_iters", 6, int)
     e_steps = flag(argv, "e_steps", 4, int)
     context = flag(argv, "context_frames", 24, int)
@@ -74,6 +76,8 @@ def main(argv=None):
         ng_bands = st.get("noise_gain_bands", ng_bands)
         if flag(argv, "adaptive_iters") is None:
             adaptive_iters = st.get("adaptive_iters", adaptive_iters)
+        escalate_reinit = st.get("escalate_reinit", escalate_reinit)
+        lookahead = st.get("lookahead", lookahead)
         block_iters = st.get("block_iters", block_iters)
         e_steps = st.get("e_steps", e_steps)
         context = st.get("context_frames", context)
@@ -84,11 +88,17 @@ def main(argv=None):
     processed = f"{SUB}/processed/"
     m2 = load_model(os.path.join(artifacts, "M2_ibm"), kind="dgm")
     cls = mean = std = None
+    features, dnn_threshold = "power", 0.5
     if label_mode == "dnn":
+        from guided_vae_nmf_tpu.train import load_classifier_meta
+
         cls = load_model(os.path.join(artifacts, "classifier_ibm"),
                          kind="classifier")
         mean, std = load_norm_stats(
             os.path.join(artifacts, "classifier_ibm"))
+        cmeta = load_classifier_meta(
+            os.path.join(artifacts, "classifier_ibm"))
+        features, dnn_threshold = cmeta["features"], cmeta["threshold"]
 
     utts = []
     for p in files:
@@ -126,7 +136,11 @@ def main(argv=None):
             f"{c:>26}" for c in row))
 
     for cf in chunks:
+        # latency = chunk buffering + 64 ms STFT window (+ one extra
+        # chunk when the lookahead mode delays emission by a tick)
         lat_ms = cf * HOP * 1000 // FS + 64
+        if lookahead:
+            lat_ms += cf * HOP * 1000 // FS
         row = []
         t0 = time.perf_counter()
         for name, s, n, x in utts:
@@ -137,8 +151,10 @@ def main(argv=None):
                 noise_gain=noise_gain, noise_gain_init=ng_init,
                 noise_gain_bands=ng_bands,
                 adaptive_iters=adaptive_iters,
-                block_iters=block_iters,
-                e_steps=e_steps, context_frames=context)
+                escalate_reinit=escalate_reinit, lookahead=lookahead,
+                block_iters=block_iters, e_steps=e_steps,
+                context_frames=context, features=features,
+                dnn_threshold=dnn_threshold)
             outs = []
             for lo in range(0, len(x), 4096):
                 outs.append(enh.push(x[lo:lo + 4096]))

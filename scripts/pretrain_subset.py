@@ -45,29 +45,37 @@ def clean_frames(clean):
     ).T
 
 
-def clean_labeled_frames(clean):
+def clean_labeled_frames(clean, label_quantile=0.999):
     """Clean-speech frame set + clean-derived labels — the reference's M2
     training protocol (create_train_set.py:117-148 reads CLEAN speech only;
     training_M2.py:70-73 consumes that file). The speech prior p(s|z,y) is
     a clean-speech model; only the classifier/wiener discriminators train
-    on noisy mixtures (create_noisy_train_set.py:268-292)."""
+    on noisy mixtures (create_noisy_train_set.py:268-292).
+
+    label_quantile: Lorenz quantile_fraction of the IBM/VAD labels
+    (reference create_train_set.py uses 0.999; the eval-side oracle uses
+    0.98, run_metrics_M2.py:52-53 — the round-5 classifier lever aligns
+    the discriminator's targets with the eval oracle)."""
     X, Yibm, Yvad = [], [], []
     for x in clean:
         s_tf = stft(x)
         X.append((np.abs(s_tf) ** 2).astype(np.float32))
-        Yibm.append(clean_speech_IBM(s_tf, 0.999, 0.999))
-        Yvad.append(clean_speech_VAD(s_tf, 0.999, 0.999))
+        Yibm.append(clean_speech_IBM(s_tf, label_quantile, 0.999))
+        Yvad.append(clean_speech_VAD(s_tf, label_quantile, 0.999))
     cat = lambda a: np.concatenate(a, 1).T  # noqa: E731
     return cat(X), cat(Yibm), cat(Yvad)
 
 
 def build(clean, noise, seed, n_mix=4,
-          snrs=(-5, -2.5, 0, 2.5, 5.0), include_clean=False):
+          snrs=(-5, -2.5, 0, 2.5, 5.0), include_clean=False,
+          label_quantile=0.999):
     rng = np.random.RandomState(seed)
     types = list(noise)
     X, Yibm, Yvad, Ywf = [], [], [], []
     for x in clean:
         s_tf = stft(x)
+        y_ibm = clean_speech_IBM(s_tf, label_quantile, 0.999)
+        y_vad = clean_speech_VAD(s_tf, label_quantile, 0.999)
         for _ in range(n_mix):
             snr = rng.choice(snrs)
             np.random.seed(rng.randint(1 << 30))
@@ -75,8 +83,8 @@ def build(clean, noise, seed, n_mix=4,
             k = np.sum(x**2) * 10 ** (-snr / 10) / np.sum(nz**2)
             nz = nz * np.sqrt(k)
             X.append((np.abs(stft(x + nz)) ** 2).astype(np.float32))
-            Yibm.append(clean_speech_IBM(s_tf, 0.999, 0.999))
-            Yvad.append(clean_speech_VAD(s_tf, 0.999, 0.999))
+            Yibm.append(y_ibm)
+            Yvad.append(y_vad)
             Ywf.append(ideal_wiener_mask(s_tf, stft(nz)).astype(np.float32))
         if include_clean:
             # near-clean frames (40 dB floor) teach the classifiers and
@@ -86,8 +94,8 @@ def build(clean, noise, seed, n_mix=4,
             k = np.sum(x**2) * 1e-4 / np.sum(nz**2)
             nz = nz * np.sqrt(k)
             X.append((np.abs(stft(x + nz)) ** 2).astype(np.float32))
-            Yibm.append(clean_speech_IBM(s_tf, 0.999, 0.999))
-            Yvad.append(clean_speech_VAD(s_tf, 0.999, 0.999))
+            Yibm.append(y_ibm)
+            Yvad.append(y_vad)
             Ywf.append(ideal_wiener_mask(s_tf, stft(nz)).astype(np.float32))
     cat = lambda a: np.concatenate(a, 1).T  # noqa: E731
     return cat(X), cat(Yibm), cat(Yvad), cat(Ywf)

@@ -917,3 +917,89 @@ def test_streaming_adaptive_iters():
     assert np.all(np.isfinite(yb))
     with pytest.raises(ValueError, match="adaptive_iters"):
         StreamingM2Enhancer(m2, label_mode="timo", adaptive_iters=4)
+
+
+def test_streaming_escalate_reinit():
+    """escalate_reinit (round 5): escalated blocks re-init their gain at
+    the window power ratio before the extra adaptive iterations —
+    deterministic, finite, differs from plain adaptive escalation, and
+    requires the adaptive budget."""
+    from guided_vae_nmf_tpu.models import dgm_init
+    from guided_vae_nmf_tpu.streaming import StreamingM2Enhancer
+
+    m2 = dgm_init(jax.random.PRNGKey(0), [513, 513, 16, [32]])
+    rng = np.random.RandomState(7)
+    x = rng.randn(16000).astype(np.float32) * 0.1
+    x[6000:6400] += rng.randn(400).astype(np.float32) * 2.0  # impulse
+
+    def run(**kw):
+        enh = StreamingM2Enhancer(m2, label_mode="timo", chunk_frames=8,
+                                  noise_gain=True, **kw)
+        out = [enh.push(x[lo:lo + 4096]) for lo in range(0, len(x), 4096)]
+        out.append(enh.flush())
+        return np.concatenate(out)
+
+    y_ad = run(adaptive_iters=12)
+    y_esc = run(adaptive_iters=12, escalate_reinit=True)
+    y_esc2 = run(adaptive_iters=12, escalate_reinit=True)
+    assert np.all(np.isfinite(y_esc))
+    np.testing.assert_array_equal(y_esc, y_esc2)   # deterministic
+    assert not np.array_equal(y_esc, y_ad)         # re-init engaged
+    # composes with per-band gains
+    yb = run(noise_gain_bands=2, adaptive_iters=8, escalate_reinit=True)
+    assert np.all(np.isfinite(yb))
+    with pytest.raises(ValueError, match="escalate_reinit"):
+        StreamingM2Enhancer(m2, label_mode="timo", noise_gain=True,
+                            escalate_reinit=True)
+
+
+def test_streaming_lookahead():
+    """One-block lookahead (round 5): emission runs one tick late so each
+    chunk is re-optimized with the NEXT chunk visible. Output length and
+    framing are unchanged; emission lags the causal stream by one chunk;
+    ragged push sizes drain fully at flush; deterministic."""
+    from guided_vae_nmf_tpu.models import dgm_init
+    from guided_vae_nmf_tpu.streaming import StreamingM2Enhancer
+
+    m2 = dgm_init(jax.random.PRNGKey(0), [513, 513, 16, [32]])
+    rng = np.random.RandomState(3)
+    x = rng.randn(20000).astype(np.float32) * 0.1
+
+    def run(push_sizes, **kw):
+        enh = StreamingM2Enhancer(m2, label_mode="timo", chunk_frames=4,
+                                  **kw)
+        outs, lo, i = [], 0, 0
+        while lo < len(x):
+            n = push_sizes[i % len(push_sizes)]
+            outs.append(enh.push(x[lo:lo + n]))
+            lo += n
+            i += 1
+        emitted_before_flush = sum(len(o) for o in outs)
+        outs.append(enh.flush())
+        return np.concatenate(outs), emitted_before_flush
+
+    y_norm, em_norm = run([4096])
+    y_la, em_la = run([4096], lookahead=True)
+    assert len(y_la) == len(x) == len(y_norm)
+    assert np.all(np.isfinite(y_la))
+    assert not np.array_equal(y_la, y_norm)        # future engaged
+    # emission lags the causal stream by exactly one chunk of frames
+    assert em_la < em_norm
+    y_la2, _ = run([4096], lookahead=True)
+    np.testing.assert_array_equal(y_la, y_la2)     # deterministic
+    # ragged pushes (partial chunks) keep the pending bookkeeping honest
+    y_rag, _ = run([700, 1900, 4096, 333], lookahead=True)
+    assert len(y_rag) == len(x)
+    assert np.all(np.isfinite(y_rag))
+    # composes with the full impulse stack
+    enh = StreamingM2Enhancer(m2, label_mode="timo", chunk_frames=4,
+                              noise_gain=True, noise_gain_bands=2,
+                              adaptive_iters=6, escalate_reinit=True,
+                              lookahead=True)
+    out = [enh.push(x[lo:lo + 4096]) for lo in range(0, len(x), 4096)]
+    out.append(enh.flush())
+    y_full = np.concatenate(out)
+    assert len(y_full) == len(x) and np.all(np.isfinite(y_full))
+    with pytest.raises(ValueError, match="lookahead"):
+        StreamingM2Enhancer(m2, label_mode="timo", chunk_frames=32,
+                            context_frames=24, lookahead=True)
