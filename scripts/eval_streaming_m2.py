@@ -70,17 +70,26 @@ def main(argv=None):
         from guided_vae_nmf_tpu.profiles import streaming_settings
 
         st = streaming_settings(profile)
-        soft = st.get("soft_guidance", soft)
-        residual = st.get("residual_tracking", residual)
-        noise_gain = st.get("noise_gain", noise_gain)
-        ng_bands = st.get("noise_gain_bands", ng_bands)
-        if flag(argv, "adaptive_iters") is None:
-            adaptive_iters = st.get("adaptive_iters", adaptive_iters)
-        escalate_reinit = st.get("escalate_reinit", escalate_reinit)
-        lookahead = st.get("lookahead", lookahead)
-        block_iters = st.get("block_iters", block_iters)
-        e_steps = st.get("e_steps", e_steps)
-        context = st.get("context_frames", context)
+
+        def pick(key, flagged, current):
+            # an EXPLICIT flag beats the profile (ablation sweeps);
+            # otherwise the profile is authoritative for its knobs
+            if flag(argv, flagged) is not None:
+                return current
+            return st.get(key, current)
+
+        soft = pick("soft_guidance", "soft_labels", soft)
+        residual = pick("residual_tracking", "residual", residual)
+        noise_gain = pick("noise_gain", "noise_gain", noise_gain)
+        ng_bands = pick("noise_gain_bands", "noise_gain_bands", ng_bands)
+        adaptive_iters = pick("adaptive_iters", "adaptive_iters",
+                              adaptive_iters)
+        escalate_reinit = pick("escalate_reinit", "escalate_reinit",
+                               escalate_reinit)
+        lookahead = pick("lookahead", "lookahead", lookahead)
+        block_iters = pick("block_iters", "block_iters", block_iters)
+        e_steps = pick("e_steps", "e_steps", e_steps)
+        context = pick("context_frames", "context_frames", context)
         if "chunk_frames" in st and flag(argv, "chunks") is None:
             chunks = [st["chunk_frames"]]
 

@@ -174,8 +174,25 @@ def itu_pesq():
         return None
 
 
+USAGE = """\
+Portable PESQ conformance battery.
+
+Runs 18 deterministic pure-numpy degradations through every importable
+PESQ engine and compares against the committed expected scores.
+
+  --expected PATH        expected-scores JSON (default: repo artifacts/)
+  --engine NAME          auto | first-party | itu          (default auto)
+  --threshold MOS        max |delta| allowed per case      (default 0.1)
+  --write-expected 1     regenerate the expected JSON in place
+  --report PATH          also write the JSON report to PATH
+"""
+
+
 def main(argv=None):
     argv = argv if argv is not None else sys.argv[1:]
+    if "--help" in argv or "-h" in argv:
+        print(USAGE)
+        return 0
 
     def flag(name, default=None, cast=str):
         key = f"--{name}"
