@@ -93,6 +93,21 @@ PROFILES = {
                        residual_tracking=True, noise_gain=True,
                        noise_gain_bands=2, adaptive_iters=6),
     ),
+    "streaming-192ms": Profile(
+        "streaming-192ms",
+        "192 ms balanced online point: the streaming-low-latency levers "
+        "at chunk=8 — the extra in-block context beats the 128 ms point "
+        "on every QUT mixture's ESTOI/PESQ and on car SI-SDR "
+        "(VALIDATION round-5 streaming frontier: café −3.92 / car "
+        "+10.16 / kitchen +4.19, ESTOI 0.781-0.812). The impulse-"
+        "leaning alternative at the same latency is chunk=4 + "
+        "--lookahead 1 (kitchen +4.24-4.37, car ~0.3 dB lower)",
+        offline=False,
+        streaming=dict(chunk_frames=8, block_iters=6, e_steps=4,
+                       context_frames=24, soft_guidance=True,
+                       residual_tracking=True, noise_gain=True,
+                       noise_gain_bands=2, adaptive_iters=6),
+    ),
 }
 
 PROFILE_NAMES = tuple(PROFILES)

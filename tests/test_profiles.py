@@ -30,7 +30,7 @@ pytestmark = pytest.mark.skipif(
 def test_registry_invariants():
     assert set(PROFILE_NAMES) == {
         "reference", "real-noise", "impulse-noise",
-        "streaming-low-latency",
+        "streaming-low-latency", "streaming-192ms",
     }
     for name, prof in PROFILES.items():
         assert prof.name == name
@@ -85,6 +85,11 @@ def test_streaming_settings():
     assert st["soft_guidance"] and st["residual_tracking"]
     # round-4 validated setting (VALIDATION adaptive-budget table)
     assert st["adaptive_iters"] == 6
+    # round-5 balanced 192 ms point: identical levers, chunk=8
+    st192 = streaming_settings("streaming-192ms")
+    assert st192["chunk_frames"] == 8        # 192 ms
+    assert {k: v for k, v in st192.items() if k != "chunk_frames"} == \
+           {k: v for k, v in st.items() if k != "chunk_frames"}
     # every streaming-profile key must be a constructor parameter of
     # BOTH stream classes: the consumers pass these through as kwargs,
     # so an unaccepted key would crash — and a key missing from this
