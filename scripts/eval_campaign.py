@@ -54,13 +54,14 @@ TEST_BANK_SEED = 202         # != the training bank's seed (11)
 
 ALL_SYSTEMS = ("mixture", "m2dnn_reference", "m2dnn_real-noise",
                "m2dnn_impulse-noise", "wiener", "m1_spp",
+               "m1spp_real-noise", "m1spp_impulse-noise",
                "m2oracle_reference", "m2oracle_real-noise",
                "m2vaddnn_real-noise", "m2vadoracle_real-noise")
 
 # Systems whose MCEM E-step is MH-stochastic: only these need per-seed
 # replication for error bars (wiener/mixture are deterministic)
 STOCHASTIC_PREFIXES = ("m2dnn_", "m2oracle_", "m2vaddnn_", "m2vadoracle_",
-                       "m1_spp")
+                       "m1_spp", "m1spp_")
 
 
 def _wsj(split, spk):
@@ -391,6 +392,14 @@ def run_system(sysname, work, models, names, niter, batch_size, seed):
         m1 = load_model(os.path.join(models, "M1"), kind="vae")
         enhance_files(names, corpus, est, m1, model_type="m1",
                       noise_model="spp", **kw)
+    elif sysname.startswith("m1spp_"):
+        # unguided M1 under the validated profiles (round 5): gives the
+        # table's best unguided row the same spp2/noise_gain levers the
+        # guided rows get (soft_guidance has no effect without labels)
+        profile = sysname.split("_", 1)[1]
+        m1 = load_model(os.path.join(models, "M1"), kind="vae")
+        enhance_files(names, corpus, est, m1, model_type="m1",
+                      profile=profile, **kw)
     elif sysname == "wiener":
         from guided_vae_nmf_tpu.pipeline import enhance_files_wiener
 
