@@ -25,6 +25,8 @@ LABELS = [
     ("m2dnn_impulse-noise", "M2 + DNN, `impulse-noise` profile"),
     ("m2vaddnn_real-noise", "M2-VAD + DNN, `real-noise` profile"),
     ("m2vadoracle_real-noise", "M2-VAD + oracle, `real-noise` profile"),
+    ("m2vaddnn_impulse-noise", "M2-VAD + DNN, `impulse-noise` profile"),
+    ("m2vadoracle_impulse-noise", "M2-VAD + oracle, `impulse-noise` profile"),
     ("m1_spp", "M1 (unguided) + SPP noise model"),
     ("m1spp_real-noise", "M1 (unguided), `real-noise` profile"),
     ("m1spp_impulse-noise", "M1 (unguided), `impulse-noise` profile"),
