@@ -578,7 +578,8 @@ def build_parser():
 
     p.add_argument("--profile", choices=PROFILE_NAMES, default=None,
                    help="validated operating-point preset "
-                        "(streaming-low-latency is the 128 ms flagship)")
+                        "(streaming-low-latency = 128 ms flagship; "
+                        "streaming-192ms = balanced next latency step)")
     p.add_argument("--chunk_frames", type=int, default=8)
     p.add_argument("--context_frames", type=int, default=24)
     p.add_argument("--block_iters", type=int, default=6)
