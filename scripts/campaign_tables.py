@@ -23,6 +23,7 @@ LABELS = [
     ("m2dnn_real-noise", "M2 + DNN, `real-noise` profile"),
     ("m2oracle_real-noise", "M2 + oracle IBM, `real-noise` profile"),
     ("m2dnn_impulse-noise", "M2 + DNN, `impulse-noise` profile"),
+    ("m2oracle_impulse-noise", "M2 + oracle IBM, `impulse-noise` profile"),
     ("m2vaddnn_real-noise", "M2-VAD + DNN, `real-noise` profile"),
     ("m2vadoracle_real-noise", "M2-VAD + oracle, `real-noise` profile"),
     ("m2vaddnn_impulse-noise", "M2-VAD + DNN, `impulse-noise` profile"),
