@@ -9,6 +9,8 @@ committed record.
 
 Usage: python scripts/campaign_tables.py [--json CAMPAIGN_r05.json]
        [--metrics SI-SDR,ESTOI,PESQ] [--systems a,b,...]
+       [--by_family SI-SDR]   # per-noise-family means (self-contained
+                              # records: config.corpus_entries)
 """
 
 import json
@@ -109,6 +111,25 @@ def main(argv=None):
                 fmt = ".4f" if m == "ESTOI" else ".3f"
                 cells.append(f"{min(v):{fmt}}–{max(v):{fmt}} ({rng:{fmt}})")
             print(f"| {label} | {n} | " + " | ".join(cells) + " |")
+
+    # per-noise-family means (record must be self-contained:
+    # config.corpus_entries carries per-row identity)
+    entries = rec["config"].get("corpus_entries")
+    if entries and flag(argv, "by_family"):
+        fams = sorted({e["family"] for e in entries})
+        metric = flag(argv, "by_family")
+        print(f"\n**{metric} by noise family** (overall mean):\n")
+        print("| system | " + " | ".join(fams) + " |")
+        print("|---|" + "---|" * len(fams))
+        for key, label in labels:
+            idx = rec[key]["keys"].index(metric)
+            per = {f: [] for f in fams}
+            for e, row in zip(entries, rec[key]["rows"]):
+                if row[idx] is not None:
+                    per[e["family"]].append(row[idx])
+            print(f"| {label} | " + " | ".join(
+                f"{sum(v)/len(v):+.2f}" for v in
+                (per[f] for f in fams)) + " |")
 
     # objective-measure ordering cross-check
     obj = [m for m in ("FWSSNR", "WSS", "LLR", "SSNR")

@@ -563,6 +563,10 @@ def main(argv=None):
         "snrs": list(snrs), "niter": niter, "epochs": epochs,
         "train_voices": train_voices, "models": models,
         "systems": prior + list(systems), "seeds": seeds,
+        # per-utterance identity in row order: makes the record
+        # self-contained (per-family/SNR re-aggregation without the
+        # /tmp corpus manifest — campaign_tables.py --by_family)
+        "corpus_entries": manifest["entries"],
         "classifier_levers": {
             "features": cls_features, "label_quantile": cls_quantile,
             "pos_weight": cls_pos_weight, "calibrate": bool(cls_calibrate),
